@@ -1,0 +1,283 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md F1/F2).
+
+Generates the primary input table required by the north rule:
+
+    (conv_id: string, turn_idx: int32, role: string,
+     text: string, tool: string, ts: timestamp[us])
+
+The ``text`` payload families mirror what the reference parses
+(reference README.md:49-56, docs/settings/settings.yml head regexes,
+docs/example/app/app.py formatted-vs-bare 50/50 mix): spring/bot pipe
+format, cp dash format, spark slash-time format, geely colon-class
+format, java-stacktrace continuation lines, decimal-comma base format,
+and unparseable junk. Everything is seeded and vectorized (numpy +
+pandas string ops); rows are globally shuffled so stable
+(conv_id, turn_idx) ordering must be re-imposed downstream.
+
+Corpora are cached under /tmp (never under /root/testdata) with a
+metadata sidecar keyed by (generator version, n_turns, seed) and
+written atomically (tmp dir + rename) so concurrent callers are safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GENERATOR_VERSION = 3
+DEFAULT_SEED = 42
+CACHE_ROOT = "/tmp/graft_transcripts"
+
+SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# row kinds (values stored in an int8 array)
+K_SPRING = 0
+K_SPRING_JSON = 1
+K_CP = 2
+K_BOT = 3
+K_CONT = 4
+K_JUNK = 5
+K_SPARK = 6
+K_SPARK_IGNORE = 7
+K_AI = 8
+K_BASE = 9
+K_EDITOR = 10
+
+_TOOLS = np.array(["", "bash", "search", "editor", "python"])
+_TOOL_W = np.array([0.55, 0.15, 0.10, 0.05, 0.15])
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+
+# per-tool kind distributions
+_KINDS_BY_TOOL = {
+    0: (np.array([K_SPRING, K_SPRING_JSON, K_CP, K_BOT, K_CONT, K_JUNK]),
+        np.array([0.28, 0.08, 0.10, 0.09, 0.40, 0.05])),
+    1: (np.array([K_SPARK, K_SPARK_IGNORE, K_JUNK]), np.array([0.75, 0.15, 0.10])),
+    2: (np.array([K_AI, K_JUNK]), np.array([0.90, 0.10])),
+    3: (np.array([K_EDITOR]), np.array([1.0])),
+    4: (np.array([K_BASE, K_JUNK]), np.array([0.90, 0.10])),
+}
+
+_APPS = np.array(["websvc", "ordersvc", "paysvc", "cartsvc"])
+_BOT_APPS = np.array(["ms_audit", "ms_notify", "ms_billing"])
+_LEVELS = np.array(["INFO", "WARN", "ERROR", "DEBUG"])
+_WORDS = np.array(
+    "request done queued retry flushed opened closed commit rollback scan "
+    "merge upload fetch decode encode route batch stream spill press".split()
+)
+_CONT_LINES = np.array(
+    [
+        "\tat com.example.myproject.Author.getBookIds(Author.java:38)",
+        "\tat com.example.myproject.Bookstore.getInfo(Bookstore.java:16)",
+        "Caused by: java.lang.NullPointerException",
+        "    ... 12 more",
+        "\tat com.example.web.Controller.handle(Controller.java:103)",
+    ]
+)
+
+_BASE_TS_US = np.int64(pd.Timestamp("2024-01-01").value // 1000)
+_TEN_YEARS_US = np.int64(315_576_000_000_000)  # ~10y in microseconds
+
+
+def _conv_structure(n_turns: int, rng: np.random.Generator):
+    """Zipf-skewed conversation sizes; returns (conv_idx, turn_idx) arrays.
+
+    A few hot conversations get 100x the median turns (FIXTURES.md F1) to
+    exercise skew handling in the concat shuffle.
+    """
+    sizes = []
+    total = 0
+    # a couple of deterministic hot convs first
+    hot = max(200, n_turns // 50)
+    for h in (hot, hot // 2):
+        if total + h < n_turns:
+            sizes.append(h)
+            total += h
+    while total < n_turns:
+        s = int(1 + min(rng.pareto(1.3) * 4, 400))
+        s = min(s, n_turns - total)
+        sizes.append(s)
+        total += s
+    sizes = np.array(sizes, dtype=np.int64)
+    conv_idx = np.repeat(np.arange(len(sizes)), sizes)
+    turn_idx = np.concatenate([np.arange(s) for s in sizes]).astype(np.int32)
+    return conv_idx, turn_idx
+
+
+def _fmt_times(ts_us: np.ndarray) -> dict[str, np.ndarray]:
+    """Millisecond-precision time strings in each family's format."""
+    t = pd.to_datetime(ts_us, unit="us")
+    base = t.strftime("%Y-%m-%d %H:%M:%S.%f").str[:-3]  # trim us -> ms
+    return {
+        "dash": base.to_numpy(dtype=object),
+        "comma": base.str.replace(".", ",", regex=False).to_numpy(dtype=object),
+        "slash": t.strftime("%Y/%m/%d %H:%M:%S.%f").str[:-3].to_numpy(dtype=object),
+    }
+
+
+def _build_text(kind, ts_us, rng: np.random.Generator) -> np.ndarray:
+    n = len(kind)
+    times = _fmt_times(ts_us)
+
+    def pick(arr, size_hi=None, lo=None, hi=None):
+        if arr is None:
+            return pd.Series(rng.integers(lo, hi, n).astype(str), dtype=object)
+        return pd.Series(arr[rng.integers(0, len(arr), n)], dtype=object)
+
+    app = pick(_APPS)
+    bot_app = pick(_BOT_APPS)
+    level = pick(_LEVELS)
+    thread = "http-nio-8080-exec-" + pick(None, lo=1, hi=32)
+    lineno = pick(None, lo=1, hi=500)
+    w1, w2, w3 = pick(_WORDS), pick(_WORDS), pick(_WORDS)
+    msg = w1 + " " + w2 + " " + w3
+    uuid = pick(None, lo=10**8, hi=10**9)
+    code = pick(None, lo=200, hi=600)
+    cont = pick(_CONT_LINES)
+
+    s = pd.Series([""] * n, dtype=object)
+    dash = pd.Series(times["dash"], dtype=object)
+    comma = pd.Series(times["comma"], dtype=object)
+    slash = pd.Series(times["slash"], dtype=object)
+
+    def put(mask, value):
+        if mask.any():
+            s[mask] = value[mask] if hasattr(value, "__getitem__") else value
+
+    cls = "com.example." + app + ".Service.handle"
+    spring = (
+        dash + " | " + app + " | " + level + " | " + thread + " | "
+        + cls + " | " + lineno + ": " + msg
+    )
+    put(kind == K_SPRING, spring)
+    spring_json = (
+        dash + " | " + app + " | " + level + " | " + thread + " | " + cls
+        + " | " + lineno + ': ' + msg + ' {"user": "u' + uuid + '", "code": ' + code + "}"
+    )
+    put(kind == K_SPRING_JSON, spring_json)
+    cp = (
+        dash + " - ms:cp|type:platform|uuid:" + uuid + "|customerSid:" + code
+        + "|msg:" + msg
+    )
+    put(kind == K_CP, cp)
+    bot = (
+        dash + " | " + bot_app + " | " + level + " | " + thread + " | "
+        + "com.bot.Worker.run | " + lineno + ": " + msg
+    )
+    put(kind == K_BOT, bot)
+    put(kind == K_CONT, cont)
+    junk = w1 + w2 + " $$ " + uuid + " " + w3
+    put(kind == K_JUNK, junk)
+    put(kind == K_SPARK, slash + " " + msg + " executor=" + code)
+    put(kind == K_SPARK_IGNORE, comma + " [stage " + code + "] heartbeat")
+    ai = (
+        dash + " | geely:nlcc | " + level + " | http-bio-8081-exec-3 | "
+        + "com.ai.Handler.handleMessage:57 - Outbound Message: " + msg
+    )
+    put(kind == K_AI, ai)
+    put(kind == K_BASE, "[" + comma + "] " + level + " base." + app + ": " + msg)
+    put(kind == K_EDITOR, "edit op " + msg)
+    return s.to_numpy(dtype=object)
+
+
+def transcript_batches(n_turns: int, seed: int = DEFAULT_SEED, chunk: int = 250_000):
+    """Yield the corpus as pyarrow RecordBatches (deterministic for a seed)."""
+    rng = np.random.default_rng(seed)
+    conv_idx, turn_idx = _conv_structure(n_turns, rng)
+    n = len(conv_idx)
+    tool_i = rng.choice(len(_TOOLS), size=n, p=_TOOL_W)
+    kind = np.empty(n, dtype=np.int8)
+    for ti, (kinds, w) in _KINDS_BY_TOOL.items():
+        m = tool_i == ti
+        kind[m] = rng.choice(kinds, size=int(m.sum()), p=w)
+    role = _ROLES[rng.integers(0, len(_ROLES), n)]
+    ts_us = _BASE_TS_US + conv_idx * 67_000_000 + turn_idx.astype(np.int64) * 1_300_000
+    late = rng.random(n) < 0.01  # outside the allowed window -> dropped
+    ts_us = np.where(late, ts_us - _TEN_YEARS_US, ts_us)
+
+    perm = rng.permutation(n)  # global shuffle: ordering must be re-imposed
+    conv_idx, turn_idx, tool_i, kind, role, ts_us = (
+        conv_idx[perm], turn_idx[perm], tool_i[perm], kind[perm], role[perm], ts_us[perm]
+    )
+
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        crng = np.random.default_rng((seed, 7919, lo))
+        text = _build_text(kind[lo:hi], ts_us[lo:hi], crng)
+        conv = np.char.add("conv-", np.char.zfill(conv_idx[lo:hi].astype(str), 8))
+        yield pa.record_batch(
+            [
+                pa.array(conv, type=pa.string()),
+                pa.array(turn_idx[lo:hi], type=pa.int32()),
+                pa.array(role[lo:hi], type=pa.string()),
+                pa.array(text, type=pa.string()),
+                pa.array(_TOOLS[tool_i[lo:hi]], type=pa.string()),
+                pa.array(ts_us[lo:hi], type=pa.timestamp("us")),
+            ],
+            schema=SCHEMA,
+        )
+
+
+def transcript_table(n_turns: int, seed: int = DEFAULT_SEED) -> pa.Table:
+    return pa.Table.from_batches(transcript_batches(n_turns, seed), schema=SCHEMA)
+
+
+def turns_for_sf_dir(sf_dir: str) -> int:
+    """6M turns at sf=1, matching the testdata lineitem scaling."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(1000, int(6_000_000 * sf))
+
+
+def ensure_corpus(n_turns: int, seed: int = DEFAULT_SEED) -> str:
+    """Generate (once) and return the path of the cached corpus parquet.
+
+    Layout: {CACHE_ROOT}/v{V}-t{n}-s{seed}/transcripts.parquet with a
+    meta.json sidecar; written atomically via tmpdir+rename so parallel
+    callers and killed runs never observe a partial file.
+    """
+    key = f"v{GENERATOR_VERSION}-t{n_turns}-s{seed}"
+    d = os.path.join(CACHE_ROOT, key)
+    path = os.path.join(d, "transcripts.parquet")
+    meta = os.path.join(d, "meta.json")
+    if os.path.exists(path) and os.path.exists(meta):
+        return path
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
+    tmp_path = os.path.join(tmp, "transcripts.parquet")
+    with pq.ParquetWriter(tmp_path, SCHEMA, compression="snappy") as w:
+        for rb in transcript_batches(n_turns, seed):
+            w.write_batch(rb)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"version": GENERATOR_VERSION, "n_turns": n_turns, "seed": seed}, f)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        # another process won the race; use theirs
+        if not os.path.exists(path):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def corpus_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
+    return ensure_corpus(turns_for_sf_dir(sf_dir), seed)
