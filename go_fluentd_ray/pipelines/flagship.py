@@ -1,0 +1,113 @@
+"""Flagship pipeline: the full go-fluentd dataflow on Ray Data.
+
+    read_parquet(transcripts)
+      -> acceptor      (map_batches, pyarrow: window/retag/accept/is_head)
+      -> add_bucket    (map_batches, pyarrow: hash(conv_id) % B)
+      -> concat        (groupby(bucket).map_groups, pandas: the ONE shuffle)
+      -> finish        (map_batches actor pool: parse -> enrich -> truncate -> route)
+      -> sinks / aggregates
+
+Reference dataflow being re-expressed: acceptor -> acceptorPipeline ->
+journal -> dispatcher -> tagPipeline -> postPipeline -> producer
+(reference README.md:130-143). The WAL/journal disappears (lineage +
+idempotent sink writes give stronger guarantees, see stages/sinks.py);
+backpressure/throttling disappears (streaming executor handles it).
+
+Scale notes (100 TB): every stage is vectorized Arrow; the only
+all-to-all exchange is the bucket groupby whose key count B is chosen
+~2-4x total cores so each bucket is a healthy block (tens of MB), not
+per-conv_id micro-groups. Parse/enrich are actor pools so regex/config
+compilation happens once per worker, not per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..oracle import OUTPUT_SCHEMA
+from ..stages.acceptor import acceptor_transform
+from ..stages.concat import add_bucket, concat_bucket
+from ..stages.enrich import Enricher
+from ..stages.parse import parse_batch
+from ..stages.postfilter import route_batch, truncate_batch
+
+
+class Finisher:
+    """Actor-pool stage fusing parse -> enrich -> truncate -> route.
+
+    One actor pool instead of four task stages: the per-batch Arrow
+    tables never leave the worker between sub-steps, and the compiled
+    enrich plans live once per actor.
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.enrich = Enricher(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = parse_batch(batch, self.cfg)
+        out = self.enrich(out)
+        out = truncate_batch(out, self.cfg)
+        return route_batch(out, self.cfg)
+
+
+def default_num_buckets() -> int:
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    else:
+        cpus = 8
+    return max(8, cpus * 2)
+
+
+def build_pipeline(
+    ds: "ray.data.Dataset",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_buckets: int | None = None,
+    finisher_concurrency: int | tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Compose the lazy Dataset pipeline (no execution happens here)."""
+    B = num_buckets or default_num_buckets()
+    ds = ds.map_batches(lambda t: acceptor_transform(t, cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(lambda t: add_bucket(t, B),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.groupby("bucket").map_groups(
+        lambda df: concat_bucket(df, cfg), batch_format="pandas")
+    conc = finisher_concurrency or (1, 8)
+    ds = ds.map_batches(Finisher, fn_constructor_args=(cfg,),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=conc)
+    return ds
+
+
+def result_table_sorted(ds: "ray.data.Dataset") -> pa.Table:
+    import ray
+
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows > 0]
+    if not parts:
+        return OUTPUT_SCHEMA.empty_table()
+    tbl = pa.concat_tables([p.select(OUTPUT_SCHEMA.names) for p in parts])
+    idx = pa.compute.sort_indices(
+        tbl, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return tbl.take(idx)
+
+
+def sink_counts(ds: "ray.data.Dataset"):
+    """Per-sink routed-row counts — the reference dispatcher's per-tag
+    monitoring counters (dispacher.go:138-141) as a groupby-aggregate."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby("sink").aggregate(Count(alias_name="n")).sort("sink")
+
+
+def tool_role_sink_counts(ds: "ray.data.Dataset"):
+    from ray.data.aggregate import Count
+
+    return (ds.groupby(["tool", "role", "sink"])
+            .aggregate(Count(alias_name="n"))
+            .sort(["tool", "role", "sink"]))

@@ -1,0 +1,92 @@
+"""Acceptor stage: window filter -> ingress tag -> spark ignore ->
+spring first-match retag -> accept whitelist -> concat-head precompute.
+
+Fully vectorized over zero-copy Arrow batches (pyarrow.compute only; no
+Python-per-row work). One ``map_batches(fn, batch_format="pyarrow")``
+call covers what the reference spreads over recvs + acceptorfilters
+(reference: recvs/http.go:133-150 window; acceptorfilters/spark_f.go:44-68;
+spring_f.go:79-107 first-match-wins retag — the re-enter loop collapses
+to a single pass in batch mode; default_f.go:64-79 whitelist).
+
+The ``is_head`` / ``concat_on`` columns are precomputed here (RE2 via
+pc.match_substring_regex) so the shuffle-side concat stage needs no
+regex work at all.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PipelineConfig
+
+
+def _lookup(values: pa.ChunkedArray | pa.Array, mapping: dict[str, str],
+            default: str | None = None) -> pa.Array:
+    """Vectorized small-dict lookup: index_in + take (broadcast join)."""
+    keys = pa.array(list(mapping.keys()), type=pa.string())
+    out_vals = list(mapping.values())
+    idx = pc.index_in(values, value_set=keys)
+    out = pc.take(pa.array(out_vals, type=pa.string()), idx)
+    if default is not None:
+        out = pc.fill_null(out, default)
+    return out
+
+
+def acceptor_transform(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    # ---- allowed-lateness window (inclusive) ------------------------------
+    lo = pa.scalar(cfg.window_min_ts).cast(pa.timestamp("us"))
+    hi = pa.scalar(cfg.window_max_ts).cast(pa.timestamp("us"))
+    keep = pc.and_(pc.greater_equal(batch["ts"], lo), pc.less_equal(batch["ts"], hi))
+    batch = batch.filter(keep)
+    if batch.num_rows == 0:
+        return _empty_like(batch)
+
+    text = batch["text"]
+
+    # ---- ingress tag from the tool column (recv tag assignment) -----------
+    tag = _lookup(batch["tool"], cfg.ingress_tags)
+
+    # ---- spark ignore filter ----------------------------------------------
+    is_spark = pc.equal(tag, cfg.spark_tag)
+    drop = pc.and_(is_spark, pc.match_substring_regex(text, cfg.spark_ignore_regex))
+    keep = pc.fill_null(pc.invert(drop), True)
+    batch, tag, text = batch.filter(keep), tag.filter(keep), text.filter(keep)
+
+    # ---- spring retag: first matching rule wins ---------------------------
+    unassigned = pc.equal(tag, cfg.spring_tag)
+    for rule in cfg.retag_rules:
+        if rule.regex == ".*":
+            m = unassigned  # catch-all, skip the regex scan
+        else:
+            m = pc.and_(unassigned, pc.match_substring_regex(text, rule.regex))
+        tag = pc.if_else(m, rule.new_tag, tag)
+        unassigned = pc.and_(unassigned, pc.invert(m))
+
+    # ---- accept whitelist --------------------------------------------------
+    keep = pc.is_in(tag, value_set=pa.array(sorted(cfg.accept_tags), type=pa.string()))
+    batch, tag, text = batch.filter(keep), tag.filter(keep), text.filter(keep)
+
+    # ---- precompute concat controls ---------------------------------------
+    concat_tags = sorted(cfg.concat)
+    concat_on = pc.is_in(tag, value_set=pa.array(concat_tags, type=pa.string()))
+    # head regexes per concat tag (all concat tags share-or-differ; compute
+    # per tag and merge). Non-concat rows: is_head=True (each row standalone).
+    is_head = pa.array([True] * len(batch), type=pa.bool_())
+    for t in concat_tags:
+        m_tag = pc.equal(tag, t)
+        m_head = pc.match_substring_regex(text, cfg.concat[t].head_regex)
+        is_head = pc.if_else(m_tag, m_head, is_head)
+
+    batch = batch.append_column("tag", tag)
+    batch = batch.append_column("concat_on", concat_on)
+    batch = batch.append_column("is_head", is_head)
+    return batch
+
+
+def _empty_like(batch: pa.Table) -> pa.Table:
+    t = batch
+    for name, typ in (("tag", pa.string()), ("concat_on", pa.bool_()),
+                      ("is_head", pa.bool_())):
+        t = t.append_column(name, pa.array([], type=typ))
+    return t

@@ -1,0 +1,115 @@
+"""Enrich stage: AddCfg / template substitution as a stateful actor pool.
+
+Reference semantics (library/add.go:60-147, 182-205): per-tag ordered
+list of {field: value} ops; ``None`` deletes the field; string values
+interpolate ``%{col}``, ``%{@tag}``, ``%{@lower:col}``, ``%{@upper:col}``
+(missing/null source -> empty string).
+
+Ray-Data-first: this is the canonical *stateful actor-pool* stage —
+``map_batches(Enricher, concurrency=N, batch_format="pyarrow")``. The
+config (the broadcast lookup dict of the north star) is parsed ONCE per
+actor in ``__init__`` into compiled template plans; ``__call__`` is pure
+vectorized pyarrow (binary_join_element_wise over column refs), no
+Python-per-row work.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PipelineConfig
+
+_TOKEN = re.compile(r"%\{([^}]+)\}")
+
+
+def compile_template(value: str):
+    """Split an AddCfg value into (kind, payload) segments at config time."""
+    plan = []
+    pos = 0
+    for m in _TOKEN.finditer(value):
+        if m.start() > pos:
+            plan.append(("lit", value[pos:m.start()]))
+        expr = m.group(1)
+        if expr == "@tag":
+            plan.append(("tag", None))
+        elif expr.startswith("@lower:"):
+            plan.append(("lower", expr[7:]))
+        elif expr.startswith("@upper:"):
+            plan.append(("upper", expr[7:]))
+        else:
+            plan.append(("col", expr))
+        pos = m.end()
+    if pos < len(value):
+        plan.append(("lit", value[pos:]))
+    return plan
+
+
+def _col_as_str(batch: pa.Table, name: str, n: int) -> pa.Array | pa.Scalar:
+    if name not in batch.column_names:
+        return pa.scalar("")
+    col = batch[name]
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    return pc.fill_null(col, "")
+
+
+def eval_template(plan, batch: pa.Table, tag: str):
+    n = batch.num_rows
+    parts = []
+    for kind, payload in plan:
+        if kind == "lit":
+            parts.append(pa.scalar(payload))
+        elif kind == "tag":
+            parts.append(pa.scalar(tag))
+        elif kind == "col":
+            parts.append(_col_as_str(batch, payload, n))
+        elif kind == "lower":
+            parts.append(pc.utf8_lower(_col_as_str(batch, payload, n)))
+        elif kind == "upper":
+            parts.append(pc.utf8_upper(_col_as_str(batch, payload, n)))
+    if all(isinstance(p, pa.Scalar) for p in parts):
+        const = "".join(p.as_py() for p in parts)
+        return pa.array([const] * n, type=pa.string())
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "")
+
+
+class Enricher:
+    """Actor-pool callable for map_batches (setup once per actor)."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        # tag -> list[(key, plan-or-None)]
+        self.plans = {
+            tag: [(op.key, None if op.value is None else compile_template(op.value))
+                  for op in ops]
+            for tag, ops in cfg.adds.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tags = batch["tag"]
+        for tag, ops in self.plans.items():
+            mask = pc.equal(tags, tag)
+            if not pc.any(mask).as_py():
+                continue
+            for key, plan in ops:
+                existing = (batch[key] if key in batch.column_names
+                            else pa.nulls(batch.num_rows, pa.string()))
+                if plan is None:  # delete op
+                    new = pc.if_else(mask, pa.nulls(batch.num_rows,
+                                                    existing.type), existing)
+                else:
+                    val = eval_template(plan, batch, tag)
+                    new = pc.if_else(mask, val, pc.cast(existing, pa.string()))
+                if key in batch.column_names:
+                    batch = batch.set_column(
+                        batch.column_names.index(key), key, new)
+                else:
+                    batch = batch.append_column(key, new)
+        return batch

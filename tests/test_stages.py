@@ -1,0 +1,194 @@
+"""Unit tests of individual stages against hand-written expectations,
+modeled on the reference's own unit tests (SURVEY.md §5:
+TestRegexNamedSubMatch, Test_replaceByKey, concat semantics)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from go_fluentd_ray.config import DEFAULT_CONFIG, AddOp, ConcatCfg
+from go_fluentd_ray.stages.acceptor import acceptor_transform
+from go_fluentd_ray.stages.concat import _concat_one_tag, concat_bucket
+from go_fluentd_ray.stages.enrich import Enricher, compile_template, eval_template
+from go_fluentd_ray.stages.parse import parse_batch
+from go_fluentd_ray.synth import SCHEMA
+
+
+def _mk_input(rows):
+    cols = {k: [r.get(k) for r in rows] for k in
+            ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    cols["ts"] = [pd.Timestamp(t or "2024-06-01") for t in cols["ts"]]
+    cols["turn_idx"] = [int(i or 0) for i in cols["turn_idx"]]
+    return pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+            "role": pa.array([r or "user" for r in cols["role"]], pa.string()),
+            "text": pa.array(cols["text"], pa.string()),
+            "tool": pa.array([t or "" for t in cols["tool"]], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        }, schema=SCHEMA)
+
+
+class TestAcceptor:
+    def test_window_drop(self):
+        t = _mk_input([
+            {"conv_id": "c", "text": "x", "ts": "1990-01-01"},
+            {"conv_id": "c", "turn_idx": 1, "text": "x", "ts": "2024-06-01"},
+        ])
+        out = acceptor_transform(t, DEFAULT_CONFIG)
+        assert out.num_rows == 1 and out["turn_idx"][0].as_py() == 1
+
+    def test_retag_first_match_wins(self):
+        t = _mk_input([
+            {"conv_id": "c", "text": "2024 - ms:cp|x ms_foo"},     # rule 1 before rule 2
+            {"conv_id": "c", "turn_idx": 1, "text": "x ms_foo y"},  # rule 2
+            {"conv_id": "c", "turn_idx": 2, "text": "plain"},       # catch-all
+        ])
+        out = acceptor_transform(t, DEFAULT_CONFIG)
+        assert out["tag"].to_pylist() == ["cp.sit", "bot.sit", "app.spring.sit"]
+
+    def test_unknown_tag_dropped(self):
+        t = _mk_input([{"conv_id": "c", "text": "x", "tool": "editor"}])
+        assert acceptor_transform(t, DEFAULT_CONFIG).num_rows == 0
+
+    def test_spark_ignore(self):
+        t = _mk_input([
+            {"conv_id": "c", "text": "2024-01-01 10:00:00,123 [stage 1] hb",
+             "tool": "bash"},
+            {"conv_id": "c", "turn_idx": 1,
+             "text": "2024/01/01 10:00:00.123 ok", "tool": "bash"},
+        ])
+        out = acceptor_transform(t, DEFAULT_CONFIG)
+        assert out.num_rows == 1 and out["tag"][0].as_py() == "spark.sit"
+
+
+HEAD = "2024-01-01 00:00:00.000 | app | INFO | t | c | 1: "
+
+
+def _concat_df(texts, heads, conv="c", tag="app.spring.sit"):
+    return pd.DataFrame({
+        "conv_id": [conv] * len(texts),
+        "turn_idx": range(len(texts)),
+        "role": ["user"] * len(texts),
+        "tool": [""] * len(texts),
+        "ts": [pd.Timestamp("2024-06-01")] * len(texts),
+        "tag": [tag] * len(texts),
+        "text": texts,
+        "is_head": heads,
+        "concat_on": [True] * len(texts),
+    })
+
+
+class TestConcat:
+    def test_basic_merge(self):
+        df = _concat_df([HEAD + "a", "cont1", "cont2", HEAD + "b"],
+                        [True, False, False, True])
+        out = _concat_one_tag(df, ConcatCfg(head_regex="unused"))
+        assert list(out["text"]) == [HEAD + "a\ncont1\ncont2", HEAD + "b"]
+        assert list(out["merged_turns"]) == [[0, 1, 2], [3]]
+
+    def test_prehead_rows_pass_alone(self):
+        df = _concat_df(["pre1", "pre2", HEAD + "a", "cont"],
+                        [False, False, True, False])
+        out = _concat_one_tag(df, ConcatCfg(head_regex="unused"))
+        assert list(out["text"]) == ["pre1", "pre2", HEAD + "a\ncont"]
+
+    def test_max_length_flush(self):
+        # head(5) + joiner(1) + cont(5) = 11 > 10 -> flush after first append;
+        # subsequent continuation lines emitted alone (concator_f.go:197-202)
+        df = _concat_df(["headx", "aaaaa", "bbbbb", "ccccc"],
+                        [True, False, False, False])
+        out = _concat_one_tag(df, ConcatCfg(head_regex="u", max_length=10))
+        assert list(out["text"]) == ["headx\naaaaa", "bbbbb", "ccccc"]
+
+    def test_two_convs_no_bleed(self):
+        a = _concat_df([HEAD + "a", "cont"], [True, False], conv="a")
+        b = _concat_df(["contb", HEAD + "b"], [False, True], conv="b")
+        df = pd.concat([a, b], ignore_index=True)
+        out = _concat_one_tag(df, ConcatCfg(head_regex="u"))
+        assert list(out["text"]) == [HEAD + "a\ncont", "contb", HEAD + "b"]
+
+    def test_bucket_passthrough(self):
+        df = _concat_df(["x", "y"], [True, True], tag="spark.sit")
+        df["concat_on"] = False
+        out = concat_bucket(df, DEFAULT_CONFIG)
+        assert sorted(out["text"]) == ["x", "y"] and list(out["n_merged"]) == [1, 1]
+
+
+def _parsed(texts, tag="app.spring.sit"):
+    df = pd.DataFrame({
+        "conv_id": ["c"] * len(texts), "turn_idx": range(len(texts)),
+        "role": ["user"] * len(texts), "tool": [""] * len(texts),
+        "ts": [pd.Timestamp("2024-06-01")] * len(texts),
+        "tag": [tag] * len(texts), "text": texts,
+        "n_merged": [1] * len(texts),
+        "merged_turns": [[i] for i in range(len(texts))],
+    })
+    return parse_batch(pa.Table.from_pandas(df), DEFAULT_CONFIG)
+
+
+class TestParse:
+    def test_groups_extracted_and_trimmed(self):
+        out = _parsed(["2024-01-01 00:00:01.300 | paysvc | INFO | th-1 | "
+                       "com.x.Y | 147:  hello  "])
+        assert out.num_rows == 1
+        r = out.to_pylist()[0]
+        assert r["app"] == "paysvc" and r["level"] == "INFO"
+        assert r["message"] == "hello"  # TrimSpace (utils.go:69)
+        assert r["@timestamp"] == "2024-01-01T00:00:01.300000Z"
+
+    def test_nonmatch_discarded(self):
+        assert _parsed(["garbage"]).num_rows == 0
+
+    def test_comma_decimal_fix(self):
+        out = _parsed(["[2024-01-01 00:00:01,300] INFO base.app: m"],
+                      tag="base.sit")
+        assert out.to_pylist()[0]["@timestamp"] == "2024-01-01T00:00:01.300000Z"
+
+    def test_json_tail(self):
+        out = _parsed(['2024-01-01 00:00:01.300 | a | INFO | t | c | 1: '
+                       'done {"user": "u7", "code": 201}'])
+        r = out.to_pylist()[0]
+        assert r["json_user"] == "u7" and r["json_code"] == 201
+
+    def test_json_invalid_kept_raw(self):
+        out = _parsed(['2024-01-01 00:00:01.300 | a | INFO | t | c | 1: '
+                       'done {not json}'])
+        r = out.to_pylist()[0]
+        assert r["json_user"] is None and "not json" in r["message"]
+
+    def test_spark_time_format(self):
+        out = _parsed(["2024/01/02 03:04:05.006 something"], tag="spark.sit")
+        assert out.to_pylist()[0]["@timestamp"] == "2024-01-02T03:04:05.006000Z"
+
+
+class TestEnrich:
+    """Mirrors reference Test_replaceByKey cases (library/add_test.go:8-88)."""
+
+    def _eval(self, template, batch_cols, tag="t"):
+        batch = pa.table(batch_cols)
+        return eval_template(compile_template(template), batch, tag).to_pylist()
+
+    def test_literal(self):
+        assert self._eval("lit", {"x": ["a"]}) == ["lit"]
+
+    def test_col_sub(self):
+        assert self._eval("%{x}!", {"x": ["a", None]}) == ["a!", "!"]
+
+    def test_tag_sub(self):
+        assert self._eval("t=%{@tag}", {"x": ["a"]}, tag="tg") == ["t=tg"]
+
+    def test_lower_upper(self):
+        assert self._eval("%{@lower:x}", {"x": ["AbC"]}) == ["abc"]
+        assert self._eval("%{@upper:x}", {"x": ["AbC"]}) == ["ABC"]
+
+    def test_missing_col_empty(self):
+        assert self._eval("a%{nope}b", {"x": ["1"]}) == ["ab"]
+
+    def test_delete_op(self):
+        from go_fluentd_ray.config import PipelineConfig
+        cfg = PipelineConfig(adds={"t1": (AddOp("level", None),)})
+        batch = pa.table({"tag": ["t1", "t2"], "level": ["A", "B"]})
+        out = Enricher(cfg)(batch)
+        assert out["level"].to_pylist() == [None, "B"]

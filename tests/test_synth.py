@@ -1,0 +1,25 @@
+"""Generator invariants: determinism, schema, caching."""
+
+import pyarrow.parquet as pq
+
+from go_fluentd_ray import synth
+
+
+def test_schema_and_determinism():
+    t1 = synth.transcript_table(3000)
+    t2 = synth.transcript_table(3000)
+    assert t1.schema.equals(synth.SCHEMA)
+    assert t1.equals(t2)
+    assert t1.num_rows == 3000
+
+
+def test_cache_roundtrip(tmp_path):
+    p = synth.ensure_corpus(3000)
+    t = pq.read_table(p)
+    assert t.equals(synth.transcript_table(3000))
+
+
+def test_turns_for_sf_dir():
+    assert synth.turns_for_sf_dir("/root/testdata/sf0.01") == 60_000
+    assert synth.turns_for_sf_dir("/root/testdata/sf0.001") == 6_000
+    assert synth.turns_for_sf_dir("bogus") >= 1000
