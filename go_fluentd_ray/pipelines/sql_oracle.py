@@ -1,0 +1,192 @@
+"""DuckDB SQL equivalents of the flagship pipeline, generated from the
+same PipelineConfig the Ray stages use (no drift by construction).
+
+The transcripts corpus is not one of the driver's pre-registered views,
+so these SQL strings read the deterministic /tmp corpus parquet directly
+via read_parquet(path). The corpus is generated eagerly by
+__ray_entry__.queries()/oracle_sql() before either side runs.
+
+Note: max_length concat overflow is intentionally NOT modeled in SQL —
+at test scales no segment approaches max_length=8192 (longest
+continuation runs are ~20 lines x ~100 chars); the overflow semantics
+are covered by unit tests + the pure-Python oracle instead.
+"""
+
+from __future__ import annotations
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def acceptor_cte(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    ingress = " ".join(
+        f"WHEN '{_sq(k)}' THEN '{_sq(v)}'" for k, v in cfg.ingress_tags.items()
+    )
+    rules = []
+    for r in cfg.retag_rules:
+        if r.regex == ".*":
+            rules.append(f"ELSE '{_sq(r.new_tag)}'")
+            break
+        rules.append(
+            f"WHEN regexp_matches(text, '{_sq(r.regex)}') THEN '{_sq(r.new_tag)}'")
+    retag = " ".join(rules)
+    accept = ", ".join(f"'{_sq(t)}'" for t in sorted(cfg.accept_tags))
+    concat_tags = ", ".join(f"'{_sq(t)}'" for t in sorted(cfg.concat))
+    head_cases = " ".join(
+        f"WHEN tag = '{_sq(t)}' THEN regexp_matches(text, '{_sq(c.head_regex)}')"
+        for t, c in cfg.concat.items())
+    return f"""
+w AS (
+  SELECT * FROM read_parquet('{path}')
+  WHERE ts BETWEEN TIMESTAMP '{cfg.window_min_ts.replace("T", " ")}'
+              AND TIMESTAMP '{cfg.window_max_ts.replace("T", " ")}'
+),
+tagged AS (
+  SELECT *, CASE tool {ingress} END AS tag0 FROM w
+),
+nospark AS (
+  SELECT * FROM tagged
+  WHERE NOT (tag0 = '{_sq(cfg.spark_tag)}'
+             AND regexp_matches(text, '{_sq(cfg.spark_ignore_regex)}'))
+),
+accepted AS (
+  SELECT * FROM (
+    SELECT * EXCLUDE (tag0),
+           CASE WHEN tag0 = '{_sq(cfg.spring_tag)}'
+                THEN CASE {retag} END
+                ELSE tag0 END AS tag
+    FROM nospark
+  ) WHERE tag IN ({accept})
+),
+flagged AS (
+  SELECT *, tag IN ({concat_tags}) AS concat_on,
+         CASE {head_cases} ELSE TRUE END AS is_head
+  FROM accepted
+)"""
+
+
+def concat_cte(cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    return """
+segmented AS (
+  SELECT *, SUM(CASE WHEN is_head THEN 1 ELSE 0 END)
+              OVER (PARTITION BY tag, conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) AS headcnt
+  FROM flagged
+),
+segkey AS (
+  SELECT *, CASE WHEN NOT concat_on THEN 'x' || turn_idx
+                 WHEN headcnt = 0   THEN 'p' || turn_idx
+                 ELSE 's' || headcnt END AS seg
+  FROM segmented
+),
+merged AS (
+  SELECT tag, conv_id,
+         min(turn_idx)::INTEGER                        AS turn_idx,
+         arg_min(role, turn_idx)                       AS role,
+         arg_min(tool, turn_idx)                       AS tool,
+         arg_min(ts, turn_idx)                         AS ts,
+         string_agg(text, chr(10) ORDER BY turn_idx)   AS text,
+         count(*)::INTEGER                             AS n_merged
+  FROM segkey
+  GROUP BY tag, conv_id, seg
+)"""
+
+
+def _parse_branch(tag: str, cfg: PipelineConfig) -> str:
+    p = cfg.parsers[tag]
+    pat = p.pattern
+    flags = "s" if pat.startswith("(?s)") else ""
+    if flags:
+        pat = pat[4:]
+    # group names in pattern order
+    import re as _re
+
+    names = _re.findall(r"\(\?P<(\w+)>", pat)
+    pat_sq = _sq(pat)
+    name_list = ", ".join(f"'{n}'" for n in names)
+    ex = (f"regexp_extract(text, '{pat_sq}', [{name_list}], '{flags}')"
+          if flags else f"regexp_extract(text, '{pat_sq}', [{name_list}])")
+    fields = {n: f"nullif(trim(g.{n}), '')" for n in names}
+    all_groups = ["time", "app", "level", "thread", "class_name", "line",
+                  "message", "project"]
+    sel_groups = ",\n         ".join(
+        f"{fields.get(n, 'NULL')} AS {n}" for n in all_groups)
+    # duckdb strptime: %g = milliseconds; our configs use %f (python) for
+    # 3-digit ms strings -> translate
+    fmt = p.time_format.replace("%f", "%g")
+    match_re = f"regexp_matches(text, '{pat_sq}', '{flags}')" if flags else \
+        f"regexp_matches(text, '{pat_sq}')"
+    must = (f"AND nullif(trim(g.{p.must_include}), '') IS NOT NULL"
+            if p.must_include else "")
+    return f"""
+  SELECT tag, conv_id, turn_idx, role, tool, ts, n_merged, text,
+         {sel_groups},
+         strftime(strptime(replace(nullif(trim(g.time), ''), ',', '.'),
+                  '{_sq(fmt)}'), '%Y-%m-%dT%H:%M:%S.%fZ') AS "@timestamp",
+         {_json_exprs(tag, cfg)}
+  FROM (SELECT *, {ex} AS g FROM merged
+        WHERE tag = '{_sq(tag)}' AND {match_re}) sub
+  WHERE TRUE {must}"""
+
+
+def _json_exprs(tag: str, cfg: PipelineConfig) -> str:
+    p = cfg.parsers[tag]
+    if not p.json_group:
+        return "NULL AS json_user, NULL::BIGINT AS json_code"
+    src = f"nullif(trim(g.{p.json_group}), '')"
+    j = f"regexp_extract({src}, '(\\{{.*\\}})\\s*$', 1, 's')"
+    return (
+        f"CASE WHEN json_valid({j}) THEN json_extract_string({j}, '$.user') END AS json_user, "
+        f"CASE WHEN json_valid({j}) THEN CAST(json_extract({j}, '$.code') AS BIGINT) END AS json_code"
+    )
+
+
+def enrich_route_select(cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    ds_case = " ".join(
+        f"WHEN '{_sq(t)}' THEN '{_sq(next(op.value for op in ops if op.key == 'datasource'))}'"
+        for t, ops in cfg.adds.items())
+    lower_tags = ", ".join(
+        f"'{_sq(t)}'" for t, ops in cfg.adds.items()
+        if any(op.key == "level_lower" for op in ops))
+    del_thread_tags = ", ".join(
+        f"'{_sq(t)}'" for t, ops in cfg.adds.items()
+        if any(op.key == "thread" and op.value is None for op in ops)) or "''"
+    sink_case = " ".join(
+        f"WHEN '{_sq(t)}' THEN '{_sq(s)}'" for t, s in cfg.sink_map.items())
+    return f"""
+SELECT conv_id, turn_idx, role, tool, ts, tag,
+       CASE tag {sink_case} END AS sink,
+       n_merged, text, time, "@timestamp",
+       app, level,
+       CASE WHEN tag IN ({del_thread_tags}) THEN NULL ELSE thread END AS thread,
+       class_name, line, message, project, json_user, json_code,
+       CASE tag {ds_case} END AS datasource,
+       conv_id || '_' || tag AS rowkey,
+       CASE WHEN tag IN ({lower_tags}) THEN coalesce(lower(level), '') END AS level_lower
+FROM parsed"""
+
+
+def flagship_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    branches = "\n  UNION ALL\n".join(_parse_branch(t, cfg) for t in cfg.parsers)
+    return (f"WITH {acceptor_cte(path, cfg)},\n{concat_cte(cfg)},\n"
+            f"parsed AS (\n{branches}\n)\n{enrich_route_select(cfg)}")
+
+
+def acceptor_counts_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    return (f"WITH {acceptor_cte(path, cfg)}\n"
+            "SELECT tag, count(*)::BIGINT AS n FROM flagged GROUP BY tag")
+
+
+def concat_segments_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    return (f"WITH {acceptor_cte(path, cfg)},\n{concat_cte(cfg)}\n"
+            "SELECT tag, conv_id, turn_idx, role, tool, ts, text, n_merged FROM merged")
+
+
+def window_filter_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    return (
+        f"SELECT conv_id, turn_idx, tool, ts FROM read_parquet('{path}') "
+        f"WHERE ts BETWEEN TIMESTAMP '{cfg.window_min_ts.replace('T', ' ')}' "
+        f"AND TIMESTAMP '{cfg.window_max_ts.replace('T', ' ')}'")
