@@ -33,7 +33,7 @@ def entry() -> Any:
 
     from go_fluentd_ray.pipelines import flagship
 
-    ds = rd.read_parquet(_corpus("/root/testdata/sf0.001"))
+    ds = flagship.read_transcripts(_corpus("/root/testdata/sf0.001"))
     pipe = flagship.build_pipeline(ds, num_buckets=16, finisher_concurrency=2)
     return pipe.drop_columns(["merged_turns"])
 
@@ -46,7 +46,7 @@ def _q_flagship(sf_dir: str):
 
     from go_fluentd_ray.pipelines import flagship
 
-    ds = rd.read_parquet(_corpus(sf_dir))
+    ds = flagship.read_transcripts(_corpus(sf_dir))
     pipe = flagship.build_pipeline(ds)
     return pipe.drop_columns(["merged_turns"])
 
@@ -116,7 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.pipelines import sql_oracle
 
-    path = _corpus(SF001)
+    path = _corpus(SF001) + "/part-*.parquet"
     return {
         "flagship": sql_oracle.flagship_sql(path),
         "acceptor_counts": sql_oracle.acceptor_counts_sql(path),

