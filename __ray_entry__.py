@@ -101,25 +101,211 @@ def _q_window_filter(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_flagship_sink_counts(sf_dir: str):
+    from go_fluentd_ray.pipelines import flagship
+
+    ds = flagship.read_transcripts(_corpus(sf_dir))
+    return flagship.sink_counts(flagship.build_pipeline(ds))
+
+
+def _q_tool_role_sink_counts(sf_dir: str):
+    from go_fluentd_ray.pipelines import flagship
+
+    ds = flagship.read_transcripts(_corpus(sf_dir))
+    return flagship.tool_role_sink_counts(flagship.build_pipeline(ds))
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_token_count(sf_dir: str):
+    from go_fluentd_ray.functions import text as T
+
+    return _docs(sf_dir).map_batches(
+        T.token_count_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "n_tokens"])
+
+
+def _q_quality(sf_dir: str):
+    from go_fluentd_ray.functions import text as T
+
+    return _docs(sf_dir).map_batches(
+        T.quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_chars_f", "n_words", "punct_ratio",
+                      "stop_ratio", "mean_word_len", "quality"])
+
+
+def _q_lang_id(sf_dir: str):
+    from go_fluentd_ray.functions import text as T
+
+    return _docs(sf_dir).map_batches(
+        T.LangId, batch_format="pyarrow", concurrency=2,
+        zero_copy_batch=True).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprint(sf_dir: str):
+    from go_fluentd_ray.functions import text as T
+
+    return _docs(sf_dir).map_batches(
+        T.fingerprint_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(
+        ["doc_id", "n_fp", "fp_min", "fp_xor"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.minhash_dedup(_docs(sf_dir))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.simhash_dedup(_docs(sf_dir))
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_EMB_DUP_THR = 0.30  # testdata embeddings are random (max pairwise
+# cos ~0.51); 0.30 yields a non-trivial pair set to verify against
+
+
+def _q_embedding_dup(sf_dir: str):
+    from go_fluentd_ray.functions import dedup
+
+    # cos dropped from the compared output: numpy vs duckdb double
+    # summation order differs by ~1 ulp, which can flip round(,4)
+    return dedup.embedding_dup_exact(
+        _emb(sf_dir), threshold=_EMB_DUP_THR).drop_columns(["cos"])
+
+
+def _q_embedding_dup_lsh(sf_dir: str):
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.embedding_dup_lsh(_emb(sf_dir), threshold=_EMB_DUP_THR)
+
+
+def _q_knn(sf_dir: str):
+    from go_fluentd_ray.functions import similarity
+
+    # sim values dropped from the compared output (duckdb computes
+    # list_cosine_similarity in float32; round(,4) can flip) — the
+    # ranking itself is stable because sim gaps >> float error
+    return similarity.knn_bruteforce(_emb(sf_dir))[["qid", "rank", "vec_id"]]
+
+
+def _q_knn_ivf(sf_dir: str):
+    from go_fluentd_ray.functions import similarity
+
+    return similarity.knn_ivf(_emb(sf_dir))
+
+
+def _q_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import events
+
+    return events.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import events
+
+    return events.sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_multimodal_meta(sf_dir: str):
+    from go_fluentd_ray.functions import multimodal
+
+    return multimodal.multimodal_meta(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate the sf0.01 corpus eagerly so oracle_sql() paths always
     # resolve regardless of which side the driver runs first
     _corpus(SF001)
     return {
+        # flagship log-pipeline family (SURVEY.md §2)
         "flagship": _q_flagship,
+        "flagship_sink_counts": _q_flagship_sink_counts,
+        "flagship_tool_role_sink_counts": _q_tool_role_sink_counts,
         "acceptor_counts": _q_acceptor_counts,
         "concat_segments": _q_concat_segments,
         "window_filter": _q_window_filter,
+        # training-data operators
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_dup": _q_embedding_dup,
+        "embedding_dup_lsh": _q_embedding_dup_lsh,
+        "knn_bruteforce": _q_knn,
+        "knn_ivf": _q_knn_ivf,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    import pyarrow.parquet as pq
+
+    from go_fluentd_ray.functions import events, multimodal, similarity
+    from go_fluentd_ray.functions import text as T
     from go_fluentd_ray.pipelines import sql_oracle
 
     path = _corpus(SF001) + "/part-*.parquet"
+    dim = pq.read_schema(f"{SF001}/embeddings.parquet")  # probe list size
+    emb_dim = len(pq.read_table(f"{SF001}/embeddings.parquet",
+                                columns=["embedding"]).slice(0, 1)
+                  .to_pylist()[0]["embedding"])
+    fsql = sql_oracle.flagship_sql(path)
     return {
-        "flagship": sql_oracle.flagship_sql(path),
+        "flagship": fsql,
+        "flagship_sink_counts": (
+            f"SELECT sink, count(*)::BIGINT AS n FROM ({fsql}) GROUP BY sink"),
+        "flagship_tool_role_sink_counts": (
+            f"SELECT tool, role, sink, count(*)::BIGINT AS n FROM ({fsql}) "
+            "GROUP BY tool, role, sink"),
         "acceptor_counts": sql_oracle.acceptor_counts_sql(path),
         "concat_segments": sql_oracle.concat_segments_sql(path),
         "window_filter": sql_oracle.window_filter_sql(path),
+        "token_count": (
+            r"SELECT doc_id, length(regexp_extract_all(text, '\w+'))::BIGINT "
+            "AS n_tokens FROM documents"),
+        "quality_score": (
+            f"SELECT doc_id, {T.QUALITY_SQL_EXPRS} FROM documents"),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
+            "count(*)::BIGINT AS dups FROM documents GROUP BY 1"),
+        "embedding_dup": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= {_EMB_DUP_THR}""",
+        "knn_bruteforce": similarity.knn_bruteforce_sql(emb_dim),
+        "events_hourly": events.EVENTS_HOURLY_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        # rows-only (approximate / non-SQL-expressible): lang_id,
+        # doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
+        # embedding_dup_lsh, knn_ivf
     }

@@ -1,0 +1,124 @@
+"""Event-stream operators over the events table
+(event_id, ts, user_id, event_type, value, props-json).
+
+Stream-shaped semantics in batch form (guide: treat the input as an
+ordered, partitioned log): JSON prop extraction, tumbling-window
+aggregation with per-batch pre-aggregation (combiner before the
+shuffle), and gap-based sessionization via groupby(user).map_groups
+over ts-sorted groups.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def parse_props_batch(batch: pa.Table) -> pa.Table:
+    """Lift props JSON key 'k' to an int column (real json.loads — the
+    reference's embedded-JSON semantics, parser_f.go:74-107)."""
+    ks = []
+    for p in batch["props"].to_pylist():
+        try:
+            ks.append(int(json.loads(p).get("k")))
+        except (ValueError, TypeError):
+            ks.append(None)
+    return batch.append_column("k", pa.array(ks, type=pa.int64()))
+
+
+def hourly_partial(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch partial sums per (event_type, hour)."""
+    t = batch
+    hour = pc.floor_temporal(t["ts"], unit="hour")
+    df = pa.table({
+        "event_type": t["event_type"], "hour": hour,
+        "value": t["value"], "k": t["k"],
+    }).to_pandas()
+    g = (df.groupby(["event_type", "hour"], sort=False)
+         .agg(n=("value", "size"), sum_value=("value", "sum"),
+              sum_k=("k", "sum"))
+         .reset_index())
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def events_hourly(ds):
+    """Tumbling 1h window counts/sums per event_type (pre-aggregated)."""
+    from ray.data.aggregate import Sum
+
+    ds = ds.map_batches(parse_props_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(hourly_partial, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("sum_k", alias_name="sum_k"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"), "sum_value",
+            pc.round(batch["sum_value"], ndigits=6)).set_column(
+            batch.column_names.index("n"), "n",
+            pc.cast(batch["n"], pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_group(df: pd.DataFrame) -> pd.DataFrame:
+    """One user's events -> sessions split at >30 min gaps."""
+    df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+    sid = gap.cumsum()
+    g = df.groupby(sid)
+    out = pd.DataFrame({
+        "user_id": df["user_id"].iloc[0],
+        "session_idx": np.arange(g.ngroups, dtype=np.int64),
+        "session_start": g["ts"].min().to_numpy(),
+        "session_end": g["ts"].max().to_numpy(),
+        "n_events": g.size().to_numpy().astype(np.int64),
+    })
+    out["duration_sec"] = (
+        (out["session_end"] - out["session_start"]).dt.total_seconds())
+    return out
+
+
+def sessionize(ds):
+    """Gap-based sessions per user (groupby(user).map_groups over the
+    ts-sorted group — the documented ordering assumption)."""
+    return ds.groupby("user_id").map_groups(
+        sessionize_group, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, sid::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       date_part('epoch', max(ts) - min(ts)) AS duration_sec
+FROM s GROUP BY user_id, sid
+"""

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The image/audio decode libraries are not in this container, so the
+decode kernel is STUBBED (deterministic fake features / explicit
+NotImplementedError) — but the Ray-side plumbing is real and tested:
+binary columns flow zero-copy through Arrow, the stage is an actor
+pool sized for large rows (small batch_size), and the output layout
+(fixed schema with list<float> features) is what a real decoder would
+emit. Swap ``_decode_stub`` for a PIL/libav call and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"IMG0"
+
+
+def attach_payload_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Build a deterministic binary payload column from a text column
+    (stand-in for real image/audio bytes): MAGIC header + utf-8 body."""
+    payloads = [MAGIC + t.encode("utf-8") for t in batch[col].to_pylist()]
+    return batch.append_column("payload", pa.array(payloads, type=pa.binary()))
+
+
+def _decode_stub(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic fake 'decoded features': digest -> dim floats.
+    A real implementation would decode pixels/samples here."""
+    d = hashlib.blake2b(payload, digest_size=dim * 2).digest()
+    v = np.frombuffer(d, dtype=np.uint16).astype(np.float32)
+    return v / 65535.0
+
+
+class MultimodalExtract:
+    """Actor-pool stage over binary payloads: validates magic, extracts
+    metadata (size, crc32, format), emits stub features. Use a SMALL
+    batch_size when payloads are large (brief: batch x concurrency must
+    fit the worker heap)."""
+
+    def __init__(self, feature_dim: int = 8, strict: bool = False):
+        self.dim = feature_dim
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        fmt, size, crc, feats = [], [], [], []
+        for p in payloads:
+            size.append(len(p))
+            crc.append(zlib.crc32(p))
+            if p[:4] == MAGIC:
+                fmt.append("img0")
+                feats.append(_decode_stub(p, self.dim))
+            else:
+                if self.strict:
+                    raise NotImplementedError(
+                        "real decoder not available in this container")
+                fmt.append("unknown")
+                feats.append(np.zeros(self.dim, dtype=np.float32))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("format", pa.array(fmt, type=pa.string()))
+        out = out.append_column("payload_len",
+                                pa.array(size, type=pa.int64()))
+        out = out.append_column("crc32", pa.array(crc, type=pa.int64()))
+        out = out.append_column(
+            "features",
+            pa.array([f.tolist() for f in feats],
+                     type=pa.list_(pa.float32())))
+        return out
+
+
+def multimodal_meta(ds):
+    """documents -> payload -> metadata/features (drop the list column
+    for the scalar-only oracle comparison; md5 of payload matches the
+    SQL md5('IMG0' || text))."""
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(attach_payload_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(p).hexdigest() for p in batch["payload"].to_pylist()]
+        return batch.append_column("payload_md5",
+                                   pa.array(h, type=pa.string()))
+
+    ds = ds.map_batches(add_md5, batch_format="pyarrow")
+    ds = ds.map_batches(MultimodalExtract, batch_format="pyarrow",
+                        concurrency=2, batch_size=256)
+    return ds.select_columns(["doc_id", "format", "payload_len",
+                              "payload_md5"])
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id, 'img0' AS format,
+       (4 + octet_length(encode(text)))::BIGINT AS payload_len,
+       md5('IMG0' || text) AS payload_md5
+FROM documents
+"""

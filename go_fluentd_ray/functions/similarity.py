@@ -1,0 +1,157 @@
+"""Similarity search over an embeddings table (vec_id, embedding, label).
+
+- knn_bruteforce: exact top-k cosine per query. The query matrix is
+  broadcast once (ray.put) and every batch does one float64 matmul
+  against it; each batch emits its local top-k PARTIALS and a final
+  tiny reduce keeps the global top-k — so nothing but k rows per batch
+  ever crosses the wire (the pre-aggregation pattern).
+- knn_ivf: the scale path — k-means-lite coarse centroids (fit on a
+  sample), batches route vectors to their nearest centroid bucket,
+  queries probe only the closest nprobe buckets. Approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_QUERIES = 8
+
+
+def query_matrix(dim: int, n: int = N_QUERIES, seed: int = 777) -> np.ndarray:
+    """Deterministic pseudo-random unit queries (shared with the SQL
+    oracle, which receives them as literals)."""
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((n, dim))
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def knn_bruteforce(ds, k: int = 5):
+    import ray
+    from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
+
+    dim = len(ds.take(1)[0]["embedding"])
+    Q = query_matrix(dim)
+    qref = ray.put(Q)
+
+    class Score:
+        def __init__(self):
+            self.Q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            E = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch["embedding"].to_pylist()])
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sims = self.Q @ En.T                      # nq x batch
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qid = np.repeat(np.arange(sims.shape[0]), kk)
+            vid = ids[top.reshape(-1)]
+            sim = sims[qid, top.reshape(-1)]
+            return pa.table({
+                "qid": pa.array(qid.astype(np.int64)),
+                "vec_id": pa.array(vid, type=pa.int64()),
+                "sim": pa.array(sim),
+            })
+
+    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    df = partials.to_pandas()  # k rows per (query, batch): tiny
+    df = df.sort_values(["qid", "sim", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
+    out["sim"] = out["sim"].round(4)
+    return out[["qid", "rank", "vec_id", "sim"]]
+
+
+def knn_bruteforce_sql(dim: int, k: int = 5,
+                       table: str = "embeddings") -> str:
+    Q = query_matrix(dim)
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(f"{v!r}" for v in Q[i]))
+        for i in range(Q.shape[0]))
+    return f"""
+WITH q(qid, qv) AS (VALUES
+    {rows}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS sim
+  FROM {table} e CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id) - 1 AS rank
+  FROM scored
+)
+SELECT qid::BIGINT AS qid, rank::BIGINT AS rank, vec_id
+FROM ranked WHERE rank < {k}
+"""
+
+
+def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+            sample_n: int = 2048, iters: int = 5):
+    """IVF-style ANN: centroids fit on a driver-side sample (k-means-
+    lite, deterministic), vectors bucketed by nearest centroid via
+    groupby, queries probe nprobe closest buckets."""
+    import ray
+
+    rows = ds.select_columns(["embedding"]).take(sample_n)
+    S = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    rng = np.random.default_rng(99)
+    C = S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = S[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    Q = query_matrix(S.shape[1])
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # nq x nprobe
+    cref = ray.put((C, Q, probes))
+
+    class Bucketize:
+        def __init__(self):
+            self.C, self.Q, self.probes = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            E = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch["embedding"].to_pylist()])
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cid = np.argmax(En @ self.C.T, axis=1)
+            # emit (qid, vec_id, sim) only for vectors in probed buckets
+            parts = {"qid": [], "vec_id": [], "sim": []}
+            for qid in range(self.Q.shape[0]):
+                m = np.isin(cid, self.probes[qid])
+                if not m.any():
+                    continue
+                sims = self.Q[qid] @ En[m].T
+                parts["qid"].append(np.full(m.sum(), qid, dtype=np.int64))
+                parts["vec_id"].append(ids[m])
+                parts["sim"].append(sims)
+            if not parts["qid"]:
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.table({
+                "qid": pa.array(np.concatenate(parts["qid"])),
+                "vec_id": pa.array(np.concatenate(parts["vec_id"]),
+                                   type=pa.int64()),
+                "sim": pa.array(np.concatenate(parts["sim"])),
+            })
+
+    scored = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+    df = scored.to_pandas()
+    df = df.sort_values(["qid", "sim", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("qid", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
+    out["sim"] = out["sim"].round(4)
+    return out[["qid", "rank", "vec_id", "sim"]]

@@ -1,0 +1,139 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+The large-scale training-data operators the reference never needed but
+a 100 TB pipeline does (brief: language-ID, quality scoring, token
+counting, document fingerprinting). All stateless operators are
+pyarrow-vectorized map_batches; language-ID is an actor-pool stage
+(profiles built once per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\w+"
+PUNCT_RE = r"[^\w\s]"
+STOP_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """n_tokens = count of \\w+ matches (RE2 — identical semantics to the
+    DuckDB oracle's regexp_extract_all length)."""
+    n = pc.count_substring_regex(batch[col], TOKEN_RE)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality-scoring features: char/word counts, punctuation density,
+    stopword ratio, mean word length. Pure pyarrow kernels; the score
+    formula is a deterministic double expression replicated in SQL."""
+    text = batch[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(text, STOP_RE), pa.float64())
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    punct_ratio = pc.divide(n_punct, pc.max_element_wise(n_chars, 1.0))
+    stop_ratio = pc.divide(n_stop, safe_words)
+    # mean word length = total token chars / tokens; token chars =
+    # chars - whitespace - punct
+    n_space = pc.cast(pc.count_substring_regex(text, r"\s"), pa.float64())
+    mean_word_len = pc.divide(
+        pc.subtract(pc.subtract(n_chars, n_space), n_punct), safe_words)
+    score = pc.subtract(
+        pc.add(pc.multiply(stop_ratio, 2.0),
+               pc.min_element_wise(pc.divide(n_words, 100.0), 1.0)),
+        pc.multiply(punct_ratio, 3.0))
+    out = batch
+    for name, arr in [("n_chars_f", n_chars), ("n_words", n_words),
+                      ("punct_ratio", punct_ratio), ("stop_ratio", stop_ratio),
+                      ("mean_word_len", mean_word_len), ("quality", score)]:
+        out = out.append_column(name, arr)
+    return out
+
+
+QUALITY_SQL_EXPRS = """
+  length(text)::DOUBLE AS n_chars_f,
+  length(regexp_extract_all(text, '\\w+'))::DOUBLE AS n_words,
+  length(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+    / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+  length(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+    / greatest(length(regexp_extract_all(text, '\\w+'))::DOUBLE, 1.0) AS stop_ratio,
+  (length(text)::DOUBLE - length(regexp_extract_all(text, '\\s'))::DOUBLE
+     - length(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE)
+    / greatest(length(regexp_extract_all(text, '\\w+'))::DOUBLE, 1.0) AS mean_word_len,
+  (length(regexp_extract_all(text, '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+    / greatest(length(regexp_extract_all(text, '\\w+'))::DOUBLE, 1.0)) * 2.0
+  + least(length(regexp_extract_all(text, '\\w+'))::DOUBLE / 100.0, 1.0)
+  - (length(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+     / greatest(length(text)::DOUBLE, 1.0)) * 3.0 AS quality
+"""
+
+
+class LangId:
+    """Actor-pool heuristic language ID: per-language stopword/char-gram
+    profiles compiled once per actor (__init__), vectorized scoring per
+    batch. Deterministic; accuracy is heuristic-grade by design."""
+
+    PROFILES = {
+        "en": ["the", "and", "of", "to", "is", "in"],
+        "es": ["el", "la", "de", "que", "los", "una"],
+        "de": ["der", "die", "und", "das", "ist", "nicht"],
+        "fr": ["le", "la", "les", "des", "est", "une"],
+        "zh": ["de", "shi", "le", "bu", "wo", "zai"],
+    }
+
+    def __init__(self):
+        import re
+
+        self.pats = {
+            lang: re.compile(r"\b(" + "|".join(words) + r")\b")
+            for lang, words in self.PROFILES.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        scores = np.zeros((len(self.pats), batch.num_rows), dtype=np.int64)
+        langs = list(self.pats)
+        for i, lang in enumerate(langs):
+            scores[i] = pc.count_substring_regex(
+                text, self.pats[lang].pattern).to_numpy()
+        best = np.argmax(scores, axis=0)
+        none = scores.sum(axis=0) == 0
+        pred = np.array(langs, dtype=object)[best]
+        pred[none] = "unknown"
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text",
+                      k: int = 5, window: int = 4) -> pa.Table:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    k-gram rolling hashes, min per sliding window, distinct mins kept.
+    Emits summary columns (n_fp, fp_min, fp_xor) so the result stays
+    scalar/hashable. Vectorized per document with numpy."""
+    texts = batch[col].to_pylist()
+    n_fp = np.zeros(len(texts), dtype=np.int64)
+    fp_min = np.zeros(len(texts), dtype=np.int64)
+    fp_xor = np.zeros(len(texts), dtype=np.int64)
+    B = np.int64(1000003)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            continue
+        m = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.int64)
+        powers = B ** np.arange(k - 1, -1, -1, dtype=np.int64)
+        h = (m * powers).sum(axis=1) & np.int64(0x7FFFFFFFFFFF)
+        if len(h) >= window:
+            w = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = np.unique(w.min(axis=1))
+        else:
+            mins = np.unique(h.min(keepdims=True))
+        n_fp[i] = len(mins)
+        fp_min[i] = mins.min()
+        fp_xor[i] = np.bitwise_xor.reduce(mins)
+    out = batch
+    for name, arr in [("n_fp", n_fp), ("fp_min", fp_min), ("fp_xor", fp_xor)]:
+        out = out.append_column(name, pa.array(arr, type=pa.int64()))
+    return out

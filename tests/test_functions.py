@@ -1,0 +1,184 @@
+"""Tests for the training-data operator family: dedup (exact, minhash,
+simhash, embedding), similarity search, text analysis, events, and
+multimodal plumbing. Approximate operators are tested against planted
+duplicates and exact brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from go_fluentd_ray.functions import dedup, events, multimodal, similarity
+from go_fluentd_ray.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_planted_dups():
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = base.iloc[0]["text"]
+    b = base.iloc[1]["text"]
+    extra = pd.DataFrame({
+        "doc_id": [9001, 9002, 9003],
+        "text": [a,                       # exact dup of doc 0
+                 b + " tail",             # near dup of doc 1
+                 "zzz completely unrelated qqq xyzzy"],
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [len(a), len(b) + 5, 34],
+    })
+    return pd.concat([base, extra], ignore_index=True)
+
+
+class TestDedup:
+    def test_exact(self):
+        df = _docs_with_planted_dups()
+        out = dedup.exact_dedup(rd.from_pandas(df)).to_pandas()
+        dups = out[out["dups"] > 1]
+        assert len(dups) == 1
+        assert dups.iloc[0]["keep_id"] == 0 and dups.iloc[0]["dups"] == 2
+
+    def test_minhash_finds_planted(self):
+        df = _docs_with_planted_dups()
+        pairs = dedup.minhash_dedup(rd.from_pandas(df), threshold=0.6).to_pandas()
+        found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        assert (0, 9001) in found       # exact dup (jaccard 1.0)
+        assert (1, 9002) in found       # near dup
+        exact = pairs[(pairs.a == 0) & (pairs.b == 9001)]
+        assert exact.iloc[0]["jac"] == 1.0
+
+    def test_simhash_finds_planted(self):
+        df = _docs_with_planted_dups()
+        pairs = dedup.simhash_dedup(rd.from_pandas(df), max_hamming=4).to_pandas()
+        found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        assert (0, 9001) in found
+        ex = pairs[(pairs.a == 0) & (pairs.b == 9001)]
+        assert ex.iloc[0]["hamming"] == 0
+
+    def test_embedding_exact_vs_numpy(self):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = dedup.embedding_dup_exact(ds, threshold=0.30).to_pandas()
+        rows = ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        E = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in rows])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = En @ En.T
+        i, j = np.triu_indices(len(ids), k=1)
+        want = {(int(ids[i][m]), int(ids[j][m]))
+                for m in np.flatnonzero(S[i, j] >= 0.30)}
+        got = set(map(tuple, out[["a", "b"]].to_numpy()))
+        assert got == want and len(want) > 0
+
+    def test_embedding_lsh_subset_of_exact(self):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        exact = dedup.embedding_dup_exact(ds, threshold=0.30).to_pandas()
+        approx = dedup.embedding_dup_lsh(ds, threshold=0.30).to_pandas()
+        ex = set(map(tuple, exact[["a", "b"]].to_numpy()))
+        ap = set(map(tuple, approx[["a", "b"]].to_numpy()))
+        assert ap and ap <= ex  # no false positives (verified in-bucket)
+
+
+class TestSimilarity:
+    def test_bruteforce_matches_numpy(self):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = similarity.knn_bruteforce(ds, k=5)
+        rows = ds.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        E = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in rows])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        Q = similarity.query_matrix(E.shape[1])
+        sims = Q @ En.T
+        for qid in range(Q.shape[0]):
+            order = np.lexsort((ids, -sims[qid]))[:5]
+            want = list(ids[order])
+            got = list(out[out.qid == qid].sort_values("rank")["vec_id"])
+            assert got == want
+
+    def test_ivf_recall(self):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        brute = similarity.knn_bruteforce(ds, k=5)
+        ivf = similarity.knn_ivf(ds, k=5)
+        recalls = []
+        for qid in brute.qid.unique():
+            b = set(brute[brute.qid == qid]["vec_id"])
+            a = set(ivf[ivf.qid == qid]["vec_id"])
+            recalls.append(len(a & b) / len(b))
+        assert np.mean(recalls) >= 0.5  # approximate, deterministic seeds
+
+
+class TestText:
+    def _one(self, fn, text):
+        t = pa.table({"doc_id": [1], "text": [text]})
+        return fn(t).to_pylist()[0]
+
+    def test_token_count(self):
+        assert self._one(T.token_count_batch, "a bb  ccc!")["n_tokens"] == 3
+
+    def test_quality_monotonic(self):
+        good = self._one(T.quality_batch,
+                         "the quick fox and a dog run to the barn in a line")
+        bad = self._one(T.quality_batch, "@@!! ## $$ %%")
+        assert good["quality"] > bad["quality"]
+
+    def test_langid(self):
+        t = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["the cat and the dog is here",
+                               "el perro de la casa que una",
+                               "@@@@"]})
+        out = T.LangId()(t).to_pylist()
+        assert out[0]["lang_pred"] == "en"
+        assert out[1]["lang_pred"] == "es"
+        assert out[2]["lang_pred"] == "unknown"
+
+    def test_fingerprint_deterministic_and_shift_invariant(self):
+        t = pa.table({"doc_id": [1, 2],
+                      "text": ["abcdefghij klmnop qrstuv",
+                               "abcdefghij klmnop qrstuv"]})
+        out = T.fingerprint_batch(t).to_pylist()
+        assert out[0]["fp_xor"] == out[1]["fp_xor"]
+        assert out[0]["n_fp"] > 0
+
+
+class TestEvents:
+    def test_sessionize_hand_case(self):
+        df = pd.DataFrame({
+            "event_id": range(5),
+            "user_id": [1] * 5,
+            "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:10",
+                                  "2024-01-01 01:00", "2024-01-01 01:20",
+                                  "2024-01-01 03:00"]),
+            "event_type": ["a"] * 5, "value": [1.0] * 5,
+            "props": ['{"k": 1}'] * 5,
+        })
+        out = events.sessionize(rd.from_pandas(df)).to_pandas()
+        out = out.sort_values("session_idx")
+        assert list(out["n_events"]) == [2, 2, 1]
+        assert out.iloc[0]["duration_sec"] == 600.0
+
+    def test_hourly_parse(self):
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        out = events.events_hourly(ds).to_pandas()
+        assert out["n"].sum() == 1000
+        assert (out["sum_k"] >= 0).all()
+
+
+class TestMultimodal:
+    def test_meta_and_features(self):
+        t = pa.table({"doc_id": [1], "text": ["hello"]})
+        with_payload = multimodal.attach_payload_batch(t)
+        out = multimodal.MultimodalExtract()(with_payload)
+        r = out.to_pylist()[0]
+        assert r["format"] == "img0" and r["payload_len"] == 9
+        assert len(r["features"]) == 8
+        # deterministic
+        out2 = multimodal.MultimodalExtract()(with_payload)
+        assert out.equals(out2)
+
+    def test_strict_raises_on_unknown_format(self):
+        t = pa.table({"doc_id": [1], "payload": [b"BAD!data"]})
+        with pytest.raises(NotImplementedError):
+            multimodal.MultimodalExtract(strict=True)(t)
