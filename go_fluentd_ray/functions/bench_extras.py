@@ -1,0 +1,59 @@
+"""Representative extra-operator benchmarks over the testdata tables,
+run by bench.py after the flagship headline. Each entry materializes
+its (small) result so the timing covers the full pipeline."""
+
+from __future__ import annotations
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def bench_dedup_exact(sf_dir: str):
+    from .dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).count()
+
+
+def bench_dedup_minhash(sf_dir: str):
+    from .dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir)).count()
+
+
+def bench_quality(sf_dir: str):
+    from .text import quality_batch
+
+    return _docs(sf_dir).map_batches(
+        quality_batch, batch_format="pyarrow", zero_copy_batch=True).count()
+
+
+def bench_knn(sf_dir: str):
+    from .similarity import knn_bruteforce
+
+    return len(knn_bruteforce(_emb(sf_dir)))
+
+
+def bench_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    from .events import events_hourly
+
+    return events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+
+
+BENCHES = {
+    "dedup_exact": bench_dedup_exact,
+    "dedup_minhash_lsh": bench_dedup_minhash,
+    "quality_score": bench_quality,
+    "knn_bruteforce": bench_knn,
+    "events_hourly": bench_events_hourly,
+}

@@ -60,11 +60,18 @@ def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
     return batch.append_column("bucket", pa.array(h.astype(np.int32)))
 
 
-def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pa.Table:
-    """map_groups fn for one bucket (pandas in, Arrow out, vectorized)."""
+def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig,
+                  keep_bucket: bool = False) -> pa.Table:
+    """map_groups fn for one bucket (pandas in, Arrow out, vectorized).
+
+    keep_bucket=True carries the bucket id through as a column — used by
+    the resumable sink layout (stages/sinks.py) as the partition key."""
     n = len(df)
+    schema = OUT_SCHEMA
+    if keep_bucket:
+        schema = schema.append(pa.field("bucket", pa.int32()))
     if n == 0:
-        return OUT_SCHEMA.empty_table()
+        return schema.empty_table()
     joiners = {c.joiner for c in cfg.concat.values()}
     assert len(joiners) <= 1, "per-tag joiners unsupported in vectorized path"
     joiner = joiners.pop() if joiners else "\n"
@@ -132,7 +139,10 @@ def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig) -> pa.Table:
     tool = pa.array(df["tool"].to_numpy()[head_orig], type=pa.string())
     ts = pa.Array.from_pandas(df["ts"].iloc[head_orig]).cast(pa.timestamp("us"))
 
-    return pa.Table.from_arrays(
-        [conv_out, pa.array(turn[offsets], type=pa.int32()), role, tool, ts,
-         tag_out, joined, pa.array(n_merged, type=pa.int32()), merged_turns],
-        schema=OUT_SCHEMA)
+    cols = [conv_out, pa.array(turn[offsets], type=pa.int32()), role, tool,
+            ts, tag_out, joined, pa.array(n_merged, type=pa.int32()),
+            merged_turns]
+    if keep_bucket:
+        b = np.int32(df["bucket"].iloc[0]) if "bucket" in df.columns else -1
+        cols.append(pa.array(np.full(len(offsets), b, dtype=np.int32)))
+    return pa.Table.from_arrays(cols, schema=schema)

@@ -40,7 +40,13 @@ def _nulls(n: int, typ: pa.DataType) -> pa.Array:
 
 
 def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """pyarrow batch in (concat-stage output) -> OUTPUT_SCHEMA batch out."""
+    """pyarrow batch in (concat-stage output) -> OUTPUT_SCHEMA batch out.
+
+    If a ``bucket`` partition column is present (resumable-sink mode) it
+    is carried through unchanged."""
+    schema = OUTPUT_SCHEMA
+    if "bucket" in batch.column_names:
+        schema = schema.append(pa.field("bucket", pa.int32()))
     out_parts: list[pa.Table] = []
     tags = batch["tag"]
     for tag, pcfg in cfg.parsers.items():
@@ -115,10 +121,10 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
         # ---- assemble fixed-schema output -----------------------------
         cols: list[pa.Array] = []
-        for f in OUTPUT_SCHEMA:
+        for f in schema:
             nm = f.name
             if nm in ("conv_id", "turn_idx", "role", "tool", "ts", "tag",
-                      "text", "n_merged"):
+                      "text", "n_merged", "bucket"):
                 cols.append(sub[nm].combine_chunks().cast(f.type))
             elif nm == "merged_turns":
                 cols.append(sub[nm].combine_chunks().cast(f.type))
@@ -134,8 +140,8 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 cols.append(_nulls(n, f.type))
             else:
                 cols.append(_nulls(n, f.type))
-        out_parts.append(pa.Table.from_arrays(cols, schema=OUTPUT_SCHEMA))
+        out_parts.append(pa.Table.from_arrays(cols, schema=schema))
 
     if not out_parts:
-        return OUTPUT_SCHEMA.empty_table()
+        return schema.empty_table()
     return pa.concat_tables(out_parts)

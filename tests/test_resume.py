@@ -1,0 +1,84 @@
+"""Checkpoint/resume correctness (FIXTURES.md F4 gate c): a run
+interrupted after a subset of partitions must, on resume, (1) skip
+completed partitions untouched, (2) recompute crashed partial ones,
+(3) produce byte-identical output to an uninterrupted run."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from go_fluentd_ray import oracle, synth
+from go_fluentd_ray.stages import sinks
+
+N = 10_000
+B = 8
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth.ensure_corpus(N)
+
+
+def _read_all(root):
+    parts = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("bucket="):
+            parts.append(pq.read_table(os.path.join(root, name,
+                                                    "data.parquet")))
+    t = pa.concat_tables(parts)
+    return t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                                ("turn_idx", "ascending")]))
+
+
+def test_full_run_metrics_and_oracle(corpus, tmp_path):
+    root = str(tmp_path / "out")
+    metrics = sinks.run_resumable(corpus, root, num_buckets=B)
+    assert metrics["partitions"] == B
+    exp, disc = oracle.run_oracle(pq.read_table(corpus))
+    assert metrics["rows"] == exp.num_rows
+    assert metrics["inputs_merged"] + sum(disc.values()) == N
+    got = _read_all(root).drop_columns(["bucket"])
+    assert got.equals(exp)
+    # per-sink metrics equal the oracle's routed-row counts
+    want = oracle.oracle_sink_counts(exp)
+    assert metrics["per_sink"] == dict(zip(want["sink"], map(int, want["n"])))
+
+
+def test_resume_skips_completed_and_matches(corpus, tmp_path):
+    root_a = str(tmp_path / "a")      # uninterrupted reference run
+    root_b = str(tmp_path / "b")      # interrupted + resumed run
+    sinks.run_resumable(corpus, root_a, num_buckets=B)
+
+    sinks.run_resumable(corpus, root_b, num_buckets=B)
+    # simulate a crash: 3 partitions lost entirely, one mid-write
+    # (data written, manifest missing), rest completed
+    for b in (0, 3, 5):
+        shutil.rmtree(os.path.join(root_b, f"bucket={b}"))
+    os.remove(os.path.join(root_b, "bucket=6", sinks.MANIFEST))
+    mtimes = {
+        b: os.path.getmtime(os.path.join(root_b, f"bucket={b}",
+                                         "data.parquet"))
+        for b in (1, 2, 4, 7)
+    }
+
+    metrics = sinks.run_resumable(corpus, root_b, num_buckets=B)
+    # only the 4 missing/partial partitions were recomputed
+    assert metrics["partitions_written_this_run"] == 4
+    assert metrics["partitions"] == B
+    for b, mt in mtimes.items():
+        assert os.path.getmtime(
+            os.path.join(root_b, f"bucket={b}", "data.parquet")) == mt, \
+            f"completed bucket {b} was rewritten"
+    # byte-identical output and manifests vs the uninterrupted run
+    assert _read_all(root_b).equals(_read_all(root_a))
+    for b in range(B):
+        with open(os.path.join(root_a, f"bucket={b}", sinks.MANIFEST)) as f:
+            ma = json.load(f)
+        with open(os.path.join(root_b, f"bucket={b}", sinks.MANIFEST)) as f:
+            mb = json.load(f)
+        assert ma == mb, f"manifest mismatch for bucket {b}"
