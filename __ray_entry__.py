@@ -235,6 +235,23 @@ def _q_multimodal_meta(sf_dir: str):
     return multimodal.multimodal_meta(_docs(sf_dir))
 
 
+def _http_n(sf_dir: str) -> int:
+    from go_fluentd_ray import synth
+
+    return max(500, synth.turns_for_sf_dir(sf_dir) // 10)
+
+
+def _q_http_ingest(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.sources.receivers import http_validate_batch
+
+    path = synth.ensure_http_corpus(_http_n(sf_dir))
+    return rd.read_json(path).map_batches(
+        http_validate_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate the sf0.01 corpus eagerly so oracle_sql() paths always
     # resolve regardless of which side the driver runs first
@@ -262,7 +279,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "multimodal_meta": _q_multimodal_meta,
+        "http_ingest": _q_http_ingest,
     }
+
+
+def _http_ingest_sql() -> str:
+    from go_fluentd_ray import synth
+
+    path = synth.ensure_http_corpus(_http_n(SF001))
+    return rf"""
+SELECT rec_id, msg, lat, lon, timestamp, sig,
+       tag AS orig_tag, 'http.sit' AS tag
+FROM read_json_auto('{path}/part-*.json')
+WHERE regexp_matches(timestamp, '^\d{{4}}-\d{{2}}-\d{{2}}T\d{{2}}:\d{{2}}:\d{{2}}$')
+  AND sig = md5(timestamp || '{synth.HTTP_SALT}')
+  AND try_strptime(timestamp, '%Y-%m-%dT%H:%M:%S')
+      BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-02-01'
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -305,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        "http_ingest": _http_ingest_sql(),
         # rows-only (approximate / non-SQL-expressible): lang_id,
         # doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # embedding_dup_lsh, knn_ivf

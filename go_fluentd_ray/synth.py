@@ -294,3 +294,73 @@ def ensure_corpus(n_turns: int, seed: int = DEFAULT_SEED) -> str:
 
 def corpus_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
     return ensure_corpus(turns_for_sf_dir(sf_dir), seed)
+
+
+# ---------------------------------------------------------------------------
+# HTTP-ingest JSONL corpus (recvs/http.go semantics fixture)
+# ---------------------------------------------------------------------------
+
+HTTP_SALT = "spark-graft-salt"
+HTTP_CORPUS_VERSION = 1
+
+
+def http_records(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Deterministic signed-JSON ingest records: ~5% bad signature,
+    ~3% malformed timestamp, ~4% outside the allowed window."""
+    import hashlib
+
+    rng = np.random.default_rng((seed, 424242))
+    base = pd.Timestamp("2024-01-05")
+    ts = base + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s")
+    tstr = ts.strftime("%Y-%m-%dT%H:%M:%S").to_numpy(dtype=object)
+    kind = rng.random(n)
+    # malformed ts: append millis (fails the strict format regex)
+    bad_fmt = kind < 0.03
+    tstr[bad_fmt] = tstr[bad_fmt] + ".123"
+    # out-of-window: push past window_max
+    far = (kind >= 0.03) & (kind < 0.07)
+    far_ts = (base + pd.Timedelta(days=400)
+              + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"))
+    tstr[far] = far_ts.strftime("%Y-%m-%dT%H:%M:%S").to_numpy(dtype=object)[far]
+    sig = np.array([hashlib.md5((t + HTTP_SALT).encode()).hexdigest()
+                    for t in tstr], dtype=object)
+    bad_sig = (kind >= 0.07) & (kind < 0.12)
+    sig[bad_sig] = "deadbeef" + sig[bad_sig].astype(str).astype(object)
+    w = _WORDS[rng.integers(0, len(_WORDS), n)]
+    return pd.DataFrame({
+        "rec_id": np.arange(n, dtype=np.int64),
+        "tag": np.where(rng.random(n) < 0.5, "wechat.sit", "wechat.uat"),
+        "timestamp": tstr,
+        "sig": sig,
+        "msg": pd.Series(w, dtype=object) + " payload",
+        "lat": np.round(rng.uniform(-90, 90, n), 5),
+        "lon": np.round(rng.uniform(-180, 180, n), 5),
+    })
+
+
+def ensure_http_corpus(n: int, seed: int = DEFAULT_SEED) -> str:
+    key = f"http-v{HTTP_CORPUS_VERSION}-t{n}-s{seed}"
+    d = os.path.join(CACHE_ROOT, key)
+    meta = os.path.join(CACHE_ROOT, key + ".meta.json")
+    if os.path.exists(meta) and os.path.isdir(d):
+        return d
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
+    df = http_records(n, seed)
+    chunk = 20_000
+    for i in range(0, len(df), chunk):
+        df.iloc[i:i + chunk].to_json(
+            os.path.join(tmp, f"part-{i // chunk:05d}.json"),
+            orient="records", lines=True)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.isdir(d):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"version": HTTP_CORPUS_VERSION, "n": n, "seed": seed}, f)
+    return d

@@ -202,3 +202,43 @@ class TestEnrich:
         batch = pa.table({"tag": ["t1", "t2"], "level": ["A", "B"]})
         out = Enricher(cfg)(batch)
         assert out["level"].to_pylist() == [None, "B"]
+
+
+class TestPostfilters:
+    def test_fields_filter_new_fields_and_include(self):
+        from go_fluentd_ray.stages.postfilter import fields_filter_batch
+        t = pa.table({"tag": ["t"], "@timestamp": ["x"], "lat": ["1.5"],
+                      "lon": ["2.5"], "junk": ["drop me"]})
+        out = fields_filter_batch(
+            t, include=("location",),
+            new_fields={"location": "${lat},${lon}"})
+        assert out.column_names == ["tag", "@timestamp", "location"]
+        assert out["location"].to_pylist() == ["1.5,2.5"]
+
+    def test_fields_filter_missing_token_stays_literal(self):
+        from go_fluentd_ray.stages.postfilter import fields_filter_batch
+        t = pa.table({"tag": ["t"], "a": ["v"]})
+        out = fields_filter_batch(t, new_fields={"x": "${a}-${nope}"})
+        assert out["x"].to_pylist() == ["v-${nope}"]
+
+    def test_fields_filter_exclude(self):
+        from go_fluentd_ray.stages.postfilter import fields_filter_batch
+        t = pa.table({"tag": ["t"], "a": ["1"], "b": ["2"]})
+        out = fields_filter_batch(t, exclude=("b",))
+        assert out.column_names == ["tag", "a"]
+
+    def test_forward_tag_rewrite(self):
+        from go_fluentd_ray.stages.postfilter import forward_tag_rewrite_batch
+        t = pa.table({"tag": ["forward-wechat.{env}", "keepme"],
+                      "orig_tag": ["wechat.sit", "nodot"]})
+        out = forward_tag_rewrite_batch(t)
+        assert out["tag"].to_pylist() == ["forward-wechat.sit", "keepme"]
+
+    def test_truncate(self):
+        from go_fluentd_ray.config import PipelineConfig
+        from go_fluentd_ray.stages.postfilter import truncate_batch
+        cfg = PipelineConfig(max_field_len=4)
+        t = pa.table({"a": ["abcdefgh", None, "xy"], "n": [1, 2, 3]})
+        out = truncate_batch(t, cfg)
+        assert out["a"].to_pylist() == ["abcd", None, "xy"]
+        assert out["n"].to_pylist() == [1, 2, 3]
