@@ -68,6 +68,7 @@ class ParserCfg:
 
     pattern: str
     must_include: str | None = None
+    is_remove_orig_log: bool = False  # parser_f.go: drop raw log after parse
     time_group: str = "time"
     time_format: str = "%Y-%m-%d %H:%M:%S.%f"
     new_time_format: str = "%Y-%m-%dT%H:%M:%S.%fZ"

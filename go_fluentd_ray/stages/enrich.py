@@ -26,7 +26,16 @@ _TOKEN = re.compile(r"%\{([^}]+)\}")
 
 
 def compile_template(value: str):
-    """Split an AddCfg value into (kind, payload) segments at config time."""
+    """Split an AddCfg value into (kind, payload) segments at config time.
+
+    Supported tokens (ReplaceStrByMsg, library/add.go:14-27, 60-147):
+    %{col}, %{@tag}, %{@lower:col}, %{@upper:col}, %{@id} (the row's
+    stable id = conv_id-turn_idx analogue of producer.go:257's msgid),
+    %{@now} / %{@unix} (the pipeline RUN's timestamp — injected once at
+    stage construction so output is deterministic within a run), and
+    %{@str:N} (a seeded pseudo-random token, deterministic per actor
+    construction — the reference's random string, made reproducible).
+    """
     plan = []
     pos = 0
     for m in _TOKEN.finditer(value):
@@ -35,6 +44,12 @@ def compile_template(value: str):
         expr = m.group(1)
         if expr == "@tag":
             plan.append(("tag", None))
+        elif expr == "@id":
+            plan.append(("id", None))
+        elif expr in ("@now", "@unix"):
+            plan.append(("now", expr))
+        elif expr.startswith("@str:"):
+            plan.append(("str", int(expr[5:] or 8)))
         elif expr.startswith("@lower:"):
             plan.append(("lower", expr[7:]))
         elif expr.startswith("@upper:"):
@@ -56,7 +71,10 @@ def _col_as_str(batch: pa.Table, name: str, n: int) -> pa.Array | pa.Scalar:
     return pc.fill_null(col, "")
 
 
-def eval_template(plan, batch: pa.Table, tag: str):
+def eval_template(plan, batch: pa.Table, tag: str,
+                  now: "object | None" = None, seed: int = 0):
+    import datetime
+
     n = batch.num_rows
     parts = []
     for kind, payload in plan:
@@ -64,6 +82,24 @@ def eval_template(plan, batch: pa.Table, tag: str):
             parts.append(pa.scalar(payload))
         elif kind == "tag":
             parts.append(pa.scalar(tag))
+        elif kind == "id":
+            if {"conv_id", "turn_idx"} <= set(batch.column_names):
+                parts.append(pc.binary_join_element_wise(
+                    _col_as_str(batch, "conv_id", n), "-",
+                    _col_as_str(batch, "turn_idx", n), ""))
+            else:
+                parts.append(pa.scalar(""))
+        elif kind == "now":
+            t = now or datetime.datetime(2024, 1, 1)
+            parts.append(pa.scalar(
+                str(int(t.timestamp())) if payload == "@unix"
+                else t.strftime("%Y-%m-%dT%H:%M:%SZ")))
+        elif kind == "str":
+            import string as _string
+
+            rng = __import__("random").Random(seed)
+            parts.append(pa.scalar("".join(
+                rng.choice(_string.ascii_lowercase) for _ in range(payload))))
         elif kind == "col":
             parts.append(_col_as_str(batch, payload, n))
         elif kind == "lower":

@@ -123,8 +123,10 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         cols: list[pa.Array] = []
         for f in schema:
             nm = f.name
-            if nm in ("conv_id", "turn_idx", "role", "tool", "ts", "tag",
-                      "text", "n_merged", "bucket"):
+            if nm == "text" and pcfg.is_remove_orig_log:
+                cols.append(_nulls(n, f.type))  # parser_f.go remove-orig-log
+            elif nm in ("conv_id", "turn_idx", "role", "tool", "ts", "tag",
+                        "text", "n_merged", "bucket"):
                 cols.append(sub[nm].combine_chunks().cast(f.type))
             elif nm == "merged_turns":
                 cols.append(sub[nm].combine_chunks().cast(f.type))

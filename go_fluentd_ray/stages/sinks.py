@@ -91,6 +91,15 @@ def _write_partition(batch: pa.Table, out_root: str) -> pa.Table:
     })
 
 
+def fanout_sinks(ds, out_root: str) -> None:
+    """Per-sink directory fan-out — the producer's 'every matching
+    sender gets the msg' (producer.go:309-325) in batch form: ONE pass
+    over the dataset, hive-partitioned by the sink column, so each
+    sink's consumer (the ES-index/Kafka-topic analogue) reads only its
+    own directory."""
+    ds.write_parquet(out_root, partition_cols=["sink"])
+
+
 def run_resumable(corpus_path: str, out_root: str, cfg=None,
                   num_buckets: int | None = None) -> dict:
     """Run the flagship pipeline with per-partition checkpointing.

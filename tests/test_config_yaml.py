@@ -1,0 +1,75 @@
+"""YAML config surface (§2.8): declarative pipeline config with {env}
+interpolation drives the same stages; a YAML equivalent of the default
+config produces identical pipeline output."""
+
+import pyarrow as pa
+import pytest
+
+from go_fluentd_ray import config_yaml
+from go_fluentd_ray.config import DEFAULT_CONFIG
+
+YAML_DOC = """
+env: uat
+ingress_tags: {"": "spring.{env}", bash: "spark.{env}"}
+window: {min: "2015-01-01T00:00:00", max: "2030-01-01T00:00:00"}
+spark: {tag: "spark.{env}", ignore_regex: "^ignore"}
+spring:
+  tag: "spring.{env}"
+  rules:
+    - {regex: "- ms:cp", new_tag: "cp.{env}"}
+    - {regex: ".*", new_tag: "app.spring.{env}"}
+accept_tags: ["app.spring.{env}", "cp.{env}", "spark.{env}"]
+concat:
+  "app.spring.{env}": {head_regex: "^HEAD", max_length: 64}
+parsers:
+  "app.spring.{env}":
+    pattern: "(?s)^HEAD (?P<message>.*)$"
+    must_include: message
+    time_group: null
+adds:
+  "app.spring.{env}":
+    datasource: spring
+    thread: null
+sink_map: {"app.spring.{env}": "{env}-spring-logs"}
+max_field_len: 1024
+"""
+
+
+def test_env_interpolation_and_fields():
+    cfg = config_yaml.from_yaml(YAML_DOC)
+    assert cfg.ingress_tags[""] == "spring.uat"
+    assert cfg.retag_rules[0].new_tag == "cp.uat"
+    assert "app.spring.uat" in cfg.accept_tags
+    assert cfg.concat["app.spring.uat"].max_length == 64
+    assert cfg.parsers["app.spring.uat"].must_include == "message"
+    ops = {op.key: op.value for op in cfg.adds["app.spring.uat"]}
+    assert ops["thread"] is None  # delete op via yaml null
+    assert cfg.sink_map["app.spring.uat"] == "uat-spring-logs"
+    assert cfg.max_field_len == 1024
+
+
+def test_yaml_equivalent_of_default_config_runs_identically():
+    """Rebuild DEFAULT_CONFIG through YAML and check acceptor parity."""
+    import yaml as _yaml
+
+    from go_fluentd_ray.stages.acceptor import acceptor_transform
+    from go_fluentd_ray.synth import transcript_table
+
+    d = DEFAULT_CONFIG
+    doc = {
+        "env": "sit",
+        "ingress_tags": dict(d.ingress_tags),
+        "window": {"min": d.window_min_ts, "max": d.window_max_ts},
+        "spark": {"tag": d.spark_tag, "ignore_regex": d.spark_ignore_regex},
+        "spring": {"tag": d.spring_tag,
+                   "rules": [{"regex": r.regex, "new_tag": r.new_tag}
+                             for r in d.retag_rules]},
+        "accept_tags": sorted(d.accept_tags),
+        "concat": {t: {"head_regex": c.head_regex, "max_length": c.max_length}
+                   for t, c in d.concat.items()},
+    }
+    cfg2 = config_yaml.from_yaml(_yaml.safe_dump(doc))
+    t = transcript_table(2000)
+    a = acceptor_transform(t, d)
+    b = acceptor_transform(t, cfg2)
+    assert a.equals(b)

@@ -126,7 +126,7 @@ class TestConcat:
         assert out["n_merged"].to_pylist() == [1, 1]
 
 
-def _parsed(texts, tag="app.spring.sit"):
+def _parsed(texts, tag="app.spring.sit", cfg=DEFAULT_CONFIG):
     df = pd.DataFrame({
         "conv_id": ["c"] * len(texts), "turn_idx": range(len(texts)),
         "role": ["user"] * len(texts), "tool": [""] * len(texts),
@@ -135,7 +135,7 @@ def _parsed(texts, tag="app.spring.sit"):
         "n_merged": [1] * len(texts),
         "merged_turns": [[i] for i in range(len(texts))],
     })
-    return parse_batch(pa.Table.from_pandas(df), DEFAULT_CONFIG)
+    return parse_batch(pa.Table.from_pandas(df), cfg)
 
 
 class TestParse:
@@ -242,3 +242,42 @@ class TestPostfilters:
         out = truncate_batch(t, cfg)
         assert out["a"].to_pylist() == ["abcd", None, "xy"]
         assert out["n"].to_pylist() == [1, 2, 3]
+
+
+class TestEnrichExtraTokens:
+    """%{@id}, %{@now}/%{@unix}, %{@str:N} (library/add.go:14-27)."""
+
+    def _ev(self, template, cols, **kw):
+        from go_fluentd_ray.stages.enrich import compile_template, eval_template
+        return eval_template(compile_template(template), pa.table(cols),
+                             "tg", **kw).to_pylist()
+
+    def test_id(self):
+        out = self._ev("%{@id}", {"conv_id": ["c1"],
+                                  "turn_idx": pa.array([7], pa.int32())})
+        assert out == ["c1-7"]
+
+    def test_now_unix(self):
+        import datetime
+        now = datetime.datetime(2024, 3, 1, 12, 0, 0)
+        assert self._ev("%{@now}", {"x": ["a"]}, now=now) == ["2024-03-01T12:00:00Z"]
+        unix = self._ev("%{@unix}", {"x": ["a"]}, now=now)[0]
+        assert unix == str(int(now.timestamp()))
+
+    def test_str_deterministic(self):
+        a = self._ev("%{@str:6}", {"x": ["a"]}, seed=5)
+        b = self._ev("%{@str:6}", {"x": ["a"]}, seed=5)
+        assert a == b and len(a[0]) == 6
+
+
+class TestRemoveOrigLog:
+    def test_text_dropped(self):
+        from go_fluentd_ray.config import ParserCfg, PipelineConfig
+        cfg = PipelineConfig(parsers={
+            "app.spring.sit": ParserCfg(
+                pattern=DEFAULT_CONFIG.parsers["app.spring.sit"].pattern,
+                must_include="app", is_remove_orig_log=True)})
+        out = _parsed(["2024-01-01 00:00:01.300 | a | INFO | t | c | 1: m"],
+                      cfg=cfg)
+        r = out.to_pylist()[0]
+        assert r["text"] is None and r["message"] == "m"
