@@ -110,6 +110,33 @@ def build_pipeline(
     return ds
 
 
+def run_local(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG,
+              num_buckets: int = 8) -> pa.Table:
+    """The full pipeline as a pure in-memory function (no Ray) — the
+    same stage functions map_batches runs distributed. Used by unit /
+    property tests and handy for debugging single batches."""
+    from ..stages.postfilter import route_batch, truncate_batch
+
+    t = acceptor_transform(table, cfg)
+    t = add_bucket(t, num_buckets)
+    parts = []
+    df = t.to_pandas()
+    for _, g in df.groupby("bucket", sort=True):
+        parts.append(concat_bucket(g, cfg))
+    merged = pa.concat_tables(parts) if parts else None
+    if merged is None or merged.num_rows == 0:
+        from ..oracle import OUTPUT_SCHEMA
+
+        return OUTPUT_SCHEMA.empty_table()
+    out = parse_batch(merged, cfg)
+    out = Enricher(cfg)(out)
+    out = truncate_batch(out, cfg)
+    out = route_batch(out, cfg)
+    idx = pa.compute.sort_indices(
+        out, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return out.take(idx)
+
+
 def result_table_sorted(ds: "ray.data.Dataset") -> pa.Table:
     import ray
 

@@ -70,13 +70,16 @@ def acceptor_transform(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     # ---- precompute concat controls ---------------------------------------
     concat_tags = sorted(cfg.concat)
     concat_on = pc.is_in(tag, value_set=pa.array(concat_tags, type=pa.string()))
-    # head regexes per concat tag (all concat tags share-or-differ; compute
-    # per tag and merge). Non-concat rows: is_head=True (each row standalone).
+    # head regexes per concat tag; tags sharing a pattern share ONE regex
+    # pass (the scan over text dominates). Non-concat rows: is_head=True.
     is_head = pa.array([True] * len(batch), type=pa.bool_())
+    head_cache: dict[str, object] = {}
     for t in concat_tags:
         m_tag = pc.equal(tag, t)
-        m_head = pc.match_substring_regex(text, cfg.concat[t].head_regex)
-        is_head = pc.if_else(m_tag, m_head, is_head)
+        pat = cfg.concat[t].head_regex
+        if pat not in head_cache:
+            head_cache[pat] = pc.match_substring_regex(text, pat)
+        is_head = pc.if_else(m_tag, head_cache[pat], is_head)
 
     batch = batch.append_column("tag", tag)
     batch = batch.append_column("concat_on", concat_on)

@@ -93,8 +93,9 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 continue
         vals = parsed.to_numpy().astype("datetime64[us]")
         if pcfg.new_time_format == _ISO_DEFAULT:
-            iso = np.char.add(np.datetime_as_string(vals, unit="us"), "Z")
-            at_ts = pa.array(iso, type=pa.string())
+            iso = pa.array(np.datetime_as_string(vals, unit="us"),
+                           type=pa.string())
+            at_ts = pc.binary_join_element_wise(iso, "Z", "")
         else:
             at_ts = pa.Array.from_pandas(
                 pd.Series(vals).dt.strftime(pcfg.new_time_format))

@@ -127,8 +127,8 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
             shutil.rmtree(p)
 
     ds = flagship.read_transcripts(corpus_path)
-    ds = ds.map_batches(lambda t: acceptor_transform(t, cfg),
-                        batch_format="pyarrow", zero_copy_batch=True)
+    # bucket id first (needs only conv_id) so the resume filter drops
+    # completed partitions BEFORE any acceptor/parse work
     ds = ds.map_batches(lambda t: add_bucket(t, B),
                         batch_format="pyarrow", zero_copy_batch=True)
     if done:
@@ -137,6 +137,8 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
             lambda t: t.filter(pc.invert(pc.is_in(t["bucket"],
                                                   value_set=done_arr))),
             batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(lambda t: acceptor_transform(t, cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.groupby("bucket").map_groups(
         lambda df: concat_bucket(df, cfg, keep_bucket=True),
         batch_format="pandas")

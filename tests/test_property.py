@@ -1,0 +1,76 @@
+"""Property-based parity: random transcript tables through the pure
+in-memory pipeline chain must equal the row-by-row oracle, for ANY
+input — not just the seeded corpus. Runs without Ray (the same stage
+functions the distributed pipeline uses)."""
+
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_fluentd_ray import oracle
+from go_fluentd_ray.pipelines import flagship
+from go_fluentd_ray.synth import SCHEMA
+
+HEAD_TIMES = ["2024-01-01 10:00:00.123", "2023-06-30 23:59:59.999"]
+
+TEXTS = st.one_of(
+    st.sampled_from([
+        "2024-01-01 10:00:00.123 | app | INFO | th | com.x.Y | 7: hello",
+        "2024-01-01 10:00:00.123 | ms_audit | WARN | th | com.b.W | 9: w",
+        "2024-01-01 10:00:00.123 - ms:cp|type:platform|uuid:1|msg:x",
+        "2024/01/01 10:00:00.123 spark line",
+        "2024-01-01 10:00:00,123 [stage 1] heartbeat",
+        "2024-01-01 10:00:00.123 | geely:nlcc | INFO | t | com.a.H:5 - m",
+        "[2024-01-01 10:00:00,123] INFO base.app: msg",
+        "\tat com.example.Foo.bar(Foo.java:1)",
+        "Caused by: java.lang.RuntimeException",
+        'x {"user": "u1", "code": 7}',
+        "",
+        "   ",
+    ]),
+    st.text(max_size=40),
+)
+
+ROW = st.fixed_dictionaries({
+    "conv": st.integers(0, 3),
+    "turn": st.integers(0, 30),
+    "role": st.sampled_from(["user", "assistant", "system", "tool"]),
+    "text": TEXTS,
+    "tool": st.sampled_from(["", "bash", "search", "editor", "python"]),
+    "ts": st.sampled_from(["2024-01-05 00:00:00", "1990-01-01 00:00:00",
+                           "2029-12-31 00:00:00", "2031-06-01 00:00:00"]),
+})
+
+
+def _to_table(rows) -> pa.Table:
+    # unique (conv, turn): ordering within a conv must be well-defined
+    seen = set()
+    uniq = []
+    for r in rows:
+        key = (r["conv"], r["turn"])
+        if key not in seen:
+            seen.add(key)
+            uniq.append(r)
+    return pa.table({
+        "conv_id": pa.array([f"conv-{r['conv']:04d}" for r in uniq]),
+        "turn_idx": pa.array([r["turn"] for r in uniq], pa.int32()),
+        "role": pa.array([r["role"] for r in uniq]),
+        "text": pa.array([r["text"] for r in uniq]),
+        "tool": pa.array([r["tool"] for r in uniq]),
+        "ts": pa.array([pd.Timestamp(r["ts"]) for r in uniq],
+                       pa.timestamp("us")),
+    }, schema=SCHEMA)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(ROW, min_size=0, max_size=60))
+def test_pipeline_equals_oracle(rows):
+    table = _to_table(rows)
+    got = flagship.run_local(table)
+    want, _ = oracle.run_oracle(table)
+    assert got.num_rows == want.num_rows
+    if got.num_rows:
+        assert got.equals(want), (
+            got.to_pandas().compare(want.to_pandas())
+            if got.num_rows == want.num_rows else "row mismatch")
