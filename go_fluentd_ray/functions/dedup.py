@@ -111,10 +111,15 @@ class MinHasher:
         })
 
 
+MAX_BUCKET = 256  # a band bucket larger than this is a stop-shingle-like
+# degenerate collision: emitting its O(n^2) pairs would blow up; truly
+# near-dup docs still pair through their other, rarer bands
+
+
 def candidate_pairs_from_band(df: pd.DataFrame) -> pd.DataFrame:
     """map_groups fn on (band, band_hash): all doc pairs in the bucket."""
     ids = np.sort(df["doc_id"].unique())
-    if len(ids) < 2:
+    if len(ids) < 2 or len(ids) > MAX_BUCKET:
         return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                              "b": pd.Series(dtype=np.int64)})
     i, j = np.triu_indices(len(ids), k=1)
@@ -134,31 +139,51 @@ def minhash_dedup(ds, threshold: float = 0.7):
     The verify stage broadcasts doc_id->text via ray.put (one object,
     read per actor) — see module docstring for the 100 TB variant."""
     import ray
-    from ray.data.aggregate import Count
 
-    texts_ref = ray.put(dict(zip(
-        [r["doc_id"] for r in ds.select_columns(["doc_id", "text"]).take_all()],
-        [r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()])))
+    # ONE take_all: two separate calls can return rows in different
+    # orders (parallel read), and zipping them mis-keys the broadcast
+    texts_ref = ray.put({r["doc_id"]: r["text"]
+                         for r in ds.select_columns(["doc_id",
+                                                     "text"]).take_all()})
 
     # pool must leave CPUs for upstream read tasks (a full-width pool
     # starves the pipeline — see BASELINE.md tuning notes)
+    # TWO actor pools coexist in this pipeline (MinHasher + Verify);
+    # each gets a quarter of the cluster so tasks still have room
     cpus = int(ray.cluster_resources().get("CPU", 4))
+    pool = max(1, cpus // 4)
     bands = ds.map_batches(MinHasher, batch_format="pyarrow",
-                           concurrency=max(1, min(cpus - 2, cpus // 2)),
-                           zero_copy_batch=True)
+                           concurrency=pool, zero_copy_batch=True)
     cands = bands.groupby(["band", "band_hash"]).map_groups(
         candidate_pairs_from_band, batch_format="pandas")
-    cands = cands.groupby(["a", "b"]).aggregate(Count(alias_name="nbands"))
+    # NOTE: a pair colliding in k bands appears k times here. Verifying
+    # duplicates is cheaper than deduping first: Ray's groupby over the
+    # (large) candidate set costs ~100x the cached-jaccard re-checks
+    # (measured at sf0.1: 114 s groupby vs seconds of duplicate
+    # verifies); the verified set is tiny, so distinct happens after.
+    cands = cands.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]),  # within-batch combiner
+        batch_format="pandas")
 
     class Verify:
         def __init__(self):
             self.texts = ray.get(texts_ref)
+            self.shingles: dict[int, np.ndarray] = {}  # per-actor cache
+
+        def _sh(self, doc_id: int) -> np.ndarray:
+            s = self.shingles.get(doc_id)
+            if s is None:
+                s = self.shingles[doc_id] = _shingle_hashes(self.texts[doc_id])
+            return s
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             a = batch["a"].to_pylist()
             b = batch["b"].to_pylist()
-            jac = np.array([jaccard(self.texts[x], self.texts[y])
-                            for x, y in zip(a, b)])
+            jac = np.empty(len(a))
+            for i, (x, y) in enumerate(zip(a, b)):
+                s1, s2 = self._sh(x), self._sh(y)
+                inter = len(np.intersect1d(s1, s2, assume_unique=True))
+                jac[i] = inter / (len(s1) + len(s2) - inter)
             keep = jac >= threshold
             return pa.table({
                 "a": pa.array(np.asarray(a)[keep], type=pa.int64()),
@@ -166,7 +191,11 @@ def minhash_dedup(ds, threshold: float = 0.7):
                 "jac": pa.array(np.round(jac[keep], 4)),
             })
 
-    return cands.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    verified = cands.map_batches(Verify, batch_format="pyarrow",
+                                 concurrency=pool)
+    # global distinct over the (small) verified set
+    return verified.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
