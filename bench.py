@@ -106,19 +106,30 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     """Same job, fresh processes, 8 vs 32 CPUs (N vs 4N stand-in)."""
-    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", "0")) or 3_000_000
+    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", "0")) or 10_000_000
     # pre-generate so neither timed run pays generation
     from go_fluentd_ray import synth
 
     synth.ensure_corpus(n_turns)
 
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_TURNS=str(n_turns),
-                   GRAFT_BENCH_CONSUMER="agg")
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        """Best of N fresh-process runs (wall time has multi-second
+        jitter from actor spawn + shuffle sampling; min estimates
+        capability)."""
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_TURNS=str(n_turns),
+                       GRAFT_BENCH_CONSUMER="agg")
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True,
+                                 check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = one(8), one(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
