@@ -73,3 +73,51 @@ def test_yaml_equivalent_of_default_config_runs_identically():
     a = acceptor_transform(t, d)
     b = acceptor_transform(t, cfg2)
     assert a.equals(b)
+
+
+def test_custom_yaml_pipeline_matches_oracle():
+    """A DIFFERENT config (custom window + retag rules) through the
+    pure pipeline chain must still equal the oracle under that config."""
+    from go_fluentd_ray import oracle
+    from go_fluentd_ray.pipelines import flagship
+    from go_fluentd_ray.synth import transcript_table
+
+    cfg = config_yaml.from_yaml("""
+env: sit
+ingress_tags: {"": "spring.{env}", bash: "spark.{env}", search: "ai.{env}",
+               editor: "edit.{env}", python: "base.{env}"}
+window: {min: "2023-06-01T00:00:00", max: "2026-01-01T00:00:00"}
+spark: {tag: "spark.{env}", ignore_regex: 'executor=\\d+' }
+spring:
+  tag: "spring.{env}"
+  rules:
+    - {regex: 'ms_\\w+', new_tag: "bot.{env}"}
+    - {regex: ".*", new_tag: "app.spring.{env}"}
+accept_tags: ["app.spring.{env}", "bot.{env}", "spark.{env}"]
+concat:
+  "bot.{env}": {head_regex: '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3} \\|',
+                max_length: 200}
+parsers:
+  "app.spring.{env}":
+    pattern: "(?s)^(?P<time>\\\\d{4}-\\\\d{2}-\\\\d{2} \\\\d{2}:\\\\d{2}:\\\\d{2}\\\\.\\\\d{3}) \\\\| (?P<app>[^ |]+) \\\\| (?P<level>[^ |]+) \\\\| (?P<thread>[^ |]+) \\\\| (?P<class_name>[^ |]+) \\\\| (?P<line>\\\\d+): (?P<message>.*)$"
+    must_include: app
+  "bot.{env}":
+    pattern: "(?s)^(?P<time>\\\\d{4}-\\\\d{2}-\\\\d{2} \\\\d{2}:\\\\d{2}:\\\\d{2}\\\\.\\\\d{3}) \\\\| (?P<app>[^ |]+) \\\\| (?P<level>[^ |]+) \\\\| (?P<thread>[^ |]+) \\\\| (?P<class_name>[^ |]+) \\\\| (?P<line>\\\\d+): (?P<message>.*)$"
+    must_include: level
+  "spark.{env}":
+    pattern: "(?s)^(?P<time>\\\\d{4}/\\\\d{2}/\\\\d{2} \\\\d{2}:\\\\d{2}:\\\\d{2}\\\\.\\\\d{3}) (?P<message>.*)$"
+    must_include: message
+    time_format: "%Y/%m/%d %H:%M:%S.%f"
+adds:
+  "app.spring.{env}":
+    datasource: spring2
+    rowkey: "%{conv_id}_%{@tag}"
+sink_map: {"app.spring.{env}": "s1", "bot.{env}": "s2", "spark.{env}": "s3"}
+max_field_len: 150
+""")
+    t = transcript_table(8000)
+    got = flagship.run_local(t, cfg)
+    want, disc = oracle.run_oracle(t, cfg)
+    assert got.num_rows == want.num_rows and got.num_rows > 0
+    assert got.equals(want)
+    assert disc["window"] > 0 and disc["spark_ignore"] > 0

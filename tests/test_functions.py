@@ -182,3 +182,24 @@ class TestMultimodal:
         t = pa.table({"doc_id": [1], "payload": [b"BAD!data"]})
         with pytest.raises(NotImplementedError):
             multimodal.MultimodalExtract(strict=True)(t)
+
+
+class TestFlatten:
+    """Mirrors reference TestFlattenMap (library/utils_test.go:11-54)."""
+
+    def test_flatten_obj(self):
+        from go_fluentd_ray.functions.jsonutil import flatten_obj
+        assert flatten_obj({"a": {"b": {"c": 1}}, "d": 2}) == {
+            "a__b__c": "1", "d": "2"}
+        assert flatten_obj({"a": {"b": 1, "c": "x"}}, joiner=".") == {
+            "a.b": "1", "a.c": "x"}
+        assert flatten_obj({}) == {}
+
+    def test_flatten_batch(self):
+        from go_fluentd_ray.functions.jsonutil import flatten_json_batch
+        t = pa.table({"j": ['{"a": {"b": 2}, "k": "v"}', "not json",
+                            None, "[1,2]"]})
+        out = flatten_json_batch(t, "j")
+        vals = out["extra"].to_pylist()
+        assert dict(vals[0]) == {"a__b": "2", "k": "v"}
+        assert vals[1] is None and vals[2] is None and vals[3] is None
