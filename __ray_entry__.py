@@ -221,6 +221,14 @@ def _q_events_hourly(sf_dir: str):
     return events.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_sliding(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import events
+
+    return events.sliding_3h(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -277,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "events_hourly": _q_events_hourly,
+        "events_sliding_3h": _q_events_sliding,
         "sessionize": _q_sessionize,
         "multimodal_meta": _q_multimodal_meta,
         "http_ingest": _q_http_ingest,
@@ -336,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
                   >= {_EMB_DUP_THR}""",
         "knn_bruteforce": similarity.knn_bruteforce_sql(emb_dim),
         "events_hourly": events.EVENTS_HOURLY_SQL,
+        "events_sliding_3h": events.SLIDING_3H_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "http_ingest": _http_ingest_sql(),

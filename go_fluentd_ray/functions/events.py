@@ -75,6 +75,43 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
 FROM events GROUP BY 1, 2
 """
 
+def sliding_3h(ds):
+    """Sliding-window aggregate: per event_type, for each hour h, the
+    event count over [h-2h, h] (3 hourly buckets). Two-stage: the
+    tumbling hourly partials (cheap shuffle on (event_type, hour)) then
+    a per-type rolling sum over the sorted hour series — the window
+    never touches raw rows after the first pre-aggregation."""
+    import pandas as pd
+
+    hourly = events_hourly(ds)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        idx = pd.DatetimeIndex(g["hour"])
+        s = pd.Series(g["n"].to_numpy(), index=idx)
+        # count over the 3 bucket-hours ending at each hour
+        out = pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "hour": idx,
+            "n_3h": s.rolling("3h").sum().to_numpy().astype("int64"),
+        })
+        return out
+
+    return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+SLIDING_3H_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour,
+       SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                    RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                          AND CURRENT ROW)::BIGINT AS n_3h
+FROM hourly
+"""
+
 SESSION_GAP_MIN = 30
 
 

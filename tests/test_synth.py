@@ -23,3 +23,17 @@ def test_turns_for_sf_dir():
     assert synth.turns_for_sf_dir("/root/testdata/sf0.01") == 60_000
     assert synth.turns_for_sf_dir("/root/testdata/sf0.001") == 6_000
     assert synth.turns_for_sf_dir("bogus") >= 1000
+
+
+def test_skew_is_exercised():
+    """FIXTURES.md F1: the corpus must contain hot conversations (10-100x
+    median turns) so the concat shuffle's skew handling is actually
+    tested, not just claimed."""
+    import numpy as np
+
+    t = synth.transcript_table(60_000)
+    sizes = np.bincount(
+        np.unique(t["conv_id"].to_numpy(zero_copy_only=False),
+                  return_inverse=True)[1])
+    assert sizes.max() >= 20 * np.median(sizes)
+    assert sizes.max() >= 1000
