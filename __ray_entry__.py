@@ -249,6 +249,21 @@ def _http_n(sf_dir: str) -> int:
     return max(500, synth.turns_for_sf_dir(sf_dir) // 10)
 
 
+def _q_word_topk(sf_dir: str):
+    from go_fluentd_ray.functions import aggregates
+
+    return aggregates.word_topk(_docs(sf_dir))
+
+
+def _q_distinct_users(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import aggregates
+
+    return aggregates.distinct_users(
+        rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_http_ingest(sf_dir: str):
     import ray.data as rd
 
@@ -289,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "multimodal_meta": _q_multimodal_meta,
         "http_ingest": _q_http_ingest,
+        "word_topk": _q_word_topk,
+        "distinct_users": _q_distinct_users,
     }
 
 
@@ -310,6 +327,7 @@ WHERE regexp_matches(timestamp, '^\d{{4}}-\d{{2}}-\d{{2}}T\d{{2}}:\d{{2}}:\d{{2}
 def oracle_sql() -> dict[str, str]:
     import pyarrow.parquet as pq
 
+    from go_fluentd_ray.functions import aggregates as _agg
     from go_fluentd_ray.functions import events, multimodal, similarity
     from go_fluentd_ray.functions import text as T
     from go_fluentd_ray.pipelines import sql_oracle
@@ -349,6 +367,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SESSIONIZE_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "http_ingest": _http_ingest_sql(),
+        "word_topk": _agg.WORD_TOPK_SQL,
+        "distinct_users": _agg.DISTINCT_USERS_SQL,
         # rows-only (approximate / non-SQL-expressible): lang_id,
         # doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # embedding_dup_lsh, knn_ivf
