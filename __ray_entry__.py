@@ -161,6 +161,12 @@ def _q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_docs(sf_dir))
 
 
+def _q_dedup_exact_rows(sf_dir: str):
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.exact_dedup_rows(_docs(sf_dir))
+
+
 def _q_dedup_minhash(sf_dir: str):
     from go_fluentd_ray.functions import dedup
 
@@ -293,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "dedup_exact_rows": _q_dedup_exact_rows,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_dup": _q_embedding_dup,
@@ -356,6 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
             "count(*)::BIGINT AS dups FROM documents GROUP BY 1"),
+        "dedup_exact_rows": (
+            "SELECT * FROM documents WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY md5(text))"),
         "embedding_dup": f"""
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

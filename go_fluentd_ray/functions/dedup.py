@@ -59,6 +59,34 @@ def exact_dedup(ds):
     return out
 
 
+def exact_dedup_rows(ds):
+    """The deduplicated TABLE (keep the min-doc_id row per content
+    hash): compute the keeper set (small — one id per distinct hash),
+    broadcast it, and semi-join filter the corpus in one pass. At 100 TB
+    the keeper set of a near-dup-free corpus is NOT small — swap the
+    broadcast for a hash-partitioned semi join on doc_id; the keeper
+    computation is unchanged."""
+    import ray
+
+    keep = exact_dedup(ds).select_columns(["keep_id"]).take_all()
+    keep_ref = ray.put({r["keep_id"] for r in keep})
+
+    class Filter:
+        def __init__(self):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy()
+            mask = pa.array(np.fromiter((i in self.keep for i in ids),
+                                        dtype=bool, count=len(ids)))
+            return batch.filter(mask)
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2,
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # minhash + lsh
 # ---------------------------------------------------------------------------
