@@ -255,6 +255,16 @@ def _http_n(sf_dir: str) -> int:
     return max(500, synth.turns_for_sf_dir(sf_dir) // 10)
 
 
+def _q_http_pipeline(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.pipelines import http_pipeline
+
+    path = synth.ensure_http_corpus(_http_n(sf_dir))
+    return http_pipeline.build(rd.read_json(path))
+
+
 def _q_word_topk(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
@@ -311,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "multimodal_meta": _q_multimodal_meta,
         "http_ingest": _q_http_ingest,
+        "http_pipeline": _q_http_pipeline,
         "word_topk": _q_word_topk,
         "distinct_users": _q_distinct_users,
     }
@@ -329,6 +340,14 @@ WHERE regexp_matches(timestamp, '^\d{{4}}-\d{{2}}-\d{{2}}T\d{{2}}:\d{{2}}:\d{{2}
   AND try_strptime(timestamp, '%Y-%m-%dT%H:%M:%S')
       BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-02-01'
 """
+
+
+def _http_pipeline_sql() -> str:
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.pipelines import http_pipeline
+
+    path = synth.ensure_http_corpus(_http_n(SF001))
+    return http_pipeline.sql(path + "/part-*.json", synth.HTTP_SALT)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -377,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SESSIONIZE_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "http_ingest": _http_ingest_sql(),
+        "http_pipeline": _http_pipeline_sql(),
         "word_topk": _agg.WORD_TOPK_SQL,
         "distinct_users": _agg.DISTINCT_USERS_SQL,
         # rows-only (approximate / non-SQL-expressible): lang_id,
