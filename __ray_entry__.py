@@ -255,6 +255,26 @@ def _http_n(sf_dir: str) -> int:
     return max(500, synth.turns_for_sf_dir(sf_dir) // 10)
 
 
+def _q_asof(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import joins
+
+    return joins.asof_signup_lag(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_dim_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import joins
+
+    dim = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    out = joins.broadcast_dim_join(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), dim)
+    return out.select_columns(["event_id", "user_id", "event_type", "c_name"])
+
+
 def _q_http_pipeline(sf_dir: str):
     import ray.data as rd
 
@@ -324,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "http_pipeline": _q_http_pipeline,
         "word_topk": _q_word_topk,
         "distinct_users": _q_distinct_users,
+        "asof_signup_lag": _q_asof,
+        "broadcast_dim_join": _q_dim_join,
     }
 
 
@@ -354,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
     import pyarrow.parquet as pq
 
     from go_fluentd_ray.functions import aggregates as _agg
+    from go_fluentd_ray.functions import joins as _joins
     from go_fluentd_ray.functions import events, multimodal, similarity
     from go_fluentd_ray.functions import text as T
     from go_fluentd_ray.pipelines import sql_oracle
@@ -399,6 +422,8 @@ def oracle_sql() -> dict[str, str]:
         "http_pipeline": _http_pipeline_sql(),
         "word_topk": _agg.WORD_TOPK_SQL,
         "distinct_users": _agg.DISTINCT_USERS_SQL,
+        "asof_signup_lag": _joins.ASOF_SQL,
+        "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         # rows-only (approximate / non-SQL-expressible): lang_id,
         # doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # embedding_dup_lsh, knn_ivf

@@ -203,3 +203,31 @@ class TestFlatten:
         vals = out["extra"].to_pylist()
         assert dict(vals[0]) == {"a__b": "2", "k": "v"}
         assert vals[1] is None and vals[2] is None and vals[3] is None
+
+
+class TestJoins:
+    def test_asof_hand_case(self):
+        from go_fluentd_ray.functions import joins
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["signup", "purchase", "purchase", "purchase"],
+            "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00",
+                                  "2024-01-01 02:00", "2024-01-01 03:00"]),
+            "value": [0.0] * 4, "props": ["{}"] * 4,
+        })
+        out = joins.asof_signup_lag(rd.from_pandas(df)).to_pandas()
+        out = out.sort_values("event_id")
+        assert list(out["event_id"]) == [2, 3, 4]
+        assert out.iloc[0]["lag_sec"] == 3600.0
+        assert out.iloc[1]["lag_sec"] == 7200.0
+        assert pd.isna(out.iloc[2]["lag_sec"])  # user 2 never signed up
+
+    def test_broadcast_dim_join(self):
+        from go_fluentd_ray.functions import joins
+        ev = pd.DataFrame({"event_id": [1, 2], "user_id": [5, 999]})
+        dim = pd.DataFrame({"c_custkey": [5], "c_name": ["five"]})
+        out = joins.broadcast_dim_join(rd.from_pandas(ev), dim).to_pandas()
+        out = out.sort_values("event_id")
+        assert out.iloc[0]["c_name"] == "five"
+        assert pd.isna(out.iloc[1]["c_name"])  # left join null
