@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _http_ingest_sql() -> str:
     from go_fluentd_ray import synth
+    from go_fluentd_ray.sources.receivers import DEFAULT_WINDOW as _W
 
     path = synth.ensure_http_corpus(_http_n(SF001))
     return rf"""
@@ -360,7 +361,8 @@ FROM read_json_auto('{path}/part-*.json')
 WHERE regexp_matches(timestamp, '^\d{{4}}-\d{{2}}-\d{{2}}T\d{{2}}:\d{{2}}:\d{{2}}$')
   AND sig = md5(timestamp || '{synth.HTTP_SALT}')
   AND try_strptime(timestamp, '%Y-%m-%dT%H:%M:%S')
-      BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-02-01'
+      BETWEEN TIMESTAMP '{_W[0].replace("T", " ")}'
+          AND TIMESTAMP '{_W[1].replace("T", " ")}'
 """
 
 
@@ -382,10 +384,9 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.pipelines import sql_oracle
 
     path = _corpus(SF001) + "/part-*.parquet"
-    dim = pq.read_schema(f"{SF001}/embeddings.parquet")  # probe list size
-    emb_dim = len(pq.read_table(f"{SF001}/embeddings.parquet",
-                                columns=["embedding"]).slice(0, 1)
-                  .to_pylist()[0]["embedding"])
+    pf = pq.ParquetFile(f"{SF001}/embeddings.parquet")
+    emb_dim = len(next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+                  ["embedding"][0])
     fsql = sql_oracle.flagship_sql(path)
     return {
         "flagship": fsql,

@@ -69,19 +69,16 @@ def exact_dedup_rows(ds):
     import ray
 
     keep = exact_dedup(ds).select_columns(["keep_id"]).take_all()
-    keep_ref = ray.put({r["keep_id"] for r in keep})
+    keep_ref = ray.put(pa.array(sorted(r["keep_id"] for r in keep),
+                                type=pa.int64()))
 
     class Filter:
         def __init__(self):
             self.keep = ray.get(keep_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            ids = batch["doc_id"].to_numpy()
-            mask = pa.array(np.fromiter((i in self.keep for i in ids),
-                                        dtype=bool, count=len(ids)))
-            return batch.filter(mask)
+            mask = pc.is_in(batch["doc_id"], value_set=self.keep)
+            return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2,
                           zero_copy_batch=True)

@@ -40,7 +40,9 @@ def hourly_partial(batch: pa.Table) -> pa.Table:
     }).to_pandas()
     g = (df.groupby(["event_type", "hour"], sort=False)
          .agg(n=("value", "size"), sum_value=("value", "sum"),
-              sum_k=("k", "sum"))
+              # min_count=1: an all-null group sums to null (SQL
+              # semantics), not 0.0 (review finding)
+              sum_k=("k", lambda s: s.sum(min_count=1)))
          .reset_index())
     return pa.Table.from_pandas(g, preserve_index=False)
 

@@ -71,7 +71,7 @@ def knn_bruteforce_sql(dim: int, k: int = 5,
     Q = query_matrix(dim)
     rows = ",\n    ".join(
         "({}, [{}]::DOUBLE[])".format(
-            i, ", ".join(f"{v!r}" for v in Q[i]))
+            i, ", ".join(repr(float(v)) for v in Q[i]))
         for i in range(Q.shape[0]))
     return f"""
 WITH q(qid, qv) AS (VALUES

@@ -179,6 +179,16 @@ def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG):
     # ---- parse + time normalize + embedded JSON ----------------------------
     parsed = []
     for row in out_rows:
+        if row["tag"] not in parsers:
+            # no parser for this tag -> bypass unparsed
+            # (tagfilters/pipeline.go:88-91)
+            for col in PARSE_GROUP_COLS:
+                row[col] = None
+            row["@timestamp"] = None
+            row["json_user"] = None
+            row["json_code"] = None
+            parsed.append(row)
+            continue
         pat, pcfg = parsers[row["tag"]]
         m = pat.search(row["text"])
         if m is None:

@@ -11,7 +11,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..sources.receivers import http_validate_batch
+from ..sources.receivers import DEFAULT_WINDOW, http_validate_batch
 from ..stages.acceptor import _lookup
 
 HTTP_SINK_MAP = {"http.sit": "sit-http-logs"}
@@ -54,5 +54,6 @@ FROM read_json_auto('{corpus_glob}')
 WHERE regexp_matches(timestamp, '^\d{{4}}-\d{{2}}-\d{{2}}T\d{{2}}:\d{{2}}:\d{{2}}$')
   AND sig = md5(timestamp || '{salt}')
   AND try_strptime(timestamp, '%Y-%m-%dT%H:%M:%S')
-      BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-02-01'
+      BETWEEN TIMESTAMP '{DEFAULT_WINDOW[0].replace("T", " ")}'
+          AND TIMESTAMP '{DEFAULT_WINDOW[1].replace("T", " ")}'
 """

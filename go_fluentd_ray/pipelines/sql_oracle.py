@@ -169,10 +169,27 @@ SELECT conv_id, turn_idx, role, tool, ts, tag,
 FROM parsed"""
 
 
+def _bypass_branch(tags: list[str]) -> str:
+    """Accepted tags without a parser bypass unparsed
+    (tagfilters/pipeline.go:88-91): parse/time/json columns null."""
+    in_list = ", ".join(f"'{_sq(t)}'" for t in tags)
+    return f"""
+  SELECT tag, conv_id, turn_idx, role, tool, ts, n_merged, text,
+         NULL AS time, NULL AS app, NULL AS level, NULL AS thread,
+         NULL AS class_name, NULL AS line, NULL AS message,
+         NULL AS project, NULL AS "@timestamp",
+         NULL AS json_user, NULL::BIGINT AS json_code
+  FROM merged WHERE tag IN ({in_list})"""
+
+
 def flagship_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
-    branches = "\n  UNION ALL\n".join(_parse_branch(t, cfg) for t in cfg.parsers)
+    branches = [_parse_branch(t, cfg) for t in cfg.parsers]
+    unparsed = sorted(cfg.accept_tags - set(cfg.parsers))
+    if unparsed:
+        branches.append(_bypass_branch(unparsed))
+    joined = "\n  UNION ALL\n".join(branches)
     return (f"WITH {acceptor_cte(path, cfg)},\n{concat_cte(cfg)},\n"
-            f"parsed AS (\n{branches}\n)\n{enrich_route_select(cfg)}")
+            f"parsed AS (\n{joined}\n)\n{enrich_route_select(cfg)}")
 
 
 def acceptor_counts_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:

@@ -29,11 +29,15 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 HTTP_TS_REGEX = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"
+# single source of truth for the signature salt and allowed window —
+# synth and the SQL oracle builders import these (review finding)
+DEFAULT_SALT = "spark-graft-salt"
+DEFAULT_WINDOW = ("2024-01-01T00:00:00", "2024-02-01T00:00:00")
 
 
-def http_validate_batch(batch: pa.Table, salt: str = "spark-graft-salt",
-                        window_min: str = "2024-01-01T00:00:00",
-                        window_max: str = "2024-02-01T00:00:00",
+def http_validate_batch(batch: pa.Table, salt: str = DEFAULT_SALT,
+                        window_min: str = DEFAULT_WINDOW[0],
+                        window_max: str = DEFAULT_WINDOW[1],
                         orig_tag_key: str = "orig_tag",
                         tag: str = "http.sit") -> pa.Table:
     """Drop rows failing: ts-format regex, md5(ts+salt) signature, or the

@@ -145,6 +145,23 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 cols.append(_nulls(n, f.type))
         out_parts.append(pa.Table.from_arrays(cols, schema=schema))
 
+    # tags with no parser config BYPASS the parse stage unchanged
+    # (reference: unsupported tags go straight to the out-chan,
+    # tagfilters/pipeline.go:88-91) — parse/enrich columns stay null
+    known = pa.array(sorted(cfg.parsers), type=pa.string())
+    rest = batch.filter(pc.invert(pc.fill_null(
+        pc.is_in(tags, value_set=known), False)))
+    if rest.num_rows:
+        cols = []
+        for f in schema:
+            nm = f.name
+            if nm in ("conv_id", "turn_idx", "role", "tool", "ts", "tag",
+                      "text", "n_merged", "merged_turns", "bucket"):
+                cols.append(rest[nm].combine_chunks().cast(f.type))
+            else:
+                cols.append(_nulls(rest.num_rows, f.type))
+        out_parts.append(pa.Table.from_arrays(cols, schema=schema))
+
     if not out_parts:
         return schema.empty_table()
     return pa.concat_tables(out_parts)

@@ -3,19 +3,29 @@ reference's WAL/journal + committed-id machinery (journal.go, SURVEY.md
 §3.3). Stronger guarantee than the reference's at-least-once: output is
 exactly-once-observable.
 
-Layout under ``out_root``:
+Layout under ``out_root`` (which MUST be shared storage on a multi-node
+cluster — every write task and the driver-side rollup read it):
 
+    _PARTITIONING.json           pins num_buckets for the lifetime of
+                                 this output dir; resume ADOPTS it, so
+                                 resuming on a different-size cluster
+                                 cannot silently re-key the data
     bucket=<b>/data.parquet      one file per partition (atomic rename)
     bucket=<b>/_MANIFEST.json    lineage + metrics: row count, per-sink
-                                 counts, content md5, input fingerprint
-    _METRICS.json                run-level rollup (written by the driver
-                                 after all partitions land)
+                                 counts, content md5
+    _METRICS.json                run-level rollup
 
 The partition key is the deterministic concat bucket
 (hash(conv_id) % B), so a re-run computes exactly the same partition
 contents. Resume = skip buckets whose manifest exists; a partition dir
 without a manifest (crash mid-write) is recomputed; writes go to a tmp
 name then os.rename, so readers never see partial data.
+
+Completeness guarantee: each partition is finished AND written inside a
+single ``groupby(bucket).map_groups`` call — map_groups hands the fn
+the WHOLE group, so a bucket can never be split across write calls
+(a plain map_batches sink stage would re-write the same bucket file
+once per block and lose all but the last fragment).
 """
 
 from __future__ import annotations
@@ -26,12 +36,14 @@ import os
 import shutil
 import tempfile
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 MANIFEST = "_MANIFEST.json"
 METRICS = "_METRICS.json"
+PARTITIONING = "_PARTITIONING.json"
 
 
 def completed_buckets(out_root: str) -> set[int]:
@@ -45,50 +57,50 @@ def completed_buckets(out_root: str) -> set[int]:
     return done
 
 
-def _write_partition(batch: pa.Table, out_root: str) -> pa.Table:
-    """Sink fn for one partition-batch: atomic data + manifest write.
-    Emits one summary row per bucket (the lineage/metrics record)."""
-    if batch.num_rows == 0:
-        return pa.table({"bucket": pa.array([], pa.int32()),
-                         "rows": pa.array([], pa.int64()),
-                         "md5": pa.array([], pa.string())})
-    out_rows = []
-    for b in pc.unique(batch["bucket"]).to_pylist():
-        part = batch.filter(pc.equal(batch["bucket"], b))
-        # deterministic row order inside the partition file
-        part = part.take(pc.sort_indices(
-            part, sort_keys=[("conv_id", "ascending"),
-                             ("turn_idx", "ascending")]))
-        d = os.path.join(out_root, f"bucket={b}")
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        os.close(fd)
-        pq.write_table(part, tmp, compression="snappy")
-        with open(tmp, "rb") as f:
-            md5 = hashlib.md5(f.read()).hexdigest()
-        os.rename(tmp, os.path.join(d, "data.parquet"))
-        sink_counts = {}
-        for s in pc.unique(part["sink"]).to_pylist():
-            sink_counts[s] = pc.sum(
-                pc.cast(pc.equal(part["sink"], s), pa.int64())).as_py()
-        manifest = {
-            "bucket": int(b),
-            "rows": part.num_rows,
-            "inputs_merged": pc.sum(part["n_merged"]).as_py(),
-            "per_sink": sink_counts,
-            "md5": md5,
-        }
-        mfd, mtmp = tempfile.mkstemp(dir=d, suffix=".mtmp")
-        os.close(mfd)
-        with open(mtmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(mtmp, os.path.join(d, MANIFEST))
-        out_rows.append((int(b), part.num_rows, md5))
-    return pa.table({
-        "bucket": pa.array([r[0] for r in out_rows], pa.int32()),
-        "rows": pa.array([r[1] for r in out_rows], pa.int64()),
-        "md5": pa.array([r[2] for r in out_rows], pa.string()),
-    })
+def _pin_partitioning(out_root: str, requested: int) -> int:
+    """Record num_buckets on first run; later runs ADOPT the pinned
+    value (a different B would re-key rows and corrupt resume)."""
+    p = os.path.join(out_root, PARTITIONING)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["num_buckets"])
+    fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".ptmp")
+    os.close(fd)
+    with open(tmp, "w") as f:
+        json.dump({"num_buckets": requested}, f)
+    os.rename(tmp, p)
+    return requested
+
+
+def _write_one_bucket(part: pa.Table, b: int, out_root: str) -> dict:
+    """Atomic data + manifest write for one COMPLETE partition."""
+    part = part.take(pc.sort_indices(
+        part, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    d = os.path.join(out_root, f"bucket={b}")
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(part, tmp, compression="snappy")
+    with open(tmp, "rb") as f:
+        md5 = hashlib.md5(f.read()).hexdigest()
+    os.rename(tmp, os.path.join(d, "data.parquet"))
+    sink_counts = {}
+    for s in pc.unique(part["sink"]).to_pylist():
+        sink_counts[s] = pc.sum(
+            pc.cast(pc.equal(part["sink"], s), pa.int64())).as_py()
+    manifest = {
+        "bucket": int(b),
+        "rows": part.num_rows,
+        "inputs_merged": pc.sum(part["n_merged"]).as_py() or 0,
+        "per_sink": sink_counts,
+        "md5": md5,
+    }
+    mfd, mtmp = tempfile.mkstemp(dir=d, suffix=".mtmp")
+    os.close(mfd)
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(mtmp, os.path.join(d, MANIFEST))
+    return manifest
 
 
 def fanout_sinks(ds, out_root: str) -> None:
@@ -107,7 +119,9 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
     Returns the run-level metrics dict (also written to _METRICS.json).
     Call again after a crash: completed buckets are skipped entirely —
     their rows are filtered out right after the (cheap) bucket-id stage,
-    before any parse/shuffle work."""
+    before any parse/shuffle work. Each partition is concat+parsed+
+    enriched+routed+written inside ONE map_groups call, so partial
+    buckets can never be marked complete."""
     import ray.data  # noqa: F401
 
     from ..config import DEFAULT_CONFIG
@@ -116,9 +130,10 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
     from .concat import add_bucket, concat_bucket
 
     cfg = cfg or DEFAULT_CONFIG
-    B = num_buckets or flagship.default_num_buckets()
-    done = completed_buckets(out_root)
     os.makedirs(out_root, exist_ok=True)
+    B = _pin_partitioning(out_root, num_buckets
+                          or flagship.default_num_buckets())
+    done = completed_buckets(out_root)
     # clean partial (manifest-less) partition dirs from a crashed run
     for name in os.listdir(out_root):
         p = os.path.join(out_root, name)
@@ -139,14 +154,19 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
             batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(lambda t: acceptor_transform(t, cfg),
                         batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.groupby("bucket").map_groups(
-        lambda df: concat_bucket(df, cfg, keep_bucket=True),
-        batch_format="pandas")
-    ds = ds.map_batches(flagship.Finisher, fn_constructor_args=(cfg,),
-                        batch_format="pyarrow", zero_copy_batch=True,
-                        concurrency=max(2, flagship._cluster_cpus() // 2))
-    summary = ds.map_batches(lambda t: _write_partition(t, out_root),
-                             batch_format="pyarrow").to_pandas()
+
+    def process_and_write(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        t = concat_bucket(df, cfg, keep_bucket=True)
+        t = flagship.Finisher(cfg)(t)
+        # 0-row buckets still get a manifest so resume skips them
+        m = _write_one_bucket(t, b, out_root)
+        return pd.DataFrame({"bucket": [m["bucket"]],
+                             "rows": [m["rows"]],
+                             "md5": [m["md5"]]})
+
+    summary = ds.groupby("bucket").map_groups(
+        process_and_write, batch_format="pandas").to_pandas()
 
     # run-level metrics rollup from the per-partition manifests
     manifests = []
@@ -158,6 +178,7 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
         for s, n in m["per_sink"].items():
             per_sink[s] = per_sink.get(s, 0) + n
     metrics = {
+        "num_buckets": B,
         "partitions": len(manifests),
         "partitions_written_this_run": int(len(summary)),
         "rows": int(sum(m["rows"] for m in manifests)),

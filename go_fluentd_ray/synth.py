@@ -300,7 +300,7 @@ def corpus_for_sf_dir(sf_dir: str, seed: int = DEFAULT_SEED) -> str:
 # HTTP-ingest JSONL corpus (recvs/http.go semantics fixture)
 # ---------------------------------------------------------------------------
 
-HTTP_SALT = "spark-graft-salt"
+from .sources.receivers import DEFAULT_SALT as HTTP_SALT  # noqa: E402
 HTTP_CORPUS_VERSION = 1
 
 

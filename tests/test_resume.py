@@ -82,3 +82,39 @@ def test_resume_skips_completed_and_matches(corpus, tmp_path):
         with open(os.path.join(root_b, f"bucket={b}", sinks.MANIFEST)) as f:
             mb = json.load(f)
         assert ma == mb, f"manifest mismatch for bucket {b}"
+
+
+def test_no_data_loss_under_block_splitting(corpus, tmp_path):
+    """Regression (review finding): when Ray splits a bucket's rows
+    across blocks (tiny target block size), the sink must still write
+    every row — the old map_batches sink re-wrote bucket files per
+    block and kept only the last fragment."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 256 * 1024  # force aggressive splits
+        root = str(tmp_path / "split")
+        metrics = sinks.run_resumable(corpus, root, num_buckets=4)
+    finally:
+        ctx.target_max_block_size = old
+    exp, _ = oracle.run_oracle(pq.read_table(corpus))
+    assert metrics["rows"] == exp.num_rows
+    assert _read_all(root).drop_columns(["bucket"]).equals(exp)
+
+
+def test_resume_adopts_pinned_num_buckets(corpus, tmp_path):
+    """Regression (review finding): resuming with a different
+    num_buckets must adopt the pinned partitioning, not re-key rows."""
+    root = str(tmp_path / "pin")
+    sinks.run_resumable(corpus, root, num_buckets=B)
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(root, "bucket=1"))
+    # resume 'on a smaller cluster' (different requested B)
+    metrics = sinks.run_resumable(corpus, root, num_buckets=2)
+    assert metrics["num_buckets"] == B
+    assert metrics["partitions"] == B
+    exp, _ = oracle.run_oracle(pq.read_table(corpus))
+    assert metrics["rows"] == exp.num_rows

@@ -281,3 +281,31 @@ class TestRemoveOrigLog:
                       cfg=cfg)
         r = out.to_pylist()[0]
         assert r["text"] is None and r["message"] == "m"
+
+
+class TestParserBypass:
+    """Tags without a parser config bypass the parse stage unchanged
+    (tagfilters/pipeline.go:88-91) — review finding regression."""
+
+    def test_unparsed_tag_passes_through(self):
+        from go_fluentd_ray.config import ParserCfg, PipelineConfig
+        cfg = PipelineConfig(parsers={
+            "app.spring.sit": DEFAULT_CONFIG.parsers["app.spring.sit"]})
+        out = _parsed(["raw line no parser"], tag="spark.sit", cfg=cfg)
+        assert out.num_rows == 1
+        r = out.to_pylist()[0]
+        assert r["text"] == "raw line no parser"
+        assert r["@timestamp"] is None and r["message"] is None
+
+    def test_oracle_agrees(self):
+        import pyarrow as _pa
+        from go_fluentd_ray import oracle as _o
+        from go_fluentd_ray.config import PipelineConfig
+        from go_fluentd_ray.pipelines import flagship
+        from go_fluentd_ray.synth import transcript_table
+        cfg = PipelineConfig(parsers={
+            "app.spring.sit": DEFAULT_CONFIG.parsers["app.spring.sit"]})
+        t = transcript_table(3000)
+        got = flagship.run_local(t, cfg)
+        want, _ = _o.run_oracle(t, cfg)
+        assert got.equals(want) and got.num_rows > 0
