@@ -74,3 +74,38 @@ def test_pipeline_equals_oracle(rows):
         assert got.equals(want), (
             got.to_pandas().compare(want.to_pandas())
             if got.num_rows == want.num_rows else "row mismatch")
+
+
+def _parity(cfg, n=4000):
+    from go_fluentd_ray.synth import transcript_table
+
+    t = transcript_table(n)
+    got = flagship.run_local(t, cfg)
+    want, _ = oracle.run_oracle(t, cfg)
+    assert got.num_rows == want.num_rows
+    assert got.equals(want)
+    return got
+
+
+def test_parity_no_concat_config():
+    from go_fluentd_ray.config import PipelineConfig
+
+    out = _parity(PipelineConfig(concat={}))
+    assert (out["n_merged"].to_pandas() == 1).all()
+
+
+def test_parity_multichar_joiner_with_overflow():
+    """jlen=2 joiner + tiny max_length exercises the vectorized overflow
+    arithmetic against the oracle's append-then-check loop."""
+    from go_fluentd_ray.config import ConcatCfg, PipelineConfig
+
+    base = oracle.DEFAULT_CONFIG.concat["app.spring.sit"]
+    cfg = PipelineConfig(concat={
+        "app.spring.sit": ConcatCfg(head_regex=base.head_regex,
+                                    max_length=150, joiner="~~"),
+        "bot.sit": ConcatCfg(head_regex=base.head_regex,
+                             max_length=150, joiner="~~"),
+    })
+    out = _parity(cfg)
+    joined = out.to_pandas()["text"].str.contains("~~", regex=False)
+    assert joined.any()  # the joiner actually fired
