@@ -121,6 +121,14 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_bpe_token_count(sf_dir: str):
+    from go_fluentd_ray.functions import text as T
+
+    return _docs(sf_dir).map_batches(
+        T.bpe_token_count_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _q_token_count(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
@@ -325,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_filter": _q_window_filter,
         # training-data operators
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -401,6 +410,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             r"SELECT doc_id, length(regexp_extract_all(text, '\w+'))::BIGINT "
             "AS n_tokens FROM documents"),
+        "bpe_token_count": (
+            "SELECT doc_id, length(regexp_extract_all(text, "
+            f"'{T.BPE_RE.replace(chr(39), chr(39) * 2)}'))::BIGINT "
+            "AS n_bpe_tokens FROM documents"),
         "quality_score": (
             f"SELECT doc_id, {T.QUALITY_SQL_EXPRS} FROM documents"),
         "dedup_exact": (

@@ -73,6 +73,47 @@ class MultimodalExtract:
         return out
 
 
+class ResizeStub:
+    """Actor-pool 'resize' over binary payloads: a real implementation
+    would decode -> scale -> re-encode; the stub deterministically
+    truncates the body to ``max_bytes`` and re-stamps the header, so
+    output sizes/schema behave like a real thumbnailer. Use a small
+    batch_size — output rows stay large binaries."""
+
+    def __init__(self, max_bytes: int = 64):
+        self.max_bytes = max_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [MAGIC + p[len(MAGIC):len(MAGIC) + self.max_bytes]
+               if p[:4] == MAGIC else p[: self.max_bytes + 4]
+               for p in batch["payload"].to_pylist()]
+        i = batch.column_names.index("payload")
+        return batch.set_column(i, "payload",
+                                pa.array(out, type=pa.binary()))
+
+
+def frame_sample_batch(batch: pa.Table, frame_bytes: int = 16,
+                       every: int = 4) -> pa.Table:
+    """Video-style frame sampling plumbing: treat each payload body as
+    fixed-size frames, emit one output ROW per sampled frame (row
+    fan-out inside map_batches — flat_map semantics without per-row
+    Python calls at the Dataset level)."""
+    ids, frame_idx, frames = [], [], []
+    for doc_id, p in zip(batch["doc_id"].to_pylist(),
+                         batch["payload"].to_pylist()):
+        body = p[len(MAGIC):] if p[:4] == MAGIC else p
+        n_frames = max(1, len(body) // frame_bytes)
+        for f in range(0, n_frames, every):
+            ids.append(doc_id)
+            frame_idx.append(f)
+            frames.append(body[f * frame_bytes:(f + 1) * frame_bytes])
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "frame_idx": pa.array(frame_idx, type=pa.int32()),
+        "frame": pa.array(frames, type=pa.binary()),
+    })
+
+
 def multimodal_meta(ds):
     """documents -> payload -> metadata/features (drop the list column
     for the scalar-only oracle comparison; md5 of payload matches the

@@ -25,6 +25,17 @@ def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, simplified to RE2-safe syntax —
+# no lookahead): contraction pieces, space-prefixed words, punctuation
+# runs, whitespace runs
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\w+| ?[^\s\w']+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    n = pc.count_substring_regex(batch[col], BPE_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Quality-scoring features: char/word counts, punctuation density,
     stopword ratio, mean word length. Pure pyarrow kernels; the score

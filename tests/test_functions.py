@@ -231,3 +231,26 @@ class TestJoins:
         out = out.sort_values("event_id")
         assert out.iloc[0]["c_name"] == "five"
         assert pd.isna(out.iloc[1]["c_name"])  # left join null
+
+
+class TestMultimodalStages:
+    def test_resize_stub(self):
+        t = pa.table({"doc_id": [1],
+                      "payload": [multimodal.MAGIC + b"x" * 200]})
+        out = multimodal.ResizeStub(max_bytes=10)(t)
+        p = out["payload"][0].as_py()
+        assert p[:4] == multimodal.MAGIC and len(p) == 14
+
+    def test_frame_sampling_fanout(self):
+        t = pa.table({"doc_id": [7],
+                      "payload": [multimodal.MAGIC + bytes(range(128))]})
+        out = multimodal.frame_sample_batch(t, frame_bytes=16, every=4)
+        assert out["frame_idx"].to_pylist() == [0, 4]  # 8 frames, every 4th
+        assert len(out["frame"][0].as_py()) == 16
+        assert out["doc_id"].to_pylist() == [7, 7]
+
+
+def test_bpe_token_count():
+    t = pa.table({"doc_id": [1], "text": ["it's all good, isn't it?"]})
+    out = T.bpe_token_count_batch(t).to_pylist()[0]
+    assert out["n_bpe_tokens"] > 5
