@@ -97,10 +97,8 @@ class LangId:
     }
 
     def __init__(self):
-        import re
-
         self.pats = {
-            lang: re.compile(r"\b(" + "|".join(words) + r")\b")
+            lang: r"\b(" + "|".join(words) + r")\b"
             for lang, words in self.PROFILES.items()
         }
 
@@ -110,7 +108,7 @@ class LangId:
         langs = list(self.pats)
         for i, lang in enumerate(langs):
             scores[i] = pc.count_substring_regex(
-                text, self.pats[lang].pattern).to_numpy()
+                text, self.pats[lang]).to_numpy()
         best = np.argmax(scores, axis=0)
         none = scores.sum(axis=0) == 0
         pred = np.array(langs, dtype=object)[best]

@@ -254,3 +254,40 @@ def test_bpe_token_count():
     t = pa.table({"doc_id": [1], "text": ["it's all good, isn't it?"]})
     out = T.bpe_token_count_batch(t).to_pylist()[0]
     assert out["n_bpe_tokens"] > 5
+
+
+class TestGrok:
+    def test_compiles_to_named_groups(self):
+        from go_fluentd_ray.functions.grok import compile_grok
+        pat = compile_grok(r"%{TIMESTAMP_ISO8601:time} \| %{PIPE_FIELD:app}"
+                           r" \| %{LOGLEVEL:level}")
+        import re
+        m = re.search(pat, "2024-01-01 10:00:00.123 | paysvc | INFO")
+        assert m and m.group("app") == "paysvc" and m.group("level") == "INFO"
+
+    def test_grok_equivalent_to_spring_parser(self):
+        """The flagship spring pattern expressed in grok parses the same
+        line to the same groups — and runs through pc.extract_regex."""
+        import pyarrow.compute as pc
+        from go_fluentd_ray.functions.grok import compile_grok
+        pat = compile_grok(
+            r"^%{TIMESTAMP_ISO8601:time} \| %{PIPE_FIELD:app} \| "
+            r"%{PIPE_FIELD:level} \| %{PIPE_FIELD:thread} \| "
+            r"%{PIPE_FIELD:class_name} \| %{INT:line}: %{GREEDYDATA:message}$")
+        line = ("2024-01-01 00:00:01.300 | paysvc | INFO | th-1 | "
+                "com.x.Y | 147: hello\nworld")
+        ex = pc.extract_regex(pa.array([line]), pat)
+        r = ex.to_pylist()[0]
+        assert r["app"] == "paysvc" and r["message"] == "hello\nworld"
+
+    def test_unknown_pattern_raises(self):
+        from go_fluentd_ray.functions.grok import compile_grok
+        with pytest.raises(KeyError):
+            compile_grok("%{NOPE:x}")
+
+    def test_unnamed_noncapturing(self):
+        from go_fluentd_ray.functions.grok import compile_grok
+        import re
+        pat = compile_grok("%{INT} %{WORD:w}")
+        m = re.search(pat, "42 abc")
+        assert m.groupdict() == {"w": "abc"}

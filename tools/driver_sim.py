@@ -19,7 +19,11 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
+        if df[c].isna().all():
+            # an all-null column's dtype is representation noise
+            # (object None vs float NaN) — unify
+            df[c] = pd.Series([None] * len(df), dtype=object).astype(str)
+        elif df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
