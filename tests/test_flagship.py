@@ -74,3 +74,13 @@ def test_aggregate_via_ray(corpus_path, expected):
     want = (exp.to_pandas().groupby("sink").size().rename("n").reset_index())
     assert got.sort_values("sink").reset_index(drop=True).equals(
         want.sort_values("sink").reset_index(drop=True))
+
+
+def test_task_mode_finisher_matches(corpus_path, expected):
+    """finisher_mode='tasks' (per-worker cache) produces identical
+    output to the actor-pool mode."""
+    exp, _ = expected
+    ds = rd.read_parquet(corpus_path)
+    pipe = flagship.build_pipeline(ds, num_buckets=16, finisher_mode="tasks")
+    out = flagship.result_table_sorted(pipe)
+    assert out.equals(exp)
