@@ -243,6 +243,14 @@ def _q_events_sliding(sf_dir: str):
     return events.sliding_3h(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_running_totals(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import events
+
+    return events.running_totals(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -348,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding,
         "sessionize": _q_sessionize,
+        "running_totals": _q_running_totals,
         "multimodal_meta": _q_multimodal_meta,
         "http_ingest": _q_http_ingest,
         "http_pipeline": _q_http_pipeline,
@@ -431,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_sliding_3h": events.SLIDING_3H_SQL,
         "sessionize": events.SESSIONIZE_SQL,
+        "running_totals": events.RUNNING_TOTALS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "http_ingest": _http_ingest_sql(),
         "http_pipeline": _http_pipeline_sql(),

@@ -114,6 +114,33 @@ SELECT event_type, hour,
 FROM hourly
 """
 
+def running_totals(ds):
+    """Per-user running cumulative sum of value, ordered by (ts,
+    event_id) — the stream-shaped 'state per key over an ordered log'
+    expressed as groupby(user).map_groups over the sorted group."""
+    import numpy as np
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "running_value": np.round(df["value"].cumsum().to_numpy(), 6),
+            "running_n": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS running_n
+FROM events
+"""
+
 SESSION_GAP_MIN = 30
 
 

@@ -291,3 +291,25 @@ class TestGrok:
         pat = compile_grok("%{INT} %{WORD:w}")
         m = re.search(pat, "42 abc")
         assert m.groupdict() == {"w": "abc"}
+
+
+class TestIdCounter:
+    """Raw-actor shared counter (WAL id analogue, acceptor.go:74-95)."""
+
+    def test_unique_dense_ids(self):
+        from go_fluentd_ray.state.id_counter import assign_ids
+        ds = rd.range(5000).map_batches(
+            lambda d: {"x": d["id"]}, batch_format="numpy")
+        out = assign_ids(ds).to_pandas()
+        ids = sorted(out["msg_id"])
+        assert ids == list(range(5000))  # unique AND dense
+
+    def test_rotation(self):
+        import ray as _ray
+        from go_fluentd_ray.state.id_counter import IdCounter
+        c = IdCounter.remote(start=0, max_rotate=100)
+        first = _ray.get(c.alloc.remote(60))
+        assert first == 0
+        second = _ray.get(c.alloc.remote(60))
+        assert second == 60
+        assert _ray.get(c.current.remote()) == 20  # wrapped at 100
