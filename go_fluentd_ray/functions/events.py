@@ -122,10 +122,17 @@ def running_totals(ds):
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        # SQL running-SUM semantics under NULLs: skip nulls but carry
+        # the total forward; all-null prefix -> NULL (not 0)
+        v = df["value"]
+        cs = v.fillna(0.0).cumsum()
+        seen_any = v.notna().cummax()
+        running = np.round(cs.to_numpy(), 6)
+        running = np.where(seen_any.to_numpy(), running, np.nan)
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(),
             "user_id": df["user_id"].to_numpy(),
-            "running_value": np.round(df["value"].cumsum().to_numpy(), 6),
+            "running_value": running,
             "running_n": np.arange(1, len(df) + 1, dtype=np.int64),
         })
 

@@ -16,7 +16,10 @@ GROK_PATTERNS: dict[str, str] = {
     "WORD": r"\w+",
     "NOTSPACE": r"\S+",
     "DATA": r".*?",
-    "GREEDYDATA": r"(?s).*",
+    # DOTALL scoped to THIS token only ((?s:...) groups are supported by
+    # RE2 and Python re alike) — a global (?s) would silently change
+    # every other dot-based pattern in the template
+    "GREEDYDATA": r"(?s:.*)",
     "INT": r"[+-]?\d+",
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
@@ -46,16 +49,10 @@ def compile_grok(template: str,
         if name not in pats:
             raise KeyError(f"unknown grok pattern %{{{name}}}")
         body = pats[name]
-        # (?s) flags must bubble to the front of the final pattern
-        flag = ""
-        if body.startswith("(?s)"):
-            flag, body = "(?s)", body[4:]
         if field:
             out.append(f"(?P<{field}>{body})")
         else:
             out.append(f"(?:{body})")
-        if flag and not (out and out[0] == "(?s)"):
-            out.insert(0, "(?s)")
         pos = m.end()
     out.append(template[pos:])
     return "".join(out)

@@ -103,6 +103,10 @@ def _cached_finisher_fn(cfg: PipelineConfig):
     def fn(batch: pa.Table) -> pa.Table:
         f = _FINISHER_CACHE.get(digest)
         if f is None:
+            # keep at most one entry: a worker executes one pipeline's
+            # tasks at a time, and unbounded per-config growth would
+            # pin dead Finishers in long-lived workers
+            _FINISHER_CACHE.clear()
             f = _FINISHER_CACHE[digest] = Finisher(cfg)
         return f(batch)
 
@@ -127,6 +131,9 @@ def build_pipeline(
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.groupby("bucket").map_groups(
         lambda df: concat_bucket(df, cfg), batch_format="pandas")
+    if finisher_mode not in ("actors", "tasks"):
+        raise ValueError(f"finisher_mode must be 'actors' or 'tasks', "
+                         f"got {finisher_mode!r}")
     if finisher_mode == "tasks":
         return ds.map_batches(_cached_finisher_fn(cfg),
                               batch_format="pyarrow", zero_copy_batch=True)

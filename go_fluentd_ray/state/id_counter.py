@@ -28,11 +28,16 @@ class IdCounter:
         self.max_rotate = max_rotate
 
     def alloc(self, n: int) -> int:
+        if self.max_rotate is not None:
+            if n > self.max_rotate:
+                raise ValueError(f"block {n} exceeds max_rotate "
+                                 f"{self.max_rotate}")
+            # rotate BEFORE handing out the block so every emitted id
+            # stays strictly below the cap (max_rotate_id semantics)
+            if self.next + n > self.max_rotate:
+                self.next = 0
         first = self.next
         self.next += n
-        if self.max_rotate is not None and self.next >= self.max_rotate:
-            # rotate like the reference's max_rotate_id
-            self.next = self.next % self.max_rotate
         return first
 
     def current(self) -> int:
@@ -42,7 +47,15 @@ class IdCounter:
 def assign_ids(ds, id_col: str = "msg_id",
                counter: "ray.actor.ActorHandle | None" = None):
     """map_batches stage: one alloc() RPC per batch, consecutive ids
-    within the batch."""
+    within the batch.
+
+    The result is MATERIALIZED before returning: allocation is a side
+    effect, so re-executing the lazy graph (second consumption, task
+    retry lineage recompute) would hand out fresh ranges and break the
+    unique-and-dense contract. Materializing pins the assigned blocks
+    in the object store; for a deterministic identity that needs no
+    pinning, prefer natural keys like (conv_id, turn_idx) — this stage
+    exists for reference parity with the WAL id counter."""
     counter = counter or IdCounter.remote()
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -50,4 +63,5 @@ def assign_ids(ds, id_col: str = "msg_id",
         ids = np.arange(first, first + batch.num_rows, dtype=np.int64)
         return batch.append_column(id_col, pa.array(ids))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()

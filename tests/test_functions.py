@@ -304,12 +304,54 @@ class TestIdCounter:
         ids = sorted(out["msg_id"])
         assert ids == list(range(5000))  # unique AND dense
 
-    def test_rotation(self):
+    def test_rotation_ids_stay_below_cap(self):
         import ray as _ray
         from go_fluentd_ray.state.id_counter import IdCounter
         c = IdCounter.remote(start=0, max_rotate=100)
-        first = _ray.get(c.alloc.remote(60))
-        assert first == 0
-        second = _ray.get(c.alloc.remote(60))
-        assert second == 60
-        assert _ray.get(c.current.remote()) == 20  # wrapped at 100
+        assert _ray.get(c.alloc.remote(60)) == 0
+        # 60+60 > 100 -> wrap BEFORE allocating: every id stays < 100
+        # (rotation reuses ids, like the reference's max_rotate_id;
+        # dedup of rotated ids is downstream's responsibility)
+        assert _ray.get(c.alloc.remote(60)) == 0
+        assert _ray.get(c.current.remote()) == 60
+
+    def test_reconsumption_stable(self):
+        """assign_ids materializes: consuming the result twice must not
+        re-allocate ranges (review finding)."""
+        from go_fluentd_ray.state.id_counter import assign_ids
+        ds = rd.range(1000).map_batches(
+            lambda d: {"x": d["id"]}, batch_format="numpy")
+        out = assign_ids(ds)
+        out.count()  # first consumption
+        ids = sorted(out.to_pandas()["msg_id"])  # second consumption
+        assert ids == list(range(1000))
+
+
+def test_running_totals_null_semantics():
+    """SQL running-SUM semantics: nulls skipped, total carried forward,
+    all-null prefix stays NULL (review finding)."""
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [1] * 4,
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                              "2024-01-01 00:02", "2024-01-01 00:03"]),
+        "event_type": ["a"] * 4,
+        "value": [None, 2.0, None, 3.0],
+        "props": ["{}"] * 4,
+    })
+    out = events.running_totals(rd.from_pandas(df)).to_pandas()
+    out = out.sort_values("event_id")
+    vals = out["running_value"].tolist()
+    assert pd.isna(vals[0])          # all-null prefix -> NULL
+    assert vals[1] == 2.0
+    assert vals[2] == 2.0            # null skipped, total carried
+    assert vals[3] == 5.0
+
+
+def test_grok_data_not_dotall_when_greedydata_present():
+    """Review finding: GREEDYDATA's DOTALL must be scoped to itself."""
+    import re
+    from go_fluentd_ray.functions.grok import compile_grok
+    pat = compile_grok("%{DATA:a}X %{GREEDYDATA:rest}")
+    m = re.search(pat, "line1\nline2X restof")
+    assert m and m.group("a") == "line2"
