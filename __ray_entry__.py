@@ -291,6 +291,18 @@ def _q_dim_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type", "c_name"])
 
 
+def _q_pricing_summary(sf_dir: str):
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import aggregates
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"])
+    return aggregates.pricing_summary(ds)
+
+
 def _q_http_pipeline(sf_dir: str):
     import ray.data as rd
 
@@ -364,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "asof_signup_lag": _q_asof,
         "broadcast_dim_join": _q_dim_join,
+        "pricing_summary": _q_pricing_summary,
     }
 
 
@@ -448,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": _agg.DISTINCT_USERS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
+        "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         # rows-only (approximate / non-SQL-expressible): lang_id,
         # doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
         # embedding_dup_lsh, knn_ivf
