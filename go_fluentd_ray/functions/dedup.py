@@ -2,16 +2,25 @@
 cosine) over a documents/embeddings table — the training-data dedup
 family the brief requires as first-class components.
 
-Scale design notes (100 TB):
+Scale design notes (100 TB) — every stage here is shuffle-native, no
+stage materializes the corpus on the driver:
 - exact: content hash per row (C md5 per doc — the standard approach),
   within-batch partial aggregation (combiner) BEFORE the global
   groupby, so the shuffle moves one row per distinct hash per batch,
-  not one per document.
-- minhash-lsh: shingle -> 64 minhashes -> b bands; band rows shuffle by
-  (band, band_hash); candidate pairs then verified with true Jaccard.
-  The verify join here broadcasts doc_id->text (fine at test scale); at
-  100 TB replace with a hash-partitioned join of candidates against the
-  corpus on doc_id — the band/bucket stages are unchanged.
+  not one per document. The ROWS variant shuffles the corpus once by
+  hash-bucket and keeps the min-doc_id row per content hash inside
+  each bucket (vectorized drop_duplicates), no keeper-set broadcast.
+- minhash-lsh: shingle -> 64 minhashes -> b bands; band rows shuffle
+  by hash(band, band_hash) % B buckets (NOT one Ray group per bucket
+  key — that is one Python call per key); candidate pairs come from a
+  vectorized self-merge inside each bucket, capped at MAX_BUCKET per
+  (band, band_hash) to kill degenerate-collision O(n^2). Pairs are
+  made distinct (bucketed combiner), then texts for BOTH pair sides
+  are attached via functions/shuffle.bucketed_attach — the corpus
+  crosses the wire exactly once, keyed by doc_id — and true Jaccard
+  verifies each pair in a final map_batches.
+- simhash: same bucketed self-merge + MAX_BUCKET cap; hamming distance
+  via vectorized SWAR popcount on XOR-ed 64-bit keys.
 - embedding: exact all-pairs path for the oracle (O(n^2) on the small
   side, numpy matmul in float64 to match DuckDB's double math) plus an
   LSH (random-hyperplane) bucketed path as the scale route.
@@ -25,6 +34,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .shuffle import add_bucket_col, bucketed_attach, bucketed_distinct, \
+    default_buckets, hash_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -59,29 +71,26 @@ def exact_dedup(ds):
     return out
 
 
-def exact_dedup_rows(ds):
+def exact_dedup_rows(ds, num_buckets: int | None = None):
     """The deduplicated TABLE (keep the min-doc_id row per content
-    hash): compute the keeper set (small — one id per distinct hash),
-    broadcast it, and semi-join filter the corpus in one pass. At 100 TB
-    the keeper set of a near-dup-free corpus is NOT small — swap the
-    broadcast for a hash-partitioned semi join on doc_id; the keeper
-    computation is unchanged."""
-    import ray
+    hash), fully shuffle-native: within-batch combiner drops same-batch
+    dups, then ONE corpus shuffle keyed by hash(h) % B co-locates every
+    copy of a content hash in one bucket, where a vectorized
+    sort + drop_duplicates keeps the min-doc_id row. No keeper-set
+    take_all/broadcast (that set is corpus-sized on a mostly-unique
+    corpus, which is exactly the 100 TB case)."""
+    B = num_buckets or default_buckets()
 
-    keep = exact_dedup(ds).select_columns(["keep_id"]).take_all()
-    keep_ref = ray.put(pa.array(sorted(r["keep_id"] for r in keep),
-                                type=pa.int64()))
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values("doc_id", kind="mergesort")
+                .drop_duplicates("h"))
 
-    class Filter:
-        def __init__(self):
-            self.keep = ray.get(keep_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch["doc_id"], value_set=self.keep)
-            return batch.filter(pc.fill_null(mask, False))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=2,
-                          zero_copy_batch=True)
+    ds = ds.map_batches(md5_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(keep_min, batch_format="pandas")  # combiner
+    ds = ds.map_batches(lambda t: add_bucket_col(t, ["h"], B),
+                        batch_format="pyarrow")
+    out = ds.groupby("__bkt").map_groups(keep_min, batch_format="pandas")
+    return out.drop_columns(["__bkt", "h"])
 
 
 # ---------------------------------------------------------------------------
@@ -141,14 +150,36 @@ MAX_BUCKET = 256  # a band bucket larger than this is a stop-shingle-like
 # near-dup docs still pair through their other, rarer bands
 
 
+def _empty_pairs(extra: dict[str, type] | None = None) -> pd.DataFrame:
+    cols = {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+    for k, t in (extra or {}).items():
+        cols[k] = pd.Series(dtype=t)
+    return pd.DataFrame(cols)
+
+
+def _self_merge_pairs(df: pd.DataFrame, keys: list[str],
+                      carry: list[str] | None = None) -> pd.DataFrame:
+    """All (a < b) doc pairs sharing a key tuple, vectorized: group
+    sizes capped to [2, MAX_BUCKET], then ONE pandas self-merge for the
+    whole bucket (no per-key Python). ``carry`` columns ride along as
+    ``<col>_x`` / ``<col>_y``."""
+    cols = keys + ["doc_id"] + (carry or [])
+    d = df[cols].drop_duplicates(keys + ["doc_id"])
+    sz = d.groupby(keys, sort=False)["doc_id"].transform("size")
+    d = d[(sz >= 2) & (sz <= MAX_BUCKET)]
+    if d.empty:
+        return _empty_pairs()
+    m = d.merge(d, on=keys)
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    out = m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+    keep = ["a", "b"] + [f"{c}_{s}" for c in (carry or []) for s in ("x", "y")]
+    return out[keep].reset_index(drop=True)
+
+
 def candidate_pairs_from_band(df: pd.DataFrame) -> pd.DataFrame:
-    """map_groups fn on (band, band_hash): all doc pairs in the bucket."""
-    ids = np.sort(df["doc_id"].unique())
-    if len(ids) < 2 or len(ids) > MAX_BUCKET:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                             "b": pd.Series(dtype=np.int64)})
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    """Per-bucket candidate pairs (bucket = hash(band, band_hash) % B):
+    vectorized self-merge on the real (band, band_hash) keys inside."""
+    return _self_merge_pairs(df, ["band", "band_hash"])
 
 
 def jaccard(t1: str, t2: str, k: int = 4) -> float:
@@ -157,70 +188,79 @@ def jaccard(t1: str, t2: str, k: int = 4) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
-def minhash_dedup(ds, threshold: float = 0.7):
+class VerifyJaccard:
+    """Actor-pool verify: true Jaccard per (text_a, text_b) row, with a
+    per-actor shingle-set cache keyed by doc id (repeat members of many
+    pairs shingle once per actor)."""
+
+    def __init__(self, threshold: float, k: int = 4):
+        self.threshold = threshold
+        self.k = k
+        self.cache: dict[int, np.ndarray] = {}
+
+    def _sh(self, doc_id: int, text: str) -> np.ndarray:
+        s = self.cache.get(doc_id)
+        if s is None:
+            s = self.cache[doc_id] = _shingle_hashes(text, self.k)
+            if len(self.cache) > 200_000:   # bound actor memory
+                self.cache.clear()
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        jac = np.empty(len(a))
+        for i in range(len(a)):
+            s1, s2 = self._sh(a[i], ta[i]), self._sh(b[i], tb[i])
+            inter = len(np.intersect1d(s1, s2, assume_unique=True))
+            jac[i] = inter / (len(s1) + len(s2) - inter)
+        keep = jac >= self.threshold
+        ia = np.asarray(a, dtype=np.int64)
+        ib = np.asarray(b, dtype=np.int64)
+        return pa.table({
+            "a": pa.array(ia[keep], type=pa.int64()),
+            "b": pa.array(ib[keep], type=pa.int64()),
+            "jac": pa.array(np.round(jac[keep], 4)),
+        })
+
+
+def minhash_dedup(ds, threshold: float = 0.7, num_buckets: int | None = None):
     """Full MinHash-LSH near-dup detection. Returns (a, b, jac) pairs
     with verified Jaccard >= threshold, a < b.
 
-    The verify stage broadcasts doc_id->text via ray.put (one object,
-    read per actor) — see module docstring for the 100 TB variant."""
+    End-to-end shuffle-native: band rows shuffle once (bucketed), the
+    distinct candidate pairs shuffle twice (tiny), and the corpus text
+    shuffles once inside bucketed_attach. The driver never sees the
+    corpus; no take_all/ray.put of data anywhere."""
     import ray
 
-    # ONE take_all: two separate calls can return rows in different
-    # orders (parallel read), and zipping them mis-keys the broadcast
-    texts_ref = ray.put({r["doc_id"]: r["text"]
-                         for r in ds.select_columns(["doc_id",
-                                                     "text"]).take_all()})
+    B = num_buckets or default_buckets()
 
     # pool must leave CPUs for upstream read tasks (a full-width pool
     # starves the pipeline — see BASELINE.md tuning notes)
-    # TWO actor pools coexist in this pipeline (MinHasher + Verify);
-    # each gets a quarter of the cluster so tasks still have room
     cpus = int(ray.cluster_resources().get("CPU", 4))
     pool = max(1, cpus // 4)
     bands = ds.map_batches(MinHasher, batch_format="pyarrow",
                            concurrency=pool, zero_copy_batch=True)
-    cands = bands.groupby(["band", "band_hash"]).map_groups(
+    bands = bands.map_batches(
+        lambda t: add_bucket_col(t, ["band", "band_hash"], B),
+        batch_format="pyarrow")
+    cands = bands.groupby("__bkt").map_groups(
         candidate_pairs_from_band, batch_format="pandas")
-    # NOTE: a pair colliding in k bands appears k times here. Verifying
-    # duplicates is cheaper than deduping first: Ray's groupby over the
-    # (large) candidate set costs ~100x the cached-jaccard re-checks
-    # (measured at sf0.1: 114 s groupby vs seconds of duplicate
-    # verifies); the verified set is tiny, so distinct happens after.
-    cands = cands.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]),  # within-batch combiner
-        batch_format="pandas")
+    # a pair colliding in k bands appears k times -> distinct BEFORE the
+    # text join so join traffic is not amplified BANDS-fold
+    cands = bucketed_distinct(cands, ["a", "b"], num_buckets=B)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-            self.shingles: dict[int, np.ndarray] = {}  # per-actor cache
+    pairs_with_text = bucketed_attach(
+        cands, ds, left_keys=("a", "b"), corpus_key="doc_id",
+        value_col="text", out_cols=("text_a", "text_b"), num_buckets=B)
 
-        def _sh(self, doc_id: int) -> np.ndarray:
-            s = self.shingles.get(doc_id)
-            if s is None:
-                s = self.shingles[doc_id] = _shingle_hashes(self.texts[doc_id])
-            return s
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            jac = np.empty(len(a))
-            for i, (x, y) in enumerate(zip(a, b)):
-                s1, s2 = self._sh(x), self._sh(y)
-                inter = len(np.intersect1d(s1, s2, assume_unique=True))
-                jac[i] = inter / (len(s1) + len(s2) - inter)
-            keep = jac >= threshold
-            return pa.table({
-                "a": pa.array(np.asarray(a)[keep], type=pa.int64()),
-                "b": pa.array(np.asarray(b)[keep], type=pa.int64()),
-                "jac": pa.array(np.round(jac[keep], 4)),
-            })
-
-    verified = cands.map_batches(Verify, batch_format="pyarrow",
-                                 concurrency=pool)
-    # global distinct over the (small) verified set
-    return verified.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # pairs are already distinct -> no post-verify dedup needed
+    return pairs_with_text.map_batches(
+        VerifyJaccard, fn_constructor_args=(threshold,),
+        batch_format="pyarrow", concurrency=pool)
 
 
 # ---------------------------------------------------------------------------
@@ -245,9 +285,23 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         "simhash", pa.array(out.astype(np.int64), type=pa.int64()))
 
 
-def simhash_dedup(ds, max_hamming: int = 3):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount for uint64 arrays."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
+def simhash_dedup(ds, max_hamming: int = 3, num_buckets: int | None = None):
     """Near-dup pairs by SimHash: bucket by each of 4 16-bit bands (a
-    pair within hamming<=3 collides on >=1 band), verify hamming."""
+    pair within hamming<=3 collides on >=1 band), verify hamming.
+    Same bucketed self-merge as MinHash (one Python call per hash
+    bucket, not per band key) with the MAX_BUCKET degenerate-collision
+    cap; hamming via vectorized XOR + SWAR popcount."""
+    B = num_buckets or default_buckets()
     ds = ds.map_batches(simhash_batch, batch_format="pyarrow",
                         zero_copy_batch=True)
     ds = ds.select_columns(["doc_id", "simhash"])
@@ -267,26 +321,25 @@ def simhash_dedup(ds, max_hamming: int = 3):
         return pa.concat_tables(parts)
 
     ds = ds.map_batches(explode, batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: add_bucket_col(t, ["band", "key"], B),
+                        batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = u["doc_id"].to_numpy()
-        sh = u["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        i, j = np.triu_indices(len(ids), k=1)
-        x = sh[i] ^ sh[j]
-        ham = np.array([bin(v).count("1") for v in x])
+        m = _self_merge_pairs(df, ["band", "key"], carry=["simhash"])
+        if m.empty:
+            return _empty_pairs({"hamming": np.int64})
+        x = m["simhash_x"].to_numpy().astype(np.uint64) ^ \
+            m["simhash_y"].to_numpy().astype(np.uint64)
+        ham = _popcount64(x)
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep],
-                             "hamming": ham[keep].astype(np.int64)})
+        return pd.DataFrame({"a": m["a"].to_numpy()[keep],
+                             "b": m["b"].to_numpy()[keep],
+                             "hamming": ham[keep]})
 
-    out = ds.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
-    # a pair may collide in several bands -> dedup
-    return out.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    out = ds.groupby("__bkt").map_groups(pairs, batch_format="pandas")
+    # hamming is a pure function of (a, b) -> rows are identical across
+    # bands; bucketed distinct replaces the per-pair map_groups
+    return bucketed_distinct(out, ["a", "b"], num_buckets=B)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +349,8 @@ def simhash_dedup(ds, max_hamming: int = 3):
 def embedding_dup_exact(ds, threshold: float = 0.95):
     """All-pairs cosine >= threshold (a < b). Exact: each batch is
     compared against the full broadcast matrix (ray.put once); float64
-    math so the DuckDB double oracle agrees."""
+    math so the DuckDB double oracle agrees. O(n^2) by definition —
+    embedding_dup_lsh below is the 100 TB route."""
     import ray
 
     rows = ds.select_columns(["vec_id", "embedding"]).take_all()
@@ -328,10 +382,11 @@ def embedding_dup_exact(ds, threshold: float = 0.95):
 
 
 def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
-                      n_tables: int = 6):
+                      n_tables: int = 6, num_buckets: int | None = None):
     """Scale path: random-hyperplane LSH buckets, verify within bucket.
     Approximate (may miss pairs LSH never co-buckets); at 100 TB this
     replaces the O(n^2) broadcast with groupby shuffles only."""
+    B = num_buckets or default_buckets()
     rng = np.random.default_rng(1234)
     dim = len(ds.take(1)[0]["embedding"])
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -356,22 +411,28 @@ def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
 
     ds2 = ds.select_columns(["vec_id", "embedding"]).map_batches(
         bucketize, batch_format="pyarrow")
+    ds2 = ds2.map_batches(lambda t: add_bucket_col(t, ["table", "key"], B),
+                          batch_format="pyarrow")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        u = df.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(u) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "cos": pd.Series(dtype=np.float64)})
-        ids = u["vec_id"].to_numpy()
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in u["embedding"]])
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        sims = En @ En.T
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = sims[i, j] >= threshold
-        return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep],
-                             "cos": np.round(sims[i, j][keep], 4)})
+        parts = []
+        for _, g in df.groupby(["table", "key"], sort=False):
+            u = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(u) < 2 or len(u) > MAX_BUCKET:
+                continue
+            ids = u["vec_id"].to_numpy()
+            E = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in u["embedding"]])
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sims = En @ En.T
+            i, j = np.triu_indices(len(ids), k=1)
+            keep = sims[i, j] >= threshold
+            parts.append(pd.DataFrame({
+                "a": ids[i][keep], "b": ids[j][keep],
+                "cos": np.round(sims[i, j][keep], 4)}))
+        if not parts:
+            return _empty_pairs({"cos": np.float64})
+        return pd.concat(parts, ignore_index=True)
 
-    out = ds2.groupby(["table", "key"]).map_groups(verify, batch_format="pandas")
-    return out.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    out = ds2.groupby("__bkt").map_groups(verify, batch_format="pandas")
+    return bucketed_distinct(out, ["a", "b"], num_buckets=B)

@@ -114,29 +114,40 @@ SELECT event_type, hour,
 FROM hourly
 """
 
-def running_totals(ds):
+def running_totals(ds, num_buckets: int | None = None):
     """Per-user running cumulative sum of value, ordered by (ts,
-    event_id) — the stream-shaped 'state per key over an ordered log'
-    expressed as groupby(user).map_groups over the sorted group."""
-    import numpy as np
+    event_id) — the stream-shaped 'state per key over an ordered log'.
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    Scale shape: groupby(hash(user_id) % B) — ONE vectorized pandas
+    call per bucket (groupby-cumsum inside), not one Python call per
+    user (millions of tiny groups at real user cardinality; the concat
+    stage's documented failure mode). The partitioning assumption is
+    only that one user's rows co-locate, guaranteed by the hash."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = df["value"]
+        u = df["user_id"]
         # SQL running-SUM semantics under NULLs: skip nulls but carry
         # the total forward; all-null prefix -> NULL (not 0)
-        v = df["value"]
-        cs = v.fillna(0.0).cumsum()
-        seen_any = v.notna().cummax()
+        cs = v.fillna(0.0).groupby(u, sort=False).cumsum()
+        seen_any = v.notna().groupby(u, sort=False).cummax()
         running = np.round(cs.to_numpy(), 6)
         running = np.where(seen_any.to_numpy(), running, np.nan)
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy(),
-            "user_id": df["user_id"].to_numpy(),
+            "user_id": u.to_numpy(),
             "running_value": running,
-            "running_n": np.arange(1, len(df) + 1, dtype=np.int64),
+            "running_n": (df.groupby("user_id", sort=False).cumcount()
+                          .to_numpy() + 1).astype(np.int64),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    ds = ds.map_batches(lambda t: add_bucket_col(t, ["user_id"], B),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("__bkt").map_groups(per_bucket, batch_format="pandas")
 
 
 RUNNING_TOTALS_SQL = """
@@ -151,29 +162,37 @@ FROM events
 SESSION_GAP_MIN = 30
 
 
-def sessionize_group(df: pd.DataFrame) -> pd.DataFrame:
-    """One user's events -> sessions split at >30 min gaps."""
-    df = df.sort_values(["ts", "event_id"], kind="mergesort")
-    gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-    sid = gap.cumsum()
-    g = df.groupby(sid)
-    out = pd.DataFrame({
-        "user_id": df["user_id"].iloc[0],
-        "session_idx": np.arange(g.ngroups, dtype=np.int64),
-        "session_start": g["ts"].min().to_numpy(),
-        "session_end": g["ts"].max().to_numpy(),
-        "n_events": g.size().to_numpy().astype(np.int64),
-    })
+def sessionize_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One hash bucket of users -> sessions split at >30 min gaps.
+    Fully vectorized: per-user diffs/cumsums via pandas groupby
+    transforms, session bounds via one grouped aggregate."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    u = df["user_id"]
+    gap = (df.groupby("user_id", sort=False)["ts"].diff()
+           > pd.Timedelta(minutes=SESSION_GAP_MIN))
+    sid = gap.groupby(u, sort=False).cumsum().astype(np.int64)
+    g = df.groupby([u, sid], sort=True)
+    agg = g.agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                n_events=("ts", "size"))
+    agg.index.names = ["user_id", "session_idx"]
+    out = agg.reset_index()
+    out["n_events"] = out["n_events"].astype(np.int64)
     out["duration_sec"] = (
         (out["session_end"] - out["session_start"]).dt.total_seconds())
     return out
 
 
-def sessionize(ds):
-    """Gap-based sessions per user (groupby(user).map_groups over the
-    ts-sorted group — the documented ordering assumption)."""
-    return ds.groupby("user_id").map_groups(
-        sessionize_group, batch_format="pandas")
+def sessionize(ds, num_buckets: int | None = None):
+    """Gap-based sessions per user. Bucketed by hash(user_id) % B with
+    one vectorized call per bucket (not one Python call per user);
+    the documented partitioning assumption is user co-location."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+    ds = ds.map_batches(lambda t: add_bucket_col(t, ["user_id"], B),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("__bkt").map_groups(
+        sessionize_bucket, batch_format="pandas")
 
 
 SESSIONIZE_SQL = """

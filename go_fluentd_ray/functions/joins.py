@@ -3,8 +3,8 @@ broadcast-small-side dict lookups; these add the join shapes a
 training-data pipeline needs, each with the guide's recommended
 partitioning):
 
-- as-of join: per-key backward as-of (pd.merge_asof inside
-  groupby(key).map_groups over ts-sorted groups) — the documented
+- as-of join: backward as-of via hash(user_id) % B buckets, ONE
+  vectorized ``pd.merge_asof(by=key)`` per bucket — the documented
   partitioning assumption is that one key's rows co-locate.
 - broadcast dimension join: ray.put the small side once, map-side
   hash lookup per batch (no shuffle at all).
@@ -17,14 +17,34 @@ import pandas as pd
 import pyarrow as pa
 
 
-def asof_signup_lag(events_ds):
+def asof_signup_lag(events_ds, num_buckets: int | None = None):
     """For every purchase event: the most recent signup (same user) at
     or before it, and the lag in seconds. NULL lag when no prior
-    signup. Backward-inclusive semantics == DuckDB ASOF JOIN."""
+    signup. Backward-inclusive semantics == DuckDB ASOF JOIN.
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        p = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        s = df[df["event_type"] == "signup"].sort_values(["ts", "event_id"])
+    Scale shape: rows are pruned to the two relevant event types at the
+    map side, hash-bucketed on user_id (co-location assumption), and
+    each bucket runs ONE vectorized ``pd.merge_asof(..., by="user_id")``
+    — not one Python call per user."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["purchase", "signup"]))
+        return add_bucket_col(
+            batch.select(["event_id", "user_id", "event_type", "ts"])
+            .filter(keep), ["user_id"], B)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        s = df[df["event_type"] == "signup"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
         if p.empty:
             return pd.DataFrame({
                 "event_id": pd.Series(dtype=np.int64),
@@ -33,15 +53,17 @@ def asof_signup_lag(events_ds):
                 "signup_ts": pd.Series(dtype="datetime64[us]"),
                 "lag_sec": pd.Series(dtype=np.float64),
             })
-        m = pd.merge_asof(p[["event_id", "user_id", "ts"]],
-                          s[["ts"]].rename(columns={"ts": "signup_ts"}),
-                          left_on="ts", right_on="signup_ts",
-                          direction="backward")
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            s[["user_id", "ts"]].rename(columns={"ts": "signup_ts"}),
+            left_on="ts", right_on="signup_ts", by="user_id",
+            direction="backward")
         m["lag_sec"] = (m["ts"] - m["signup_ts"]).dt.total_seconds()
         return m
 
-    return events_ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    ds = events_ds.map_batches(prune, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return ds.groupby("__bkt").map_groups(per_bucket, batch_format="pandas")
 
 
 ASOF_SQL = """

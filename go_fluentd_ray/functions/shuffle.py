@@ -1,0 +1,156 @@
+"""Bucketed-shuffle primitives shared by the dedup / join / window
+operators.
+
+The recurring scale problem: ``groupby(high_cardinality_key)
+.map_groups(fn)`` costs one Python call per group — millions of tiny
+calls at real key cardinality (the failure mode stages/concat.py was
+designed around). The fix, applied uniformly here: group by
+``hash(key) % B`` (B ~ a few per core, scaling with data size) and run
+ONE vectorized pandas/numpy function per bucket. The documented
+partitioning assumption is only that all rows of one key co-locate in
+one bucket, which the deterministic hash guarantees.
+
+These helpers also implement the repo's shuffle-native JOIN: instead of
+broadcasting a side via take_all()/ray.put (whole-dataset
+materialization — forbidden at 100 TB), both sides are bucketed on the
+join key, unioned, and merged per-bucket with a vectorized
+``pd.merge``. Sort-based shuffle is deliberately used over Ray's hash
+shuffle (measured 3-6x faster at 0.5-2 GB block scales, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def default_buckets(mult: int = 4, floor: int = 32) -> int:
+    """B ~ mult x cluster cores (floored): each bucket is a healthy
+    block, and per-bucket vectorized work dominates scheduling."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(floor, cpus * mult)
+
+
+def hash_bucket(*cols: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id from one or more key columns (stable
+    across processes — unlike Python's seeded str hash)."""
+    h = pd.util.hash_array(np.asarray(cols[0]))
+    for c in cols[1:]:
+        h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(np.asarray(c))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def add_bucket_col(batch: pa.Table, keys: list[str], num_buckets: int,
+                   out: str = "__bkt") -> pa.Table:
+    arrs = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+    return batch.append_column(
+        out, pa.array(hash_bucket(*arrs, num_buckets=num_buckets)))
+
+
+def bucketed_distinct(ds, keys: list[str], num_buckets: int | None = None):
+    """Global distinct on ``keys`` without per-key map_groups: per-batch
+    drop_duplicates combiner, then one drop_duplicates per hash bucket.
+    Rows must be identical per key tuple (deterministic payload)."""
+    B = num_buckets or default_buckets()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(keys)
+
+    ds = ds.map_batches(combine, batch_format="pandas")
+    ds = ds.map_batches(lambda t: add_bucket_col(t, keys, B),
+                        batch_format="pyarrow")
+    out = ds.groupby("__bkt").map_groups(combine, batch_format="pandas")
+    return out.drop_columns(["__bkt"])
+
+
+def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
+                    corpus_key: str, value_col: str,
+                    out_cols: tuple[str, str],
+                    num_buckets: int | None = None):
+    """Shuffle-native double lookup: for a (a, b) pair table, attach the
+    corpus ``value_col`` for BOTH sides in one corpus shuffle.
+
+    1. pairs explode to (key=a, side=0) + (key=b, side=1) rows;
+    2. union with corpus rows (key=corpus_key, side=-1, value);
+    3. groupby(hash(key) % B): vectorized pd.merge attaches value to
+       each pair-side row (the corpus moves across the wire ONCE);
+    4. groupby(hash(a,b) % B): the two sides of each pair re-co-locate
+       and pivot to (a, b, out_cols[0], out_cols[1]).
+
+    Pairs are assumed distinct on (a, b) (run bucketed_distinct first);
+    pairs are small relative to the corpus, so the extra pair shuffle is
+    cheap. Nothing is ever materialized on the driver."""
+    B = num_buckets or default_buckets()
+    ka, kb = left_keys
+
+    sides_schema = pa.schema([
+        ("__key", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+        ("__side", pa.int8()), ("__val", pa.string()),
+    ])
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch[ka].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[kb].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        return pa.table({
+            "__key": pa.array(np.concatenate([a, b])),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            "__side": pa.array(
+                np.repeat(np.array([0, 1], dtype=np.int8), n)),
+            "__val": pa.nulls(2 * n, pa.string()),
+        }, schema=sides_schema)
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        k = batch[corpus_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        return pa.table({
+            "__key": pa.array(k),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "__side": pa.array(np.full(n, -1, dtype=np.int8)),
+            "__val": batch[value_col].cast(pa.string()),
+        }, schema=sides_schema)
+
+    sides = pairs_ds.map_batches(explode_pairs, batch_format="pyarrow")
+    corpus = corpus_ds.select_columns([corpus_key, value_col]).map_batches(
+        corpus_rows, batch_format="pyarrow")
+    unioned = sides.union(corpus).map_batches(
+        lambda t: add_bucket_col(t, ["__key"], B), batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[df["__side"] == -1][["__key", "__val"]]
+        prs = df[df["__side"] >= 0][["__key", "a", "b", "__side"]]
+        if prs.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "__side": pd.Series(dtype=np.int8),
+                                 "__val": pd.Series(dtype=object)})
+        m = prs.merge(vals, on="__key", how="left")
+        return m[["a", "b", "__side", "__val"]]
+
+    attached = unioned.groupby("__bkt").map_groups(
+        attach, batch_format="pandas")
+    attached = attached.map_batches(
+        lambda t: add_bucket_col(t, ["a", "b"], B), batch_format="pyarrow")
+
+    ca, cb = out_cols
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0][["a", "b", "__val"]].rename(
+            columns={"__val": ca})
+        right = df[df["__side"] == 1][["a", "b", "__val"]].rename(
+            columns={"__val": cb})
+        out = left.merge(right, on=["a", "b"], how="inner")
+        if out.empty:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 ca: pd.Series(dtype=object),
+                                 cb: pd.Series(dtype=object)})
+        return out
+
+    # pivot's output already excludes __bkt
+    return attached.groupby("__bkt").map_groups(pivot, batch_format="pandas")

@@ -7,7 +7,9 @@
   ever crosses the wire (the pre-aggregation pattern).
 - knn_ivf: the scale path — k-means-lite coarse centroids (fit on a
   sample), batches route vectors to their nearest centroid bucket,
-  queries probe only the closest nprobe buckets. Approximate.
+  queries probe only the closest nprobe buckets, and each batch emits
+  only its local top-k per query (same partial pattern as brute force).
+  Approximate.
 """
 
 from __future__ import annotations
@@ -126,16 +128,21 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
                           for v in batch["embedding"].to_pylist()])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
             cid = np.argmax(En @ self.C.T, axis=1)
-            # emit (qid, vec_id, sim) only for vectors in probed buckets
+            # per-batch top-k PARTIAL per query (the same pre-aggregation
+            # knn_bruteforce's Score does): only k rows per (query,
+            # batch) cross the wire, never every scored vector
             parts = {"qid": [], "vec_id": [], "sim": []}
             for qid in range(self.Q.shape[0]):
                 m = np.isin(cid, self.probes[qid])
                 if not m.any():
                     continue
                 sims = self.Q[qid] @ En[m].T
-                parts["qid"].append(np.full(m.sum(), qid, dtype=np.int64))
-                parts["vec_id"].append(ids[m])
-                parts["sim"].append(sims)
+                mids = ids[m]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                parts["qid"].append(np.full(kk, qid, dtype=np.int64))
+                parts["vec_id"].append(mids[top])
+                parts["sim"].append(sims[top])
             if not parts["qid"]:
                 return pa.table({"qid": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),
@@ -148,7 +155,7 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
             })
 
     scored = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
-    df = scored.to_pandas()
+    df = scored.to_pandas()  # k rows per (query, batch) partials: tiny
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
     out = df.groupby("qid", sort=True).head(k).reset_index(drop=True)

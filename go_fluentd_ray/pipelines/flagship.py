@@ -186,17 +186,34 @@ def result_table_sorted(ds: "ray.data.Dataset") -> pa.Table:
     return tbl.take(idx)
 
 
+def _count_partial(keys: list[str]):
+    """Per-batch count combiner: the shuffle moves one row per distinct
+    key tuple per batch instead of one per record (pattern of
+    events.hourly_partial; measured ~2x on sink_counts at sf0.1)."""
+    import pandas as pd
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (df.groupby(keys, sort=False, dropna=False).size()
+                .rename("n").reset_index())
+
+    return partial
+
+
 def sink_counts(ds: "ray.data.Dataset"):
     """Per-sink routed-row counts — the reference dispatcher's per-tag
-    monitoring counters (dispacher.go:138-141) as a groupby-aggregate."""
-    from ray.data.aggregate import Count
+    monitoring counters (dispacher.go:138-141) as a pre-aggregated
+    groupby."""
+    from ray.data.aggregate import Sum
 
-    return ds.groupby("sink").aggregate(Count(alias_name="n")).sort("sink")
+    ds = ds.map_batches(_count_partial(["sink"]), batch_format="pandas")
+    return ds.groupby("sink").aggregate(Sum("n", alias_name="n")).sort("sink")
 
 
 def tool_role_sink_counts(ds: "ray.data.Dataset"):
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
+    ds = ds.map_batches(_count_partial(["tool", "role", "sink"]),
+                        batch_format="pandas")
     return (ds.groupby(["tool", "role", "sink"])
-            .aggregate(Count(alias_name="n"))
+            .aggregate(Sum("n", alias_name="n"))
             .sort(["tool", "role", "sink"]))

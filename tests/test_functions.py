@@ -57,6 +57,32 @@ class TestDedup:
         ex = pairs[(pairs.a == 0) & (pairs.b == 9001)]
         assert ex.iloc[0]["hamming"] == 0
 
+    def test_degenerate_identical_corpus_no_blowup(self):
+        # 10k identical short docs: every LSH band bucket collides into
+        # one degenerate group. The MAX_BUCKET cap must suppress the
+        # O(n^2) pair explosion (~50M pairs) in BOTH minhash and simhash
+        # — completing at all (in seconds) is the assertion; identical
+        # docs are exact-dedup's job, not near-dedup's.
+        n = 10_000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["error: connection refused"] * n,
+        })
+        mh = dedup.minhash_dedup(rd.from_pandas(df), threshold=0.6).to_pandas()
+        assert len(mh) == 0
+        sh = dedup.simhash_dedup(rd.from_pandas(df)).to_pandas()
+        assert len(sh) == 0
+        ex = dedup.exact_dedup(rd.from_pandas(df)).to_pandas()
+        assert len(ex) == 1 and ex.iloc[0]["dups"] == n
+
+    def test_exact_dedup_rows_keeps_min_id(self):
+        df = _docs_with_planted_dups()
+        out = dedup.exact_dedup_rows(rd.from_pandas(df)).to_pandas()
+        assert 9001 not in set(out["doc_id"])   # dup of doc 0 dropped
+        assert 0 in set(out["doc_id"])          # min-id keeper kept
+        assert len(out) == len(df) - 1
+        assert sorted(out.columns) == sorted(df.columns)
+
     def test_embedding_exact_vs_numpy(self):
         ds = rd.read_parquet(f"{SF}/embeddings.parquet")
         out = dedup.embedding_dup_exact(ds, threshold=0.30).to_pandas()
