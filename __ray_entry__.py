@@ -35,7 +35,7 @@ def entry() -> Any:
 
     ds = flagship.read_transcripts(_corpus("/root/testdata/sf0.001"))
     pipe = flagship.build_pipeline(ds, num_buckets=16, finisher_concurrency=2)
-    return pipe.drop_columns(["merged_turns"])
+    return pipe.drop_columns(["merged_turns", "extra"])
 
 
 # ---------------------------------------------------------------------------
@@ -48,7 +48,40 @@ def _q_flagship(sf_dir: str):
 
     ds = flagship.read_transcripts(_corpus(sf_dir))
     pipe = flagship.build_pipeline(ds)
-    return pipe.drop_columns(["merged_turns"])
+    return pipe.drop_columns(["merged_turns", "extra"])
+
+
+def _q_flagship_json_extra(sf_dir: str):
+    """The parse stage's arbitrary-key embedded-JSON flatten (extra
+    map column), exploded to one row per flattened key/value."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from go_fluentd_ray.pipelines import flagship
+
+    ds = flagship.read_transcripts(_corpus(sf_dir))
+    pipe = flagship.build_pipeline(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = batch["extra"].combine_chunks()
+        # list_value_length lacks a map kernel -> lengths from offsets
+        # (null rows advance 0, so they repeat 0 times); .keys/.items
+        # ignore slicing, so slice them to the offset window explicitly
+        off = m.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        lo, hi = int(off[0]), int(off[-1])
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": pa.array(np.repeat(conv, lens), type=pa.string()),
+            "turn_idx": pa.array(np.repeat(turn, lens), type=pa.int32()),
+            "k": m.keys.slice(lo, hi - lo),
+            "v": m.items.slice(lo, hi - lo),
+        })
+
+    return pipe.select_columns(["conv_id", "turn_idx", "extra"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_acceptor_counts(sf_dir: str):
@@ -348,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship": _q_flagship,
         "flagship_sink_counts": _q_flagship_sink_counts,
         "flagship_tool_role_sink_counts": _q_tool_role_sink_counts,
+        "flagship_json_extra": _q_flagship_json_extra,
         "acceptor_counts": _q_acceptor_counts,
         "concat_segments": _q_concat_segments,
         "window_filter": _q_window_filter,
@@ -426,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_tool_role_sink_counts": (
             f"SELECT tool, role, sink, count(*)::BIGINT AS n FROM ({fsql}) "
             "GROUP BY tool, role, sink"),
+        "flagship_json_extra": sql_oracle.json_extra_sql(path),
         "acceptor_counts": sql_oracle.acceptor_counts_sql(path),
         "concat_segments": sql_oracle.concat_segments_sql(path),
         "window_filter": sql_oracle.window_filter_sql(path),

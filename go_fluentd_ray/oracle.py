@@ -37,13 +37,14 @@ import pandas as pd
 import pyarrow as pa
 
 from .config import DEFAULT_CONFIG, PipelineConfig
+from .functions.jsonutil import flatten_obj
 
 # fixed output column order (the Ray pipeline emits the same)
 OUTPUT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "tag", "sink",
     "n_merged", "merged_turns", "text", "time", "@timestamp",
     "app", "level", "thread", "class_name", "line", "message", "project",
-    "json_user", "json_code", "datasource", "rowkey", "level_lower",
+    "json_user", "json_code", "extra", "datasource", "rowkey", "level_lower",
 ]
 
 OUTPUT_SCHEMA = pa.schema(
@@ -69,6 +70,10 @@ OUTPUT_SCHEMA = pa.schema(
         ("project", pa.string()),
         ("json_user", pa.string()),
         ("json_code", pa.int64()),
+        # ALL flattened embedded-JSON keys ("__"-joined nesting,
+        # FlattenMap library/utils.go:75-85 via parser_f.go:74-109);
+        # json_user/json_code above are typed lifts of two of them
+        ("extra", pa.map_(pa.string(), pa.string())),
         ("datasource", pa.string()),
         ("rowkey", pa.string()),
         ("level_lower", pa.string()),
@@ -187,6 +192,7 @@ def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG):
             row["@timestamp"] = None
             row["json_user"] = None
             row["json_code"] = None
+            row["extra"] = None
             parsed.append(row)
             continue
         pat, pcfg = parsers[row["tag"]]
@@ -214,16 +220,27 @@ def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG):
         row["@timestamp"] = dt.strftime(pcfg.new_time_format)
         row["json_user"] = None
         row["json_code"] = None
+        row["extra"] = None
         if pcfg.json_group and row.get(pcfg.json_group):
             jm = _JSON_TAIL.search(row[pcfg.json_group])
             if jm:
                 try:
                     obj = json.loads(jm.group(0))
-                    u, c = obj.get("user"), obj.get("code")
-                    row["json_user"] = str(u) if u is not None else None
-                    row["json_code"] = int(c) if c is not None else None
-                except (ValueError, TypeError):
-                    pass  # failed parse keeps raw (parser_f.go:96-100)
+                except ValueError:
+                    obj = None  # failed parse keeps raw (parser_f.go:96-100)
+                if isinstance(obj, dict):
+                    # every key flattened into the extra map
+                    # (FlattenMap, utils.go:75-85); user/code lifted as
+                    # typed columns after
+                    row["extra"] = list(flatten_obj(obj).items())
+                    try:
+                        u, c = obj.get("user"), obj.get("code")
+                        if u is not None:
+                            row["json_user"] = str(u)
+                        if c is not None:
+                            row["json_code"] = int(c)
+                    except (ValueError, TypeError):
+                        pass  # non-castable lift keeps the raw field
         parsed.append(row)
 
     # ---- enrich (AddCfg) ---------------------------------------------------
@@ -243,9 +260,18 @@ def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG):
                 row[k] = v[: cfg.max_field_len]
 
     # ---- route -------------------------------------------------------------
+    # tags absent from sink_map are DISCARDED, matching route_batch's
+    # documented dispatcher semantics (es_sender_dispatcher.go:63-67)
+    routed = []
     for row in parsed:
-        row["sink"] = cfg.sink_map[row["tag"]]
+        sink = cfg.sink_map.get(row["tag"])
+        if sink is None:
+            discards["no_sink"] = discards.get("no_sink", 0) + 1
+            continue
+        row["sink"] = sink
         row["n_merged"] = len(row["merged_turns"])
+        routed.append(row)
+    parsed = routed
 
     parsed.sort(key=lambda x: (x["conv_id"], x["turn_idx"]))
     arrays = []

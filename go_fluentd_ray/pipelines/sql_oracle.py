@@ -192,6 +192,35 @@ def flagship_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
             f"parsed AS (\n{joined}\n)\n{enrich_route_select(cfg)}")
 
 
+def json_extra_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    """The parse stage's flattened embedded-JSON map (``extra``),
+    exploded to (conv_id, turn_idx, k, v) rows. SQL flattening covers
+    one nesting level via json_keys + unnest (the synth corpus nests one
+    level); the Python flatten_obj handles arbitrary depth and is
+    pytest-covered beyond that."""
+    json_tags = ", ".join(f"'{_sq(t)}'" for t, p in cfg.parsers.items()
+                          if p.json_group)
+    fsql = flagship_sql(path, cfg)
+    return f"""
+WITH f AS ({fsql}),
+j AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(message, '(\\{{.*\\}})\\s*$', 1, 's') AS js
+  FROM f WHERE tag IN ({json_tags}) AND message IS NOT NULL
+),
+jv AS (SELECT * FROM j WHERE js <> '' AND json_valid(js)),
+k1 AS (SELECT conv_id, turn_idx, js, unnest(json_keys(js)) AS k FROM jv)
+SELECT conv_id, turn_idx, k, json_extract_string(js, '$.' || k) AS v
+FROM k1 WHERE json_type(json_extract(js, '$.' || k)) <> 'OBJECT'
+UNION ALL
+SELECT conv_id, turn_idx, k || '__' || k2 AS k,
+       json_extract_string(js, '$.' || k || '.' || k2) AS v
+FROM (SELECT conv_id, turn_idx, js, k,
+             unnest(json_keys(json_extract(js, '$.' || k))) AS k2
+      FROM k1 WHERE json_type(json_extract(js, '$.' || k)) = 'OBJECT') q
+"""
+
+
 def acceptor_counts_sql(path: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
     return (f"WITH {acceptor_cte(path, cfg)}\n"
             "SELECT tag, count(*)::BIGINT AS n FROM flagged GROUP BY tag")

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import PipelineConfig
+from ..functions.jsonutil import flatten_obj
 from ..oracle import OUTPUT_SCHEMA, PARSE_GROUP_COLS
 
 _ISO_DEFAULT = "%Y-%m-%dT%H:%M:%S.%fZ"
@@ -104,6 +105,7 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
         n = sub.num_rows
         json_user = [None] * n
         json_code = [None] * n
+        json_extra = [None] * n
         if pcfg.json_group and pcfg.json_group in fields:
             jm = pc.extract_regex(fields[pcfg.json_group], _JSON_TAIL_PAT)
             jarr = pc.struct_field(jm, "j").to_pylist()
@@ -114,11 +116,22 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                     obj = json.loads(raw)
                 except ValueError:
                     continue  # failed parse keeps raw field
-                u, c = obj.get("user"), obj.get("code")
-                if u is not None:
-                    json_user[i] = str(u)
-                if c is not None:
-                    json_code[i] = int(c)
+                if not isinstance(obj, dict):
+                    continue
+                # ALL keys flattened ("__"-joined) into the extra map
+                # (FlattenMap parity: parser_f.go:74-109 +
+                # library/utils.go:75-85); user/code lifted as typed
+                # columns, guarded like the oracle so untrusted payloads
+                # (e.g. {"code": "abc"}) can't kill the Ray task
+                json_extra[i] = list(flatten_obj(obj).items())
+                try:
+                    u, c = obj.get("user"), obj.get("code")
+                    if u is not None:
+                        json_user[i] = str(u)
+                    if c is not None:
+                        json_code[i] = int(c)
+                except (ValueError, TypeError):
+                    pass  # non-castable lift keeps the raw field
 
         # ---- assemble fixed-schema output -----------------------------
         cols: list[pa.Array] = []
@@ -137,6 +150,8 @@ def parse_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                 cols.append(pa.array(json_user, type=pa.string()))
             elif nm == "json_code":
                 cols.append(pa.array(json_code, type=pa.int64()))
+            elif nm == "extra":
+                cols.append(pa.array(json_extra, type=f.type))
             elif nm in PARSE_GROUP_COLS:
                 cols.append(fields.get(nm, _nulls(n, f.type)))
             elif nm in _LATER_COLS:

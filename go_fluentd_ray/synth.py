@@ -30,7 +30,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = 4
+GENERATOR_VERSION = 5  # v5: spring JSON tails gained a nested "ctx"
+# object so the parser's arbitrary-key FlattenMap path (extra column)
+# is exercised by real corpus data
 # fixed text-generation chunk: file layout and RNG are decoupled from it,
 # so corpus content depends only on (version, n_turns, seed)
 GEN_CHUNK = 50_000
@@ -173,9 +175,13 @@ def _build_text(kind, ts_us, rng: np.random.Generator) -> np.ndarray:
         + cls + " | " + lineno + ": " + msg
     )
     put(kind == K_SPRING, spring)
+    # one nesting level in the tail exercises FlattenMap's "__" joining
+    # (library/utils.go:75-85) through parse -> extra map column
     spring_json = (
         dash + " | " + app + " | " + level + " | " + thread + " | " + cls
-        + " | " + lineno + ': ' + msg + ' {"user": "u' + uuid + '", "code": ' + code + "}"
+        + " | " + lineno + ': ' + msg + ' {"user": "u' + uuid + '", "code": '
+        + code + ', "ctx": {"ip": "10.0.0.' + lineno + '", "zone": "z'
+        + code + '"}}'
     )
     put(kind == K_SPRING_JSON, spring_json)
     cp = (

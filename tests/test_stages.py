@@ -162,6 +162,26 @@ class TestParse:
         r = out.to_pylist()[0]
         assert r["json_user"] == "u7" and r["json_code"] == 201
 
+    def test_flatten_map_through_parse(self):
+        # mirrors the reference TestFlattenMap (utils_test.go:11-54)
+        # shape through the full parse stage: nested keys join with
+        # "__" into the extra map; user/code absent -> typed lifts null
+        out = _parsed(['2024-01-01 00:00:01.300 | a | INFO | t | c | 1: '
+                       'done {"a": "1", "b": {"c": 2, "d": {"e": 3}}, "f": 4}'])
+        r = out.to_pylist()[0]
+        assert dict(r["extra"]) == {"a": "1", "b__c": "2",
+                                    "b__d__e": "3", "f": "4"}
+        assert r["json_user"] is None and r["json_code"] is None
+
+    def test_json_noncastable_code_no_crash(self):
+        # ADVICE regression: {"code": "abc"} must not raise ValueError
+        # inside the Ray task; json_user keeps its value, code stays null
+        out = _parsed(['2024-01-01 00:00:01.300 | a | INFO | t | c | 1: '
+                       'done {"user": "u9", "code": "abc"}'])
+        r = out.to_pylist()[0]
+        assert r["json_user"] == "u9" and r["json_code"] is None
+        assert dict(r["extra"]) == {"user": "u9", "code": "abc"}
+
     def test_json_invalid_kept_raw(self):
         out = _parsed(['2024-01-01 00:00:01.300 | a | INFO | t | c | 1: '
                        'done {not json}'])
