@@ -84,6 +84,31 @@ def _q_flagship_json_extra(sf_dir: str):
         explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bigdata_cfg():
+    """Config variant with the CustomBigDataFilter rowkey semantic
+    (postfilters/custom_bigdata.go:60-70): rowkey = <field> + '_' +
+    unix(row's @timestamp) via the %{@unixof:col} enrich token."""
+    import dataclasses
+
+    from go_fluentd_ray.config import DEFAULT_CONFIG, AddOp
+
+    adds = dict(DEFAULT_CONFIG.adds)
+    adds["app.spring.sit"] = (
+        AddOp("datasource", "spring"),
+        AddOp("rowkey", "%{app}_%{@unixof:@timestamp}"),
+        AddOp("level_lower", "%{@lower:level}"),
+    )
+    return dataclasses.replace(DEFAULT_CONFIG, adds=adds)
+
+
+def _q_flagship_bigdata_rowkey(sf_dir: str):
+    from go_fluentd_ray.pipelines import flagship
+
+    ds = flagship.read_transcripts(_corpus(sf_dir))
+    pipe = flagship.build_pipeline(ds, _bigdata_cfg())
+    return pipe.select_columns(["conv_id", "turn_idx", "tag", "rowkey"])
+
+
 def _q_acceptor_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -382,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_sink_counts": _q_flagship_sink_counts,
         "flagship_tool_role_sink_counts": _q_tool_role_sink_counts,
         "flagship_json_extra": _q_flagship_json_extra,
+        "flagship_bigdata_rowkey": _q_flagship_bigdata_rowkey,
         "acceptor_counts": _q_acceptor_counts,
         "concat_segments": _q_concat_segments,
         "window_filter": _q_window_filter,
@@ -461,6 +487,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT tool, role, sink, count(*)::BIGINT AS n FROM ({fsql}) "
             "GROUP BY tool, role, sink"),
         "flagship_json_extra": sql_oracle.json_extra_sql(path),
+        "flagship_bigdata_rowkey": (
+            "SELECT conv_id, turn_idx, tag, rowkey FROM ("
+            + sql_oracle.flagship_sql(path, _bigdata_cfg()) + ")"),
         "acceptor_counts": sql_oracle.acceptor_counts_sql(path),
         "concat_segments": sql_oracle.concat_segments_sql(path),
         "window_filter": sql_oracle.window_filter_sql(path),

@@ -39,8 +39,11 @@ class ConcatCfg:
     ``head_regex``: a line matching this starts a new logical record;
     non-matching lines are appended to the pending record (joined with
     ``joiner``) within the same (tag, conv_id), ordered by turn_idx.
-    ``max_length``: once the pending record's text exceeds this, it is
-    flushed (concator_f.go:197-202) and subsequent lines start fresh.
+    ``max_length``: checked after each append — once the pending
+    record's CONTENT length (sum of line lengths, no joiner bytes: the
+    reference appends raw bytes, concator_f.go:186-201) reaches
+    ``>= max_length``, the record is flushed and subsequent lines start
+    fresh. ``joiner`` is per-tag, like the rest of this config.
     """
 
     head_regex: str

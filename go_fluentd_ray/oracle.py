@@ -99,6 +99,17 @@ def _interp(value: str, row: dict, tag: str) -> str:
         if expr.startswith("@upper:"):
             v = row.get(expr[7:])
             return str(v).upper() if v is not None else ""
+        if expr.startswith("@unixof:"):
+            # row's timestamp column as epoch seconds
+            # (custom_bigdata.go:60-70); unparsable/missing -> ''
+            v = row.get(expr[8:])
+            if v is None:
+                return ""
+            t = pd.to_datetime(v, utc=True, errors="coerce")
+            if pd.isna(t):
+                return ""
+            t = t.tz_localize(None)
+            return str(int((t - pd.Timestamp("1970-01-01")).total_seconds()))
         v = row.get(expr)
         return str(v) if v is not None else ""
 
@@ -170,12 +181,17 @@ def run_oracle(table: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG):
                 if pending is not None:
                     out_rows.append(pending)
                 pending = row
+                pending["_clen"] = len(row["text"])
             elif pending is None:
                 out_rows.append(row)
             else:
                 pending["text"] = pending["text"] + ccfg.joiner + row["text"]
+                pending["_clen"] += len(row["text"])
                 pending["merged_turns"] = pending["merged_turns"] + [row["turn_idx"]]
-                if len(pending["text"]) > ccfg.max_length:
+                # flush at CONTENT length >= max_length — no joiner
+                # bytes counted (concator_f.go:196-201; its '\n' append
+                # is commented out)
+                if pending["_clen"] >= ccfg.max_length:
                     out_rows.append(pending)
                     pending = None
         if pending is not None:

@@ -8,8 +8,9 @@ __ray_entry__.queries()/oracle_sql() before either side runs.
 
 Note: max_length concat overflow is intentionally NOT modeled in SQL —
 at test scales no segment approaches max_length=8192 (longest
-continuation runs are ~20 lines x ~100 chars); the overflow semantics
-are covered by unit tests + the pure-Python oracle instead.
+continuation runs are ~20 lines x ~100 chars, content-length counted);
+the overflow semantics are covered by unit tests + the pure-Python
+oracle instead.
 """
 
 from __future__ import annotations
@@ -68,8 +69,22 @@ flagged AS (
 )"""
 
 
+def _estr(s: str) -> str:
+    """A DuckDB E'...' string literal for an arbitrary joiner."""
+    esc = (s.replace("\\", "\\\\").replace("'", "\\'")
+           .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r"))
+    return f"e'{esc}'"
+
+
 def concat_cte(cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
-    return """
+    """Segment + merge. The joiner comes from the config, PER TAG
+    (string_agg's separator must be constant, so each non-first row is
+    prefixed with its tag's joiner and the aggregate uses '')."""
+    jo_cases = " ".join(
+        f"WHEN '{_sq(t)}' THEN {_estr(c.joiner)}"
+        for t, c in cfg.concat.items())
+    jo = f"CASE tag {jo_cases} ELSE chr(10) END" if jo_cases else "chr(10)"
+    return f"""
 segmented AS (
   SELECT *, SUM(CASE WHEN is_head THEN 1 ELSE 0 END)
               OVER (PARTITION BY tag, conv_id ORDER BY turn_idx
@@ -79,8 +94,14 @@ segmented AS (
 segkey AS (
   SELECT *, CASE WHEN NOT concat_on THEN 'x' || turn_idx
                  WHEN headcnt = 0   THEN 'p' || turn_idx
-                 ELSE 's' || headcnt END AS seg
+                 ELSE 's' || headcnt END AS seg,
+         {jo} AS jo
   FROM segmented
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tag, conv_id, seg
+                               ORDER BY turn_idx) AS rn
+  FROM segkey
 ),
 merged AS (
   SELECT tag, conv_id,
@@ -88,9 +109,10 @@ merged AS (
          arg_min(role, turn_idx)                       AS role,
          arg_min(tool, turn_idx)                       AS tool,
          arg_min(ts, turn_idx)                         AS ts,
-         string_agg(text, chr(10) ORDER BY turn_idx)   AS text,
+         string_agg(CASE WHEN rn = 1 THEN text ELSE jo || text END,
+                    '' ORDER BY turn_idx)              AS text,
          count(*)::INTEGER                             AS n_merged
-  FROM segkey
+  FROM ranked
   GROUP BY tag, conv_id, seg
 )"""
 
@@ -144,28 +166,101 @@ def _json_exprs(tag: str, cfg: PipelineConfig) -> str:
     )
 
 
+def _tpl_sql(value: str, tag: str, cfg: PipelineConfig) -> str:
+    """Compile ONE AddOp template into a SQL expression using the SAME
+    compile_template the Ray enrich stage uses (no semantic drift by
+    construction). Run-dependent tokens (@now/@unix/@str) are not
+    SQL-expressible and raise."""
+    from ..stages.enrich import compile_template
+
+    parts: list[str] = []
+    for kind, payload in compile_template(value):
+        if kind == "lit":
+            parts.append(f"'{_sq(payload)}'")
+        elif kind == "tag":
+            parts.append(f"'{_sq(tag)}'")
+        elif kind == "id":
+            parts.append("coalesce(CAST(conv_id AS VARCHAR), '') || '-' || "
+                         "coalesce(CAST(turn_idx AS VARCHAR), '')")
+        elif kind == "col":
+            parts.append(f"coalesce(CAST(\"{payload}\" AS VARCHAR), '')")
+        elif kind == "lower":
+            parts.append(f"lower(coalesce(CAST(\"{payload}\" AS VARCHAR), ''))")
+        elif kind == "upper":
+            parts.append(f"upper(coalesce(CAST(\"{payload}\" AS VARCHAR), ''))")
+        elif kind == "unixof":
+            # epoch seconds of the row's timestamp column
+            # (custom_bigdata.go:60-70); string columns are parsed with
+            # the tag's new_time_format, timestamp columns used directly
+            p = cfg.parsers.get(tag)
+            if payload == "@timestamp" and p is not None:
+                fmt = _sq(p.new_time_format)
+                parts.append(
+                    f"coalesce(CAST(CAST(floor(epoch(try_strptime("
+                    f"\"@timestamp\", '{fmt}'))) AS BIGINT) AS VARCHAR), '')")
+            else:
+                parts.append(
+                    f"coalesce(CAST(CAST(floor(epoch(\"{payload}\")) "
+                    f"AS BIGINT) AS VARCHAR), '')")
+        else:
+            raise ValueError(f"token kind {kind!r} is not SQL-expressible")
+    return " || ".join(parts) if parts else "''"
+
+
+def _last_ops(cfg: PipelineConfig) -> dict[str, dict[str, "str | None"]]:
+    """key -> {tag: final value} (later ops override earlier per tag)."""
+    out: dict[str, dict[str, "str | None"]] = {}
+    for tag, ops in cfg.adds.items():
+        for op in ops:
+            out.setdefault(op.key, {})[tag] = op.value
+    return out
+
+
+_PARSE_OUT_COLS = ["app", "level", "thread", "class_name", "line",
+                   "message", "project"]
+_ENRICH_KEYS = ["datasource", "rowkey", "level_lower"]
+
+
 def enrich_route_select(cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
-    ds_case = " ".join(
-        f"WHEN '{_sq(t)}' THEN '{_sq(next(op.value for op in ops if op.key == 'datasource'))}'"
-        for t, ops in cfg.adds.items())
-    lower_tags = ", ".join(
-        f"'{_sq(t)}'" for t, ops in cfg.adds.items()
-        if any(op.key == "level_lower" for op in ops))
-    del_thread_tags = ", ".join(
-        f"'{_sq(t)}'" for t, ops in cfg.adds.items()
-        if any(op.key == "thread" and op.value is None for op in ops)) or "''"
+    """Enrich + route, generated from cfg.adds by compiling each AddOp
+    template (delete ops -> NULL for that tag; set ops -> compiled
+    expression; untouched tags keep the parse column / get NULL for
+    enrich-only keys)."""
+    ops = _last_ops(cfg)
+
+    def col_expr(c: str) -> str:
+        e = f'"{c}"'
+        per_tag = ops.get(c, {})
+        del_tags = [t for t, v in per_tag.items() if v is None]
+        if del_tags:
+            tl = ", ".join(f"'{_sq(t)}'" for t in del_tags)
+            e = f"CASE WHEN tag IN ({tl}) THEN NULL ELSE {e} END"
+        set_whens = " ".join(
+            f"WHEN '{_sq(t)}' THEN {_tpl_sql(v, t, cfg)}"
+            for t, v in per_tag.items() if v is not None)
+        if set_whens:
+            e = f"CASE tag {set_whens} ELSE {e} END"
+        return f"{e} AS {c}"
+
+    def enrich_expr(key: str) -> str:
+        whens = " ".join(
+            f"WHEN '{_sq(t)}' THEN {_tpl_sql(v, t, cfg)}"
+            for t, v in ops.get(key, {}).items() if v is not None)
+        if not whens:
+            return f"NULL AS {key}"
+        return f"CASE tag {whens} END AS {key}"
+
     sink_case = " ".join(
         f"WHEN '{_sq(t)}' THEN '{_sq(s)}'" for t, s in cfg.sink_map.items())
+    parse_sel = ",\n       ".join(col_expr(c) for c in _PARSE_OUT_COLS)
+    enrich_sel = ",\n       ".join(enrich_expr(k) for k in _ENRICH_KEYS)
     return f"""
 SELECT conv_id, turn_idx, role, tool, ts, tag,
        CASE tag {sink_case} END AS sink,
        n_merged, text, time, "@timestamp",
-       app, level,
-       CASE WHEN tag IN ({del_thread_tags}) THEN NULL ELSE thread END AS thread,
-       class_name, line, message, project, json_user, json_code,
-       CASE tag {ds_case} END AS datasource,
-       conv_id || '_' || tag AS rowkey,
-       CASE WHEN tag IN ({lower_tags}) THEN coalesce(lower(level), '') END AS level_lower
+       {parse_sel},
+       json_user, json_code,
+       {enrich_sel}
 FROM parsed"""
 
 

@@ -72,9 +72,6 @@ def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig,
         schema = schema.append(pa.field("bucket", pa.int32()))
     if n == 0:
         return schema.empty_table()
-    joiners = {c.joiner for c in cfg.concat.values()}
-    assert len(joiners) <= 1, "per-tag joiners unsupported in vectorized path"
-    joiner = joiners.pop() if joiners else "\n"
 
     tag_codes, tag_uniq = pd.factorize(df["tag"])
     conv_codes, conv_uniq = pd.factorize(df["conv_id"])
@@ -100,17 +97,18 @@ def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig,
     prehead = hc_in_grp == 0
     seg_start = new_group | is_head | prehead
 
-    # overflow: once cumulative joined length exceeds max_length (checked
-    # after each append, concator_f.go:197-202) later rows are singletons
+    # overflow: the reference checks the pending CONTENT length (no
+    # joiner bytes counted) after each append and flushes at >= MaxLen
+    # (concator_f.go:196-201; the '\n' append there is commented out,
+    # so MaxLen counts message bytes only); later rows are singletons
     maxlen = np.fromiter(
         ((cfg.concat[t].max_length if t in cfg.concat else _NO_CONCAT_MAXLEN)
          for t in tag_uniq), dtype=np.int64, count=len(tag_uniq))[tag_codes]
-    jlen = len(joiner)
-    c = np.cumsum(tlen + jlen)
+    c = np.cumsum(tlen)
     seg_first = np.maximum.accumulate(np.where(seg_start, idx, 0))
     pos_ge1 = idx != seg_first
     cum = np.where(pos_ge1, c - c[seg_first] + tlen[seg_first], tlen[seg_first])
-    overflowed = (cum > maxlen) & pos_ge1
+    overflowed = (cum >= maxlen) & pos_ge1
     # True iff any STRICTLY EARLIER row in the same segment overflowed
     prev = np.zeros(n, dtype=bool)
     prev[1:] = overflowed[:-1]
@@ -125,8 +123,36 @@ def concat_bucket(df: pd.DataFrame, cfg: PipelineConfig,
     bounds = np.append(offsets, np.int32(n))
     n_merged = np.diff(bounds).astype(np.int32)
     off_arr = pa.array(bounds, type=pa.int32())
-    joined = pc.binary_join(pa.ListArray.from_arrays(off_arr, text),
-                            joiner)
+
+    # per-tag joiners (ConcatorFactCfg is per-tag config): the lexsort
+    # puts each tag's rows -- and therefore its segments -- in one
+    # contiguous run, so join each tag-slice with its own joiner and
+    # concatenate the per-tag results in run order
+    joiners = np.array(
+        [(cfg.concat[t].joiner if t in cfg.concat else "\n")
+         for t in tag_uniq], dtype=object)
+    seg_tag = tag_codes[offsets]
+    uniq_joiners = set(joiners.tolist())
+    if len(uniq_joiners) <= 1:
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(off_arr, text),
+            uniq_joiners.pop() if uniq_joiners else "\n")
+    else:
+        parts = []
+        s = 0
+        while s < len(seg_tag):
+            e = s
+            while e < len(seg_tag) and seg_tag[e] == seg_tag[s]:
+                e += 1
+            row_lo = int(bounds[s])
+            sub_off = pa.array(
+                (bounds[s:e + 1] - row_lo).astype(np.int32), type=pa.int32())
+            sub_txt = text.slice(row_lo, int(bounds[e]) - row_lo)
+            parts.append(pc.binary_join(
+                pa.ListArray.from_arrays(sub_off, sub_txt),
+                str(joiners[seg_tag[s]])))
+            s = e
+        joined = pa.concat_arrays(parts)
     merged_turns = pa.ListArray.from_arrays(
         off_arr, pa.array(turn, type=pa.int32()))
 

@@ -32,9 +32,14 @@ def compile_template(value: str):
     %{col}, %{@tag}, %{@lower:col}, %{@upper:col}, %{@id} (the row's
     stable id = conv_id-turn_idx analogue of producer.go:257's msgid),
     %{@now} / %{@unix} (the pipeline RUN's timestamp — injected once at
-    stage construction so output is deterministic within a run), and
-    %{@str:N} (a seeded pseudo-random token, deterministic per actor
-    construction — the reference's random string, made reproducible).
+    stage construction so output is deterministic within a run),
+    %{@unixof:col} (the ROW's timestamp column as epoch seconds — the
+    CustomBigDataFilter rowkey semantic, postfilters/custom_bigdata.go:
+    60-70: rowkey = vin + "_" + unix(@timestamp); accepts a timestamp
+    column or an ISO-string column, unparsable/missing -> ''), and
+    %{@str:N} (a RUN-CONSTANT pseudo-random token: eval_template always
+    seeds Random(seed=0), so every actor and row gets the same string —
+    the reference's random string made fully reproducible).
     """
     plan = []
     pos = 0
@@ -50,6 +55,8 @@ def compile_template(value: str):
             plan.append(("now", expr))
         elif expr.startswith("@str:"):
             plan.append(("str", int(expr[5:] or 8)))
+        elif expr.startswith("@unixof:"):
+            plan.append(("unixof", expr[8:]))
         elif expr.startswith("@lower:"):
             plan.append(("lower", expr[7:]))
         elif expr.startswith("@upper:"):
@@ -100,6 +107,24 @@ def eval_template(plan, batch: pa.Table, tag: str,
             rng = __import__("random").Random(seed)
             parts.append(pa.scalar("".join(
                 rng.choice(_string.ascii_lowercase) for _ in range(payload))))
+        elif kind == "unixof":
+            if payload not in batch.column_names:
+                parts.append(pa.scalar(""))
+            else:
+                import numpy as np
+                import pandas as pd
+
+                col = batch[payload]
+                if pa.types.is_timestamp(col.type):
+                    arr = col.to_pandas().to_numpy()
+                else:
+                    dt = pd.to_datetime(col.to_pandas(), utc=True,
+                                        errors="coerce")
+                    arr = dt.dt.tz_localize(None).to_numpy()
+                mask = pd.isna(arr)
+                sec = arr.astype("datetime64[s]").astype(np.int64).astype(str)
+                parts.append(pa.array(
+                    np.where(mask, "", sec), type=pa.string()))
         elif kind == "col":
             parts.append(_col_as_str(batch, payload, n))
         elif kind == "lower":

@@ -109,3 +109,40 @@ def test_parity_multichar_joiner_with_overflow():
     out = _parity(cfg)
     joined = out.to_pandas()["text"].str.contains("~~", regex=False)
     assert joined.any()  # the joiner actually fired
+
+
+def test_parity_per_tag_joiners():
+    """Two concat tags with DIFFERENT joiners (ConcatorFactCfg is
+    per-tag config): the vectorized per-tag-slice join must equal the
+    oracle's per-tag loop."""
+    from go_fluentd_ray.config import ConcatCfg, PipelineConfig
+
+    base = oracle.DEFAULT_CONFIG.concat["app.spring.sit"]
+    cfg = PipelineConfig(concat={
+        "app.spring.sit": ConcatCfg(head_regex=base.head_regex,
+                                    max_length=8192, joiner=" || "),
+        "bot.sit": ConcatCfg(head_regex=base.head_regex,
+                             max_length=8192, joiner="\t"),
+    })
+    out = _parity(cfg)
+    df = out.to_pandas()
+    spring = df[df["tag"] == "app.spring.sit"]
+    assert spring["text"].str.contains(" || ", regex=False).any()
+
+    # hand case where BOTH tags genuinely merge (the synth corpus's
+    # per-line retag means bot.sit never receives continuation lines)
+    from go_fluentd_ray.stages.concat import concat_bucket
+
+    head = "2024-01-01 00:00:00.123 | h"
+    hand = pd.DataFrame({
+        "conv_id": ["c"] * 4,
+        "turn_idx": [0, 1, 2, 3],
+        "role": ["user"] * 4, "tool": [""] * 4,
+        "ts": [pd.Timestamp("2024-06-01")] * 4,
+        "tag": ["app.spring.sit", "app.spring.sit", "bot.sit", "bot.sit"],
+        "text": [head, "contA", head, "contB"],
+        "is_head": [True, False, True, False],
+    })
+    got = concat_bucket(hand, cfg)
+    texts = sorted(got["text"].to_pylist())
+    assert texts == sorted([head + " || contA", head + "\tcontB"])

@@ -103,12 +103,21 @@ class TestConcat:
         assert out["text"].to_pylist() == ["pre1", "pre2", HEAD + "a\ncont"]
 
     def test_max_length_flush(self):
-        # head(5) + joiner(1) + cont(5) = 11 > 10 -> flush after first append;
-        # subsequent continuation lines emitted alone (concator_f.go:197-202)
+        # content head(5)+cont(5) = 10 >= 10 -> flush after first append
+        # (no joiner bytes counted, flush at >=, concator_f.go:196-201);
+        # subsequent continuation lines emitted alone
         df = _concat_df(["headx", "aaaaa", "bbbbb", "ccccc"],
                         [True, False, False, False])
         out = concat_bucket(df, _cfg_maxlen(10))
         assert out["text"].to_pylist() == ["headx\naaaaa", "bbbbb", "ccccc"]
+
+    def test_max_length_boundary_content_only(self):
+        # maxlen=11: content 10 < 11 after first append (joiner byte NOT
+        # counted) -> keep appending; 15 >= 11 at the second -> flush
+        df = _concat_df(["headx", "aaaaa", "bbbbb", "ccccc"],
+                        [True, False, False, False])
+        out = concat_bucket(df, _cfg_maxlen(11))
+        assert out["text"].to_pylist() == ["headx\naaaaa\nbbbbb", "ccccc"]
 
     def test_two_convs_no_bleed(self):
         a = _concat_df([HEAD + "a", "cont"], [True, False], conv="a")
@@ -266,6 +275,23 @@ class TestPostfilters:
 
 class TestEnrichExtraTokens:
     """%{@id}, %{@now}/%{@unix}, %{@str:N} (library/add.go:14-27)."""
+
+    def test_unixof_iso_string_col(self):
+        # custom_bigdata.go:60-70: rowkey = field + '_' + unix(@timestamp)
+        batch = pa.table({"app": ["vin1", "vin2", "vin3"],
+                          "@timestamp": ["2024-01-01T00:00:01.300000Z",
+                                         "not-a-time", None]})
+        out = eval_template(
+            compile_template("%{app}_%{@unixof:@timestamp}"), batch, "t"
+        ).to_pylist()
+        assert out == ["vin1_1704067201", "vin2_", "vin3_"]
+
+    def test_unixof_timestamp_col(self):
+        batch = pa.table({"ts": pa.array(
+            [pd.Timestamp("2024-01-01 00:00:01.9")], pa.timestamp("us"))})
+        out = eval_template(
+            compile_template("%{@unixof:ts}"), batch, "t").to_pylist()
+        assert out == ["1704067201"]  # floor, not round
 
     def _ev(self, template, cols, **kw):
         from go_fluentd_ray.stages.enrich import compile_template, eval_template
