@@ -397,6 +397,81 @@ def _q_http_ingest(sf_dir: str):
         http_validate_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_RSYSLOG_SHIFT = 3600
+
+
+def _q_rsyslog_transform(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.json as pajson
+    import ray.data as rd
+
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.sources.receivers import rsyslog_transform_batch
+
+    path = synth.ensure_rsyslog_corpus(_http_n(sf_dir))
+    schema = pa.schema([("rec_id", pa.int64()), ("host", pa.string()),
+                        ("timestamp", pa.string()), ("lvl", pa.string()),
+                        ("msg", pa.string())])
+    ds = rd.read_json(path,
+                      parse_options=pajson.ParseOptions(explicit_schema=schema))
+    return ds.map_batches(
+        lambda t: rsyslog_transform_batch(
+            t, time_shift_sec=_RSYSLOG_SHIFT, rewrite={"lvl": "level"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_kafka_parse(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.json as pajson
+    import ray.data as rd
+
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.sources.receivers import kafka_parse_batch
+
+    path = synth.ensure_kafka_corpus(_http_n(sf_dir))
+    schema = pa.schema([("rec_id", pa.int64()), ("value", pa.string())])
+    ds = rd.read_json(path,
+                      parse_options=pajson.ParseOptions(explicit_schema=schema))
+    return ds.map_batches(kafka_parse_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _q_fluentd_frames(sf_dir: str):
+    """fluentd-forward msgpack frame decode (3 frame shapes). Rows-only:
+    DuckDB cannot read msgpack, so parity is covered by pytest
+    (TestFluentdFrames) instead of a SQL oracle."""
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.sources.fluentd_frames import read_fluentd_frames
+
+    path = synth.ensure_fluentd_corpus(_http_n(sf_dir))
+    return read_fluentd_frames(path)
+
+
+def _q_http_fields_route(sf_dir: str):
+    """Composed post pipeline: http validate -> FieldsFilter
+    (TemplateWithMap new_fields + include projection) ->
+    ForwardTagRewriterFilter (env recovered from orig_tag suffix)."""
+    import ray.data as rd
+
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.sources.receivers import http_validate_batch
+    from go_fluentd_ray.stages.postfilter import (fields_filter_batch,
+                                                  forward_tag_rewrite_batch)
+
+    path = synth.ensure_http_corpus(_http_n(sf_dir))
+    ds = rd.read_json(path).map_batches(
+        http_validate_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: fields_filter_batch(
+            t, include=("rec_id", "summary", "region", "orig_tag"),
+            new_fields={"summary": "${msg} @${timestamp}",
+                        "region": "${missing_col}"}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: forward_tag_rewrite_batch(t, base="forward-wechat"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # generate the sf0.01 corpus eagerly so oracle_sql() paths always
     # resolve regardless of which side the driver runs first
@@ -432,6 +507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal_meta,
         "http_ingest": _q_http_ingest,
         "http_pipeline": _q_http_pipeline,
+        "rsyslog_transform": _q_rsyslog_transform,
+        "kafka_parse": _q_kafka_parse,
+        "http_fields_route": _q_http_fields_route,
+        "fluentd_frames": _q_fluentd_frames,
         "word_topk": _q_word_topk,
         "distinct_users": _q_distinct_users,
         "asof_signup_lag": _q_asof,
@@ -463,6 +542,62 @@ def _http_pipeline_sql() -> str:
 
     path = synth.ensure_http_corpus(_http_n(SF001))
     return http_pipeline.sql(path + "/part-*.json", synth.HTTP_SALT)
+
+
+def _rsyslog_sql() -> str:
+    from go_fluentd_ray import synth
+
+    path = synth.ensure_rsyslog_corpus(_http_n(SF001))
+    return f"""
+SELECT rec_id, host, lvl AS level, msg AS message,
+       strftime(strptime(timestamp, '%Y-%m-%dT%H:%M:%S.%f')
+                + INTERVAL {_RSYSLOG_SHIFT} SECOND,
+                '%Y-%m-%dT%H:%M:%S.%fZ') AS "@timestamp",
+       'emqtt.sit' AS tag
+FROM read_json_auto('{path}/part-*.json',
+     columns={{'rec_id': 'BIGINT', 'host': 'VARCHAR',
+               'timestamp': 'VARCHAR', 'lvl': 'VARCHAR', 'msg': 'VARCHAR'}})
+"""
+
+
+def _kafka_sql() -> str:
+    from go_fluentd_ray import synth
+
+    path = synth.ensure_kafka_corpus(_http_n(SF001))
+    return f"""
+WITH k AS (
+  SELECT rec_id, value, try_cast(value AS JSON) AS j
+  FROM read_json_auto('{path}/part-*.json',
+       columns={{'rec_id': 'BIGINT', 'value': 'VARCHAR'}})
+),
+k2 AS (
+  SELECT rec_id, value,
+         CASE WHEN json_type(j) = 'OBJECT' THEN j END AS jo
+  FROM k
+)
+SELECT rec_id,
+  CASE WHEN jo IS NOT NULL THEN json_extract_string(jo, '$.log')
+       ELSE value END AS log,
+  CASE WHEN jo IS NOT NULL AND json_type(jo, '$.tag') = 'VARCHAR'
+       THEN json_extract_string(jo, '$.tag') ELSE 'kafka.sit' END AS tag,
+  CASE WHEN jo IS NOT NULL THEN json_extract_string(jo, '$.app') END AS app,
+  CASE WHEN jo IS NOT NULL THEN json_extract_string(jo, '$.level') END AS level
+FROM k2
+"""
+
+
+def _http_fields_route_sql() -> str:
+    return rf"""
+WITH v AS ({_http_ingest_sql()})
+SELECT rec_id, orig_tag,
+       CASE WHEN regexp_matches(orig_tag, '\.[^.]+$')
+            THEN 'forward-wechat.' || regexp_extract(orig_tag,
+                                                     '\.([^.]+)$', 1)
+            ELSE tag END AS tag,
+       coalesce(msg, '') || ' @' || coalesce(timestamp, '') AS summary,
+       '${{missing_col}}' AS region
+FROM v
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -521,6 +656,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
         "http_ingest": _http_ingest_sql(),
         "http_pipeline": _http_pipeline_sql(),
+        "rsyslog_transform": _rsyslog_sql(),
+        "kafka_parse": _kafka_sql(),
+        "http_fields_route": _http_fields_route_sql(),
         "word_topk": _agg.WORD_TOPK_SQL,
         "distinct_users": _agg.DISTINCT_USERS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,

@@ -188,3 +188,55 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
     with open(os.path.join(out_root, METRICS), "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# ElasticSearch _bulk NDJSON sink (wire-format parity)
+# ---------------------------------------------------------------------------
+
+def es_bulk_payload(batch: pa.Table, type_name: str = "logs",
+                    drop: tuple[str, ...] = ("merged_turns", "extra",
+                                             "bucket")) -> str:
+    """Format one batch as an ES ``_bulk`` body
+    (senders/elasticsearch.go:125-159): per routed row, an action line
+    ``{"index": {"_index": <sink>, "_type": "logs"}}`` followed by the
+    message JSON; null fields and non-JSON columns are omitted, rows
+    with no sink are skipped (getMsgStarting error path)."""
+    lines: list[str] = []
+    for r in batch.to_pylist():
+        sink = r.get("sink")
+        if sink is None:
+            continue
+        doc = {k: v for k, v in r.items()
+               if v is not None and k not in drop}
+        lines.append(json.dumps(
+            {"index": {"_index": sink, "_type": type_name}},
+            separators=(",", ":")))
+        lines.append(json.dumps(doc, separators=(",", ":"), default=str))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def write_es_bulk(ds, out_root: str, type_name: str = "logs"):
+    """Write the dataset as gzipped ES ``_bulk`` NDJSON files (the
+    reference gzips each bulk POST body, elasticsearch.go:165-170) —
+    one file per executing batch, atomic rename, written inside the map
+    task so nothing funnels through the driver. Returns the lazy
+    per-file summary dataset; count() it to execute."""
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        import gzip
+        import uuid
+
+        payload = es_bulk_payload(batch, type_name)
+        name = f"bulk-{uuid.uuid4().hex}.ndjson.gz"
+        fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".btmp")
+        os.close(fd)
+        with gzip.open(tmp, "wb") as f:
+            f.write(payload.encode("utf-8"))
+        os.rename(tmp, os.path.join(out_root, name))
+        n_docs = payload.count('{"index"')
+        return pa.table({"file": pa.array([name], type=pa.string()),
+                         "docs": pa.array([n_docs], type=pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")

@@ -21,6 +21,7 @@ written atomically (tmp dir + rename) so concurrent callers are safe.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import tempfile
@@ -344,15 +345,16 @@ def http_records(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
     })
 
 
-def ensure_http_corpus(n: int, seed: int = DEFAULT_SEED) -> str:
-    key = f"http-v{HTTP_CORPUS_VERSION}-t{n}-s{seed}"
+def _ensure_jsonl(key: str, version: int, n: int, seed: int, df_fn) -> str:
+    """Atomically materialize a deterministic JSONL corpus under
+    CACHE_ROOT/key (rename-into-place, meta sidecar marks completion)."""
     d = os.path.join(CACHE_ROOT, key)
     meta = os.path.join(CACHE_ROOT, key + ".meta.json")
     if os.path.exists(meta) and os.path.isdir(d):
         return d
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
-    df = http_records(n, seed)
+    df = df_fn(n, seed)
     chunk = 20_000
     for i in range(0, len(df), chunk):
         df.iloc[i:i + chunk].to_json(
@@ -368,5 +370,161 @@ def ensure_http_corpus(n: int, seed: int = DEFAULT_SEED) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
     if not os.path.exists(meta):
         with open(meta, "w") as f:
-            json.dump({"version": HTTP_CORPUS_VERSION, "n": n, "seed": seed}, f)
+            json.dump({"version": version, "n": n, "seed": seed}, f)
+    return d
+
+
+def ensure_http_corpus(n: int, seed: int = DEFAULT_SEED) -> str:
+    return _ensure_jsonl(f"http-v{HTTP_CORPUS_VERSION}-t{n}-s{seed}",
+                         HTTP_CORPUS_VERSION, n, seed, http_records)
+
+
+# ---------------------------------------------------------------------------
+# rsyslog JSONL corpus (recvs/rsyslog.go semantics fixture)
+# ---------------------------------------------------------------------------
+
+RSYSLOG_CORPUS_VERSION = 1
+
+
+def rsyslog_records(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Deterministic syslog-shaped records: ISO timestamp string (with
+    microseconds), msg under ``msg``, a ``lvl`` key to exercise
+    rewrite_tags renames."""
+    rng = np.random.default_rng((seed, 515151))
+    base = pd.Timestamp("2024-01-05")
+    ts = base + pd.to_timedelta(rng.integers(0, 10 * 86400 * 10**6, n),
+                                unit="us")
+    w = _WORDS[rng.integers(0, len(_WORDS), n)]
+    levels = np.array(["info", "warn", "error", "debug"])
+    return pd.DataFrame({
+        "rec_id": np.arange(n, dtype=np.int64),
+        "host": "emq-" + pd.Series(rng.integers(1, 9, n)).astype(str),
+        "timestamp": ts.strftime("%Y-%m-%dT%H:%M:%S.%f").to_numpy(
+            dtype=object),
+        "lvl": levels[rng.integers(0, 4, n)],
+        "msg": pd.Series(w, dtype=object) + " connected",
+    })
+
+
+def ensure_rsyslog_corpus(n: int, seed: int = DEFAULT_SEED) -> str:
+    return _ensure_jsonl(f"rsyslog-v{RSYSLOG_CORPUS_VERSION}-t{n}-s{seed}",
+                         RSYSLOG_CORPUS_VERSION, n, seed, rsyslog_records)
+
+
+# ---------------------------------------------------------------------------
+# kafka JSONL corpus (recvs/kafka.go dual-path fixture)
+# ---------------------------------------------------------------------------
+
+KAFKA_CORPUS_VERSION = 1
+
+
+def kafka_records(n: int, seed: int = DEFAULT_SEED) -> pd.DataFrame:
+    """Deterministic kafka record values: ~70% JSON objects (some with
+    tag-from-key, some with missing fields), ~15% raw text, ~10%
+    valid-but-non-object JSON, ~5% broken JSON — the dual parse paths of
+    kafka.go:209-252."""
+    rng = np.random.default_rng((seed, 616161))
+    w = _WORDS[rng.integers(0, len(_WORDS), n)]
+    kind = rng.random(n)
+    vals = np.empty(n, dtype=object)
+    apps = np.array(["paysvc", "ordersvc", "authsvc"])
+    tags = np.array(["app.kafka.sit", "cp.kafka.sit"])
+    for i in range(n):
+        if kind[i] < 0.40:       # full object with tag key
+            vals[i] = json.dumps({
+                "log": f"{w[i]} handled", "tag": str(tags[i % 2]),
+                "app": str(apps[i % 3]), "level": "INFO"})
+        elif kind[i] < 0.55:     # object, no tag -> default tag
+            vals[i] = json.dumps({"log": f"{w[i]} fallback",
+                                  "app": str(apps[i % 3])})
+        elif kind[i] < 0.62:     # object with non-string tag -> default
+            vals[i] = json.dumps({"log": f"{w[i]} numtag", "tag": 7,
+                                  "level": "WARN"})
+        elif kind[i] < 0.70:     # object missing log -> null message
+            vals[i] = json.dumps({"tag": str(tags[i % 2]), "level": "ERROR"})
+        elif kind[i] < 0.85:     # raw text path
+            vals[i] = f"raw {w[i]} line"
+        elif kind[i] < 0.95:     # valid JSON, not an object -> raw path
+            vals[i] = json.dumps([1, 2, int(kind[i] * 100)])
+        else:                    # broken JSON -> raw path
+            vals[i] = '{"log": "broken'
+    return pd.DataFrame({
+        "rec_id": np.arange(n, dtype=np.int64),
+        "value": vals,
+    })
+
+
+def ensure_kafka_corpus(n: int, seed: int = DEFAULT_SEED) -> str:
+    return _ensure_jsonl(f"kafka-v{KAFKA_CORPUS_VERSION}-t{n}-s{seed}",
+                         KAFKA_CORPUS_VERSION, n, seed, kafka_records)
+
+
+# ---------------------------------------------------------------------------
+# fluentd-forward msgpack frame corpus (recvs/fluentd.go:209-342 fixture)
+# ---------------------------------------------------------------------------
+
+FLUENTD_CORPUS_VERSION = 1
+
+
+def fluentd_frame_bytes(n: int, seed: int = DEFAULT_SEED) -> bytes:
+    """One connection-stream's bytes: a deterministic mix of the three
+    frame shapes (Forward / PackedForward / Message) totalling n
+    records, plus a couple of malformed frames that must be discarded."""
+    import msgpack
+
+    rng = np.random.default_rng((seed, 717171))
+    out = io.BytesIO()
+    t0 = 1704412800  # 2024-01-05
+    i = 0
+    while i < n:
+        shape = int(rng.integers(0, 3))
+        tag = ["spring.sit", "spark.sit", "ai.sit"][int(rng.integers(0, 3))]
+        k = min(int(rng.integers(1, 6)), n - i)
+        recs = [{"log": f"line-{i + j} {int(rng.integers(0, 999))}",
+                 "host": f"node-{int(rng.integers(1, 5))}",
+                 "meta": {"dc": "dc1"}} for j in range(k)]
+        if shape == 0:      # Forward
+            out.write(msgpack.packb(
+                [tag, [[t0 + i + j, recs[j]] for j in range(k)]]))
+        elif shape == 1:    # PackedForward
+            inner = b"".join(msgpack.packb([t0 + i + j, recs[j]])
+                             for j in range(k))
+            out.write(msgpack.packb([tag, inner]))
+        else:               # Message (one record per frame)
+            k = 1
+            out.write(msgpack.packb([tag, t0 + i, recs[0]]))
+        i += k
+    # malformed frames: wrong arity / non-map record -> discarded
+    out.write(msgpack.packb(["only-tag"]))
+    out.write(msgpack.packb([42, 1, {"log": "bad tag"}]))
+    out.write(msgpack.packb(["t", 1, "not-a-map"]))
+    return out.getvalue()
+
+
+def ensure_fluentd_corpus(n: int, seed: int = DEFAULT_SEED,
+                          n_files: int = 4) -> str:
+    key = f"fluentd-v{FLUENTD_CORPUS_VERSION}-t{n}-s{seed}"
+    d = os.path.join(CACHE_ROOT, key)
+    meta = os.path.join(CACHE_ROOT, key + ".meta.json")
+    if os.path.exists(meta) and os.path.isdir(d):
+        return d
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
+    per = max(1, n // n_files)
+    for f_i in range(n_files):
+        cnt = per if f_i < n_files - 1 else n - per * (n_files - 1)
+        with open(os.path.join(tmp, f"conn-{f_i:03d}.msgpack"), "wb") as f:
+            f.write(fluentd_frame_bytes(cnt, seed + f_i))
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.isdir(d):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"version": FLUENTD_CORPUS_VERSION, "n": n,
+                       "seed": seed}, f)
     return d

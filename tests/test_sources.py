@@ -85,3 +85,93 @@ class TestKafka:
         t = pa.table({"value": pa.array(['{"log": "x"}'])})
         r = kafka_parse_batch(t, is_json_format=False).to_pylist()[0]
         assert r["log"] == '{"log": "x"}'  # kept raw when not json format
+
+
+class TestFluentdFrames:
+    """fluentd-forward msgpack frame decode (recvs/fluentd.go:209-342):
+    three frame shapes, malformed discards."""
+
+    def _roundtrip(self, frames_bytes):
+        from go_fluentd_ray.sources.fluentd_frames import frames_to_table
+
+        return frames_to_table(frames_bytes)
+
+    def test_three_shapes(self):
+        import msgpack
+
+        buf = b"".join([
+            # Forward
+            msgpack.packb(["t1", [[100, {"log": "a", "k": 1}],
+                                  [101, {"log": "b"}]]]),
+            # PackedForward
+            msgpack.packb(["t2", msgpack.packb([102, {"log": "c"}])
+                           + msgpack.packb([103, {"log": "d"}])]),
+            # Message
+            msgpack.packb(["t3", 104, {"log": "e", "meta": {"dc": "x"}}]),
+        ])
+        out = self._roundtrip(buf).to_pylist()
+        assert [(r["tag"], r["time"], r["message"]) for r in out] == [
+            ("t1", 100, "a"), ("t1", 101, "b"),
+            ("t2", 102, "c"), ("t2", 103, "d"), ("t3", 104, "e")]
+        # nested record keys flatten with __ (FlattenMap parity)
+        assert dict(out[4]["extra"]) == {"log": "e", "meta__dc": "x"}
+
+    def test_malformed_discarded(self):
+        import msgpack
+
+        from go_fluentd_ray.sources.fluentd_frames import decode_stream
+
+        buf = b"".join([
+            msgpack.packb(["only-tag"]),            # arity < 2
+            msgpack.packb([42, 1, {"log": "x"}]),   # non-str tag
+            msgpack.packb(["t", 1, "not-a-map"]),   # record not a map
+            msgpack.packb(["t", [[1, "not-a-map"]]]),
+            msgpack.packb(["ok", 5, {"log": "kept"}]),
+        ])
+        rows, discarded = decode_stream(buf)
+        assert len(rows) == 1 and rows[0][0] == "ok"
+        assert discarded == 4
+
+    def test_ray_source_end_to_end(self):
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.sources.fluentd_frames import read_fluentd_frames
+
+        path = synth.ensure_fluentd_corpus(400)
+        ds = read_fluentd_frames(path)
+        df = ds.to_pandas()
+        assert len(df) == 400
+        assert set(df["tag"]) <= {"spring.sit", "spark.sit", "ai.sit"}
+        assert df["message"].str.startswith("line-").all()
+
+
+class TestEsBulkSink:
+    def test_bulk_format_and_roundtrip(self, tmp_path):
+        import gzip
+        import json as _json
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from go_fluentd_ray.oracle import OUTPUT_SCHEMA
+        from go_fluentd_ray.pipelines.flagship import run_local
+        from go_fluentd_ray.stages.sinks import write_es_bulk
+        from go_fluentd_ray.synth import transcript_table
+
+        out = run_local(transcript_table(2000))
+        ds = rd.from_arrow(out)
+        summary = write_es_bulk(ds, str(tmp_path)).to_pandas()
+        assert summary["docs"].sum() == out.num_rows
+        docs = 0
+        indexes = set()
+        for f in tmp_path.glob("bulk-*.ndjson.gz"):
+            lines = gzip.open(f, "rt").read().splitlines()
+            assert len(lines) % 2 == 0
+            for i in range(0, len(lines), 2):
+                action = _json.loads(lines[i])
+                doc = _json.loads(lines[i + 1])
+                assert action["index"]["_type"] == "logs"
+                indexes.add(action["index"]["_index"])
+                assert "conv_id" in doc and "merged_turns" not in doc
+                docs += 1
+        assert docs == out.num_rows
+        assert indexes == set(pa.compute.unique(out["sink"]).to_pylist())
