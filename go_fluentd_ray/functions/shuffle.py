@@ -25,9 +25,12 @@ import pandas as pd
 import pyarrow as pa
 
 
-def default_buckets(mult: int = 4, floor: int = 32) -> int:
+def default_buckets(mult: int = 2, floor: int = 32) -> int:
     """B ~ mult x cluster cores (floored): each bucket is a healthy
-    block, and per-bucket vectorized work dominates scheduling."""
+    block and per-bucket vectorized work dominates scheduling. At data
+    scales where a bucket would outgrow worker memory, callers pass
+    num_buckets explicitly (B only has to satisfy
+    rows_per_key_group << corpus/B << worker heap)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
@@ -69,7 +72,9 @@ def bucketed_distinct(ds, keys: list[str], num_buckets: int | None = None):
 def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
                     corpus_key: str, value_col: str,
                     out_cols: tuple[str, str],
-                    num_buckets: int | None = None):
+                    num_buckets: int | None = None,
+                    dedup_sides: bool = False,
+                    finalize=None):
     """Shuffle-native double lookup: for a (a, b) pair table, attach the
     corpus ``value_col`` for BOTH sides in one corpus shuffle.
 
@@ -80,9 +85,14 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
     4. groupby(hash(a,b) % B): the two sides of each pair re-co-locate
        and pivot to (a, b, out_cols[0], out_cols[1]).
 
-    Pairs are assumed distinct on (a, b) (run bucketed_distinct first);
-    pairs are small relative to the corpus, so the extra pair shuffle is
-    cheap. Nothing is ever materialized on the driver."""
+    ``dedup_sides=True`` makes duplicate (a, b) pairs in the input
+    harmless (side rows are deduped inside the keyed stage — cheaper
+    than a standalone distinct shuffle when the payload per key is
+    deterministic). ``finalize(df)`` runs INSIDE the pivot stage on the
+    joined (a, b, out_cols...) frame — fusing the consumer (e.g. a
+    verify filter) into the shuffle stage so wide intermediate rows are
+    reduced before they are ever written out as blocks. Nothing is
+    materialized on the driver."""
     B = num_buckets or default_buckets()
     ka, kb = left_keys
 
@@ -124,6 +134,8 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[df["__side"] == -1][["__key", "__val"]]
         prs = df[df["__side"] >= 0][["__key", "a", "b", "__side"]]
+        if dedup_sides and not prs.empty:
+            prs = prs.drop_duplicates(["a", "b", "__side"])
         if prs.empty:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
@@ -146,10 +158,12 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
             columns={"__val": cb})
         out = left.merge(right, on=["a", "b"], how="inner")
         if out.empty:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 ca: pd.Series(dtype=object),
-                                 cb: pd.Series(dtype=object)})
+            out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                "b": pd.Series(dtype=np.int64),
+                                ca: pd.Series(dtype=object),
+                                cb: pd.Series(dtype=object)})
+        if finalize is not None:
+            out = finalize(out)
         return out
 
     # pivot's output already excludes __bkt
