@@ -371,6 +371,25 @@ def _q_http_pipeline(sf_dir: str):
     return http_pipeline.build(rd.read_json(path))
 
 
+def _q_hash_sample(sf_dir: str):
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.hash_sample(_docs(sf_dir), rate_pct=20)
+
+
+def _q_quota_per_key(sf_dir: str):
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.quota_per_key(_docs(sf_dir), key="lang",
+                                  measure="n_chars", n=25)
+
+
+def _q_doc_chunks(sf_dir: str):
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.chunk_documents(_docs(sf_dir))
+
+
 def _q_word_topk(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
@@ -511,6 +530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kafka_parse": _q_kafka_parse,
         "http_fields_route": _q_http_fields_route,
         "fluentd_frames": _q_fluentd_frames,
+        "hash_sample": _q_hash_sample,
+        "quota_per_key": _q_quota_per_key,
+        "doc_chunks": _q_doc_chunks,
         "word_topk": _q_word_topk,
         "distinct_users": _q_distinct_users,
         "asof_signup_lag": _q_asof,
@@ -606,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import aggregates as _agg
     from go_fluentd_ray.functions import joins as _joins
     from go_fluentd_ray.functions import events, multimodal, similarity
+    from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import text as T
     from go_fluentd_ray.pipelines import sql_oracle
 
@@ -659,6 +682,9 @@ def oracle_sql() -> dict[str, str]:
         "rsyslog_transform": _rsyslog_sql(),
         "kafka_parse": _kafka_sql(),
         "http_fields_route": _http_fields_route_sql(),
+        "hash_sample": _sampling.hash_sample_sql(20),
+        "quota_per_key": _sampling.quota_per_key_sql(n=25),
+        "doc_chunks": _sampling.chunk_documents_sql(),
         "word_topk": _agg.WORD_TOPK_SQL,
         "distinct_users": _agg.DISTINCT_USERS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,

@@ -381,3 +381,51 @@ def test_grok_data_not_dotall_when_greedydata_present():
     pat = compile_grok("%{DATA:a}X %{GREEDYDATA:rest}")
     m = re.search(pat, "line1\nline2X restof")
     assert m and m.group("a") == "line2"
+
+
+class TestSampling:
+    """Deterministic sampling / quota / chunking operators."""
+
+    def test_hash_sample_deterministic_and_rate(self):
+        from go_fluentd_ray.functions import sampling
+
+        df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64),
+                           "text": ["x"] * 2000})
+        a = sampling.hash_sample(rd.from_pandas(df), 20).to_pandas()
+        b = sampling.hash_sample(rd.from_pandas(df), 20).to_pandas()
+        assert set(a["doc_id"]) == set(b["doc_id"])  # run-to-run stable
+        assert 0.15 < len(a) / 2000 < 0.25
+        # monotone: a higher rate strictly contains a lower rate
+        c = sampling.hash_sample(rd.from_pandas(df), 50).to_pandas()
+        assert set(a["doc_id"]) <= set(c["doc_id"])
+
+    def test_quota_per_key(self):
+        from go_fluentd_ray.functions import sampling
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(100, dtype=np.int64),
+            "lang": ["en"] * 60 + ["de"] * 40,
+            "n_chars": np.concatenate([np.arange(60), np.arange(40)]),
+        })
+        out = sampling.quota_per_key(rd.from_pandas(df), n=5).to_pandas()
+        assert len(out) == 10
+        en = out[out["lang"] == "en"]["n_chars"]
+        assert sorted(en) == [55, 56, 57, 58, 59]  # top-5 longest per key
+
+    def test_chunk_documents_windows(self):
+        from go_fluentd_ray.functions import sampling
+
+        text = "abcdefghij" * 100  # 1000 chars
+        df = pd.DataFrame({"doc_id": [7, 8],
+                           "text": [text, "short"]})
+        out = (sampling.chunk_documents(rd.from_pandas(df),
+                                        width=400, stride=300)
+               .to_pandas().sort_values(["doc_id", "chunk_idx"]))
+        d7 = out[out["doc_id"] == 7]
+        # starts 0, 300, 600, 900 -> 4 chunks; overlap of 100 chars
+        assert list(d7["chunk_idx"]) == [0, 1, 2, 3]
+        assert d7.iloc[0]["chunk"] == text[0:400]
+        assert d7.iloc[1]["chunk"][:100] == text[300:400]
+        assert d7.iloc[3]["chunk"] == text[900:1000]  # short tail
+        d8 = out[out["doc_id"] == 8]
+        assert list(d8["chunk"]) == ["short"]
