@@ -270,6 +270,31 @@ def _q_embedding_dup_lsh(sf_dir: str):
     return dedup.embedding_dup_lsh(_emb(sf_dir), threshold=_EMB_DUP_THR)
 
 
+def _q_embedding_dedup_rows(sf_dir: str):
+    """Near-dup dedup to ROWS over the embedding-cosine pair graph:
+    connected components (iterative bucketed min-label propagation),
+    keep the min vec_id per component, bucketed anti-join filter."""
+    from go_fluentd_ray.functions import dedup
+    from go_fluentd_ray.functions.components import dedup_rows_by_components
+
+    emb = _emb(sf_dir)
+    pairs = dedup.embedding_dup_exact(emb, threshold=_EMB_DUP_THR)
+    out = dedup_rows_by_components(emb, pairs, "vec_id")
+    return out.select_columns(["vec_id", "label"])
+
+
+def _q_near_dedup_rows(sf_dir: str):
+    """Same component machinery over the MinHash-LSH verified pair
+    graph on documents (rows-only: minhash is not SQL-expressible)."""
+    from go_fluentd_ray.functions import dedup
+    from go_fluentd_ray.functions.components import dedup_rows_by_components
+
+    docs = _docs(sf_dir)
+    pairs = dedup.minhash_dedup(docs, threshold=0.7)
+    out = dedup_rows_by_components(docs, pairs, "doc_id")
+    return out.select_columns(["doc_id"])
+
+
 def _q_knn(sf_dir: str):
     from go_fluentd_ray.functions import similarity
 
@@ -517,6 +542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "embedding_dup": _q_embedding_dup,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
+        "embedding_dedup_rows": _q_embedding_dedup_rows,
+        "near_dedup_rows": _q_near_dedup_rows,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "events_hourly": _q_events_hourly,
@@ -671,6 +698,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding)
                   >= {_EMB_DUP_THR}""",
+        "embedding_dedup_rows": f"""
+            WITH RECURSIVE e AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= {_EMB_DUP_THR}
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT u FROM comp WHERE u <> root)""",
         "knn_bruteforce": similarity.knn_bruteforce_sql(emb_dim),
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_sliding_3h": events.SLIDING_3H_SQL,

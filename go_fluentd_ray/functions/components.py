@@ -1,0 +1,157 @@
+"""Connected components over a near-duplicate pair graph — the dedup
+endgame: verified pairs (from MinHash / SimHash / embedding cosine)
+form an undirected graph; each component keeps ONE representative (the
+min node id) and every other member is dropped.
+
+Algorithm: iterative bucketed min-label propagation (the standard
+large-graph CC approach when the edge set lives in a distributed
+dataset): every node starts labelled min(self, neighbors); each round
+pushes labels across edges and takes the per-node min; fixpoint is
+reached in <= graph-diameter rounds. Every round is two small bucketed
+shuffles over the PAIR graph (bounded by the near-dup count, orders of
+magnitude below the corpus) — the corpus itself is touched exactly
+once, by the final bucketed anti-join row filter.
+
+Convergence is detected with a cheap global Sum aggregate on the label
+dataset (labels only ever decrease, so an unchanged sum IS the
+fixpoint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .shuffle import add_bucket_col, default_buckets
+
+
+def _min_label_partial(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("n", sort=False)["lab"].min().reset_index()
+    return g
+
+
+def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
+                         num_buckets: int | None = None,
+                         max_iters: int = 30):
+    """(a, b) pair Dataset -> (n, root) Dataset, root = min node id in
+    the component. Nodes not in any pair are absent (their root is
+    themselves by definition)."""
+    from ray.data.aggregate import Min
+
+    B = num_buckets or default_buckets()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs_ds.map_batches(both_dirs,
+                                 batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        return pa.table({"n": pa.array(u),
+                         "lab": pa.array(np.minimum(u, v))})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .map_batches(_min_label_partial, batch_format="pandas")
+              .groupby("n").aggregate(Min("lab", alias_name="lab"))
+              ).materialize()
+    prev_sum = labels.sum("lab")
+
+    sides_schema = pa.schema([("__key", pa.int64()), ("u", pa.int64()),
+                              ("lab", pa.int64()), ("__side", pa.int8())])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"__key": batch["v"].cast(pa.int64()),
+                         "u": batch["u"].cast(pa.int64()),
+                         "lab": pa.nulls(n, pa.int64()),
+                         "__side": pa.array(np.zeros(n, dtype=np.int8))},
+                        schema=sides_schema)
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"__key": batch["n"].cast(pa.int64()),
+                         "u": pa.nulls(n, pa.int64()),
+                         "lab": batch["lab"].cast(pa.int64()),
+                         "__side": pa.array(np.ones(n, dtype=np.int8))},
+                        schema=sides_schema)
+
+    def push(df: pd.DataFrame) -> pd.DataFrame:
+        labs = df[df["__side"] == 1][["__key", "lab"]]
+        es = df[df["__side"] == 0][["__key", "u"]]
+        if es.empty:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
+                                 "lab": pd.Series(dtype=np.int64)})
+        m = es.merge(labs, on="__key", how="inner")
+        return (m.groupby("u", sort=False)["lab"].min().reset_index()
+                .rename(columns={"u": "n"}))
+
+    def hop_rows(batch: pa.Table) -> pa.Table:
+        # pointer-doubling request: look up the label OF my label
+        n = batch.num_rows
+        return pa.table({"__key": batch["lab"].cast(pa.int64()),
+                         "u": batch["n"].cast(pa.int64()),
+                         "lab": pa.nulls(n, pa.int64()),
+                         "__side": pa.array(np.zeros(n, dtype=np.int8))},
+                        schema=sides_schema)
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    for _ in range(max_iters):
+        # one neighbor-push round + one pointer-doubling round per
+        # iteration: push spreads labels one hop, doubling jumps
+        # label->label-of-label, so chains converge in O(log diameter).
+        # The coalescing repartitions matter: unions inflate block
+        # counts and every sort shuffle spawns one reduce task per
+        # block (measured ~30s/iter without them, ~1s/iter with).
+        e_side = edges.map_batches(edge_rows, batch_format="pyarrow")
+        h_side = labels.map_batches(hop_rows, batch_format="pyarrow")
+        l_side = labels.map_batches(label_rows, batch_format="pyarrow")
+        pushed = (e_side.union(h_side).union(l_side)
+                  .repartition(cpus, shuffle=False)
+                  .map_batches(lambda t: add_bucket_col(t, ["__key"], B),
+                               batch_format="pyarrow")
+                  .groupby("__bkt").map_groups(push, batch_format="pandas"))
+        labels = (pushed.union(labels)
+                  .repartition(cpus, shuffle=False)
+                  .map_batches(_min_label_partial, batch_format="pandas")
+                  .groupby("n").aggregate(Min("lab", alias_name="lab"))
+                  ).materialize()
+        s = labels.sum("lab")
+        if s == prev_sum:  # labels only decrease -> fixpoint
+            break
+        prev_sum = s
+
+    def rename(batch: pa.Table) -> pa.Table:
+        # empty pandas partials can promote ints to float64 upstream —
+        # pin the output dtype
+        return pa.table({"n": batch["n"].cast(pa.int64()),
+                         "root": batch["lab"].cast(pa.int64())})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_rows_by_components(corpus_ds, pairs_ds, id_col: str,
+                             num_buckets: int | None = None):
+    """Keep one representative (min id) per near-dup component: corpus
+    rows minus non-root component members, via a bucketed anti-join
+    (ONE corpus shuffle; the drop set never lands on the driver)."""
+    from .shuffle import bucketed_anti_join
+
+    comp = connected_components(pairs_ds, num_buckets=num_buckets)
+
+    def non_roots(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch["n"], batch["root"])
+        return batch.filter(keep).select(["n"])
+
+    drop = comp.map_batches(non_roots, batch_format="pyarrow")
+    return bucketed_anti_join(corpus_ds, id_col, drop, "n",
+                              num_buckets=num_buckets)

@@ -168,3 +168,64 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
 
     # pivot's output already excludes __bkt
     return attached.groupby("__bkt").map_groups(pivot, batch_format="pandas")
+
+
+def bucketed_anti_join(ds, key: str, keys_ds, keys_col: str,
+                       num_buckets: int | None = None):
+    """ds rows whose ``key`` is NOT in keys_ds[keys_col] — the
+    distributed anti-join: both sides bucket on hash(key) % B, one
+    corpus shuffle, vectorized isin filter per bucket. Replaces the
+    take_all()-the-key-set-and-broadcast pattern, which is unbounded
+    when the key set scales with the corpus."""
+    B = num_buckets or default_buckets()
+    base = ds.schema().base_schema
+    if not isinstance(base, pa.Schema):
+        # pandas-block datasets report a PandasBlockSchema; resolve the
+        # Arrow schema from a one-row prefix instead
+        import ray
+
+        base = ray.get(ds.limit(1).to_arrow_refs()[0]).schema
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        out = batch.append_column(
+            "__drop", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+        return add_bucket_col(out, [key], B)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = []
+        for f in base:
+            if f.name == key:
+                c = batch[keys_col].cast(f.type)
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                cols.append(c)
+            else:
+                cols.append(pa.nulls(n, f.type))
+        out = pa.Table.from_arrays(cols, schema=base)
+        out = out.append_column(
+            "__drop", pa.array(np.ones(n, dtype=np.int8)))
+        return add_bucket_col(out, [key], B)
+
+    left = ds.map_batches(corpus_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = keys_ds.map_batches(key_rows, batch_format="pyarrow")
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        dropset = df[df["__drop"] == 1][key]
+        keep = df[df["__drop"] == 0]
+        out = keep[~keep[key].isin(set(dropset))]
+        return out.drop(columns=["__drop", "__bkt"])
+
+    out = left.union(right).groupby("__bkt").map_groups(
+        anti, batch_format="pandas")
+
+    def restore(batch: pa.Table) -> pa.Table:
+        # the null-padded key rows promote int columns to float in the
+        # pandas bucket frames — cast back to the corpus schema
+        cols = [batch[f.name].cast(f.type) for f in base]
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in cols], schema=base)
+
+    return out.map_batches(restore, batch_format="pyarrow")

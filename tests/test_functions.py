@@ -429,3 +429,41 @@ class TestSampling:
         assert d7.iloc[3]["chunk"] == text[900:1000]  # short tail
         d8 = out[out["doc_id"] == 8]
         assert list(d8["chunk"]) == ["short"]
+
+
+class TestComponents:
+    """Connected components by iterative bucketed min-label propagation
+    with pointer doubling (functions/components.py)."""
+
+    def test_hand_graph(self):
+        from go_fluentd_ray.functions.components import connected_components
+
+        pairs = pd.DataFrame({"a": [1, 2, 3, 5], "b": [2, 3, 9, 6]})
+        comp = (connected_components(rd.from_pandas(pairs))
+                .to_pandas().set_index("n")["root"].to_dict())
+        assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    def test_chain_converges_log_rounds(self):
+        from go_fluentd_ray.functions.components import connected_components
+
+        n = 30  # worst-case diameter for plain propagation
+        pairs = pd.DataFrame({"a": np.arange(n - 1, dtype=np.int64),
+                              "b": np.arange(1, n, dtype=np.int64)})
+        comp = connected_components(rd.from_pandas(pairs)).to_pandas()
+        assert (comp["root"] == 0).all() and len(comp) == n
+
+    def test_dedup_rows_by_components(self):
+        from go_fluentd_ray.functions.components import (
+            dedup_rows_by_components)
+
+        pairs = pd.DataFrame({"a": [1, 2, 5], "b": [2, 3, 6]})
+        corpus = pd.DataFrame({
+            "doc_id": np.arange(10, dtype=np.int64),
+            "text": [f"d{i}" for i in range(10)],
+            "n": np.arange(10, dtype=np.int32),  # int col survives
+        })
+        out = dedup_rows_by_components(
+            rd.from_pandas(corpus), rd.from_pandas(pairs),
+            "doc_id").to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 4, 5, 7, 8, 9]
+        assert str(out["n"].dtype) == "int32"  # schema restored
