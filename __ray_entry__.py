@@ -142,6 +142,19 @@ def _q_concat_segments(sf_dir: str):
         ["tag", "conv_id", "turn_idx", "role", "tool", "ts", "text", "n_merged"])
 
 
+def _q_discard_counts(sf_dir: str):
+    """Per-reason discard accounting — the reference's /monitor counter
+    surface (window / spark_ignore / unknown_tag / regex_nonmatch /
+    must_include / time_parse / emitted)."""
+    import ray.data as rd
+
+    from go_fluentd_ray.config import DEFAULT_CONFIG
+    from go_fluentd_ray.pipelines import monitoring
+
+    return monitoring.discard_counts(rd.read_parquet(_corpus(sf_dir)),
+                                     DEFAULT_CONFIG)
+
+
 def _q_window_filter(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -530,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acceptor_counts": _q_acceptor_counts,
         "concat_segments": _q_concat_segments,
         "window_filter": _q_window_filter,
+        "discard_counts": _q_discard_counts,
         # training-data operators
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -656,6 +670,8 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import joins as _joins
     from go_fluentd_ray.functions import events, multimodal, similarity
     from go_fluentd_ray.functions import sampling as _sampling
+    from go_fluentd_ray.config import DEFAULT_CONFIG as _dcfg
+    from go_fluentd_ray.pipelines import monitoring as _monitoring
     from go_fluentd_ray.functions import text as T
     from go_fluentd_ray.pipelines import sql_oracle
 
@@ -678,6 +694,8 @@ def oracle_sql() -> dict[str, str]:
         "acceptor_counts": sql_oracle.acceptor_counts_sql(path),
         "concat_segments": sql_oracle.concat_segments_sql(path),
         "window_filter": sql_oracle.window_filter_sql(path),
+        "discard_counts": _monitoring.discard_counts_sql(
+            path, _dcfg),
         "token_count": (
             r"SELECT doc_id, length(regexp_extract_all(text, '\w+'))::BIGINT "
             "AS n_tokens FROM documents"),

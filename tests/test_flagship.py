@@ -84,3 +84,23 @@ def test_task_mode_finisher_matches(corpus_path, expected):
     pipe = flagship.build_pipeline(ds, num_buckets=16, finisher_mode="tasks")
     out = flagship.result_table_sorted(pipe)
     assert out.equals(exp)
+
+
+def test_discard_counts_match_oracle():
+    """The /monitor-style per-reason discard accounting must agree with
+    the row-by-row oracle's counters exactly."""
+    import ray.data as rd
+
+    from go_fluentd_ray.config import DEFAULT_CONFIG
+    from go_fluentd_ray.oracle import run_oracle
+    from go_fluentd_ray.pipelines import monitoring
+    from go_fluentd_ray.synth import transcript_table
+
+    t = transcript_table(6000)
+    out = monitoring.discard_counts(
+        rd.from_arrow(t), DEFAULT_CONFIG).to_pandas()
+    want_tbl, disc = run_oracle(t)
+    disc["emitted"] = want_tbl.num_rows
+    want = {k: int(v) for k, v in disc.items() if v}
+    got = dict(zip(out["reason"], out["n"].astype(int)))
+    assert got == want
