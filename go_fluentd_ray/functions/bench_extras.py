@@ -57,3 +57,33 @@ BENCHES = {
     "knn_bruteforce": bench_knn,
     "events_hourly": bench_events_hourly,
 }
+
+
+def bench_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from .events import sessionize
+
+    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+
+
+def bench_asof(sf_dir: str):
+    import ray.data as rd
+
+    from .joins import asof_signup_lag
+
+    return asof_signup_lag(
+        rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+
+
+def bench_doc_chunks(sf_dir: str):
+    from .sampling import chunk_documents
+
+    return chunk_documents(_docs(sf_dir)).count()
+
+
+BENCHES.update({
+    "sessionize": bench_sessionize,
+    "asof_signup_lag": bench_asof,
+    "doc_chunks": bench_doc_chunks,
+})

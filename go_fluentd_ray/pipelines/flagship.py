@@ -202,18 +202,20 @@ def _count_partial(keys: list[str]):
 def sink_counts(ds: "ray.data.Dataset"):
     """Per-sink routed-row counts — the reference dispatcher's per-tag
     monitoring counters (dispacher.go:138-141) as a pre-aggregated
-    groupby."""
+    groupby. The projection BEFORE the combiner matters: the pandas
+    partial then converts one column, not the whole 25-column batch."""
     from ray.data.aggregate import Sum
 
-    ds = ds.map_batches(_count_partial(["sink"]), batch_format="pandas")
+    ds = ds.select_columns(["sink"]).map_batches(
+        _count_partial(["sink"]), batch_format="pandas")
     return ds.groupby("sink").aggregate(Sum("n", alias_name="n")).sort("sink")
 
 
 def tool_role_sink_counts(ds: "ray.data.Dataset"):
     from ray.data.aggregate import Sum
 
-    ds = ds.map_batches(_count_partial(["tool", "role", "sink"]),
-                        batch_format="pandas")
+    ds = ds.select_columns(["tool", "role", "sink"]).map_batches(
+        _count_partial(["tool", "role", "sink"]), batch_format="pandas")
     return (ds.groupby(["tool", "role", "sink"])
             .aggregate(Sum("n", alias_name="n"))
             .sort(["tool", "role", "sink"]))
