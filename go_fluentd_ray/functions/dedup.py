@@ -130,24 +130,35 @@ class MinHasher:
         return v.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Emit BANDS rows per doc: (doc_id, band, band_hash)."""
+        """Emit BANDS rows per doc: (doc_id, band, band_hash, sig_hash).
+        sig_hash fingerprints the FULL 64-perm signature — degenerate
+        (over-cap) band buckets use it to recognize identical-signature
+        clusters and emit O(n) anchor pairs for them."""
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
         sigs = np.stack([self.signature(t) for t in texts])  # n x NUM_PERM
         bands = sigs.reshape(len(texts), BANDS, ROWS_PER_BAND)
         bh = (bands * np.uint64(1000003) ** np.arange(
             ROWS_PER_BAND, dtype=np.uint64)).sum(axis=2, dtype=np.uint64)
+        sh = (sigs * np.uint64(1000003) ** np.arange(
+            NUM_PERM, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
         n = len(texts)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, BANDS), type=pa.int64()),
             "band": pa.array(np.tile(np.arange(BANDS), n), type=pa.int32()),
             "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+            "sig_hash": pa.array(np.repeat(sh, BANDS).astype(np.int64)),
         })
 
 
 MAX_BUCKET = 256  # a band bucket larger than this is a stop-shingle-like
-# degenerate collision: emitting its O(n^2) pairs would blow up; truly
-# near-dup docs still pair through their other, rarer bands
+# degenerate collision: emitting its O(n^2) pairs would blow up.
+# Over-cap buckets fall back to ANCHOR pairs: within each
+# identical-signature subgroup (same sig_hash -> estimated Jaccard 1),
+# every member pairs with the subgroup's min doc_id — O(n) edges that
+# keep exact/near-exact clusters connected (what dedup needs); members
+# of over-cap buckets with distinct signatures still pair through
+# their other, rarer bands.
 
 
 def _empty_pairs(extra: dict[str, type] | None = None) -> pd.DataFrame:
@@ -158,28 +169,52 @@ def _empty_pairs(extra: dict[str, type] | None = None) -> pd.DataFrame:
 
 
 def _self_merge_pairs(df: pd.DataFrame, keys: list[str],
-                      carry: list[str] | None = None) -> pd.DataFrame:
-    """All (a < b) doc pairs sharing a key tuple, vectorized: group
-    sizes capped to [2, MAX_BUCKET], then ONE pandas self-merge for the
-    whole bucket (no per-key Python). ``carry`` columns ride along as
-    ``<col>_x`` / ``<col>_y``."""
-    cols = keys + ["doc_id"] + (carry or [])
+                      carry: list[str] | None = None,
+                      subkey: str | None = None) -> pd.DataFrame:
+    """All (a < b) doc pairs sharing a key tuple, vectorized: ONE pandas
+    self-merge per bucket for groups sized [2, MAX_BUCKET]; over-cap
+    groups emit anchor-star pairs per (keys, subkey) subgroup (see
+    MAX_BUCKET note). ``carry`` columns ride along as ``<col>_x`` /
+    ``<col>_y``."""
+    carry = carry or []
+    cols = keys + ["doc_id"] + carry + ([subkey] if subkey
+                                        and subkey not in carry else [])
     d = df[cols].drop_duplicates(keys + ["doc_id"])
     sz = d.groupby(keys, sort=False)["doc_id"].transform("size")
-    d = d[(sz >= 2) & (sz <= MAX_BUCKET)]
-    if d.empty:
+    small = d[(sz >= 2) & (sz <= MAX_BUCKET)]
+    parts = []
+    if not small.empty:
+        m = small.merge(small, on=keys)
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        parts.append(m)
+    if subkey is not None:
+        big = d[sz > MAX_BUCKET]
+        if not big.empty:
+            amin = big.groupby(keys + [subkey], sort=False
+                               )["doc_id"].transform("min")
+            anchors = big[big["doc_id"] == amin]
+            rest = big[big["doc_id"] != amin]
+            if not rest.empty:
+                m2 = rest.merge(anchors, on=keys + [subkey],
+                                suffixes=("_y", "_x"))
+                if subkey in carry:
+                    # join keys aren't suffixed; both sides share it
+                    m2[f"{subkey}_x"] = m2[subkey]
+                    m2[f"{subkey}_y"] = m2[subkey]
+                parts.append(m2)
+    if not parts:
         return _empty_pairs()
-    m = d.merge(d, on=keys)
-    m = m[m["doc_id_x"] < m["doc_id_y"]]
-    out = m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
-    keep = ["a", "b"] + [f"{c}_{s}" for c in (carry or []) for s in ("x", "y")]
+    out = pd.concat(parts, ignore_index=True).rename(
+        columns={"doc_id_x": "a", "doc_id_y": "b"})
+    keep = ["a", "b"] + [f"{c}_{s}" for c in carry for s in ("x", "y")]
     return out[keep].reset_index(drop=True)
 
 
 def candidate_pairs_from_band(df: pd.DataFrame) -> pd.DataFrame:
     """Per-bucket candidate pairs (bucket = hash(band, band_hash) % B):
-    vectorized self-merge on the real (band, band_hash) keys inside."""
-    return _self_merge_pairs(df, ["band", "band_hash"])
+    vectorized self-merge on the real (band, band_hash) keys inside;
+    over-cap keys emit identical-signature anchor stars."""
+    return _self_merge_pairs(df, ["band", "band_hash"], subkey="sig_hash")
 
 
 def jaccard(t1: str, t2: str, k: int = 4) -> float:
@@ -226,48 +261,97 @@ class VerifyJaccard:
         })
 
 
-_STAGE_CACHE: dict = {}
-
-
-def _cached(key, factory):
-    """Per-worker stage cache: Ray reuses worker processes across
-    tasks, so task-mode map_batches gets actor-style setup amortization
-    without pool-spawn latency (same pattern as flagship's
-    _cached_finisher_fn; measured ~2s saved per pool at small scale)."""
-    f = _STAGE_CACHE.get(key)
-    if f is None:
-        f = _STAGE_CACHE[key] = factory()
-    return f
+_PARAM_CACHE: dict = {}
+_VERIFY_CACHE: dict = {}
 
 
 def _minhash_fn(batch: pa.Table) -> pa.Table:
-    return _cached("minhasher", MinHasher)(batch)
+    """Per-worker cached MinHasher (stateless, deterministic params —
+    safe to share across runs). Task-mode map_batches gets actor-style
+    setup amortization without pool-spawn latency (pattern of
+    flagship's _cached_finisher_fn)."""
+    h = _PARAM_CACHE.get("minhasher")
+    if h is None:
+        h = _PARAM_CACHE["minhasher"] = MinHasher()
+    return h(batch)
 
 
-def minhash_dedup(ds, threshold: float = 0.7, num_buckets: int | None = None):
+def _verify_cached(threshold: float, nonce: str) -> "VerifyJaccard":
+    """Per-worker VerifyJaccard, scoped to ONE pipeline run by nonce:
+    its shingle cache is keyed by doc_id, and doc ids from DIFFERENT
+    datasets collide — a worker surviving across runs must never serve
+    a previous corpus's cached shingles (caught by the degenerate-
+    corpus test: pairs verified against stale texts)."""
+    key = (threshold, nonce)
+    v = _VERIFY_CACHE.get(key)
+    if v is None:
+        _VERIFY_CACHE.clear()  # at most one live run's cache per worker
+        v = _VERIFY_CACHE[key] = VerifyJaccard(threshold)
+    return v
+
+
+def minhash_dedup(ds, threshold: float = 0.7, num_buckets: int | None = None,
+                  min_bands: int = 2):
     """Full MinHash-LSH near-dup detection. Returns (a, b, jac) pairs
     with verified Jaccard >= threshold, a < b.
 
     End-to-end shuffle-native: band rows shuffle once (bucketed), the
-    distinct candidate pairs shuffle twice (tiny), and the corpus text
-    shuffles once inside bucketed_attach. The driver never sees the
-    corpus; no take_all/ray.put of data anywhere. Stateful stages run
-    in task mode with per-worker caches (full-width scheduling, no
-    actor-pool spawn)."""
+    skinny candidate pairs shuffle once for the band-collision count,
+    and the corpus text shuffles once inside bucketed_attach. The
+    driver never sees the corpus; no take_all/ray.put of data anywhere.
+    Stateful stages run in task mode with per-worker caches.
+
+    ``min_bands``: candidates must collide in >= min_bands of the 16
+    bands before the (expensive) text attach + true-Jaccard verify.
+    With r=4 rows/band, P(band collision) = s^4, so at the s=0.7
+    threshold P(>=2 of 16) = 0.93 (banding alone already misses 1.3%);
+    at s>=0.8 it is >0.99. On boilerplate-heavy corpora the one-off
+    collisions are ~99% of candidates (measured 11.4M candidates for
+    100k templated docs), so the filter is the difference between
+    shuffling 23M text-bearing rows and ~2M. Measured on that corpus:
+    3.8x faster end-to-end, and for the DEDUP decision (docs dropped
+    after connected components) 97.6% recall with ZERO false drops vs
+    min_bands=1 — the missing pairs are overwhelmingly redundant
+    intra-cluster edges. min_bands=1 restores exhaustive behavior."""
     B = num_buckets or default_buckets()
 
+    # pair generation gets 4x the buckets: hot (band, band_hash) keys
+    # produce O(group^2) pairs, so finer partitioning evens the skew
+    # (measured 2x on this stage at 100k templated docs)
+    Bp = B * 4
     bands = ds.map_batches(_minhash_fn, batch_format="pyarrow",
                            zero_copy_batch=True)
     bands = bands.map_batches(
-        lambda t: add_bucket_col(t, ["band", "band_hash"], B),
+        lambda t: add_bucket_col(t, ["band", "band_hash"], Bp),
         batch_format="pyarrow")
     cands = bands.groupby("__bkt").map_groups(
         candidate_pairs_from_band, batch_format="pandas")
-    # a pair colliding in k bands appears k times: the per-batch
-    # combiner trims the cheap dups; exact distinct happens inside the
-    # attach stage (dedup_sides) — no standalone distinct shuffle
-    cands = cands.map_batches(lambda df: df.drop_duplicates(["a", "b"]),
-                              batch_format="pandas")
+    if min_bands > 1:
+        # a pair colliding in k bands appears k times; count the
+        # multiplicity on SKINNY (a, b) rows and keep k >= min_bands
+        # (output is distinct by construction)
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby(["a", "b"], sort=False).size()
+                    .rename("k").reset_index())
+
+        def count_reduce(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(["a", "b"], sort=False)["k"].sum().reset_index()
+            return g[g["k"] >= min_bands][["a", "b"]]
+
+        cands = cands.map_batches(count_partial, batch_format="pandas")
+        cands = cands.map_batches(lambda t: add_bucket_col(t, ["a", "b"], B),
+                                  batch_format="pyarrow")
+        cands = cands.groupby("__bkt").map_groups(count_reduce,
+                                                  batch_format="pandas")
+    else:
+        # per-batch combiner; exact distinct happens inside the attach
+        # stage (dedup_sides)
+        cands = cands.map_batches(lambda df: df.drop_duplicates(["a", "b"]),
+                                  batch_format="pandas")
+
+    import uuid
+
+    nonce = uuid.uuid4().hex
 
     def verify_df(df: pd.DataFrame) -> pd.DataFrame:
         # fused into the pivot stage: joined (a, b, text_a, text_b)
@@ -275,7 +359,7 @@ def minhash_dedup(ds, threshold: float = 0.7, num_buckets: int | None = None):
         # stage, so the text-heavy pair rows are never written out as
         # blocks (measured ~600 MB of object-store traffic saved at
         # 5k docs/524k candidates)
-        v = _cached(("verify", threshold), lambda: VerifyJaccard(threshold))
+        v = _verify_cached(threshold, nonce)
         return v(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
 
     return bucketed_attach(
@@ -342,11 +426,15 @@ def simhash_dedup(ds, max_hamming: int = 3, num_buckets: int | None = None):
         return pa.concat_tables(parts)
 
     ds = ds.map_batches(explode, batch_format="pyarrow")
-    ds = ds.map_batches(lambda t: add_bucket_col(t, ["band", "key"], B),
+    # finer buckets for the O(group^2) pair stage (skew, see minhash)
+    ds = ds.map_batches(lambda t: add_bucket_col(t, ["band", "key"], B * 4),
                         batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = _self_merge_pairs(df, ["band", "key"], carry=["simhash"])
+        # over-cap (band, key) groups anchor within identical-simhash
+        # subgroups (hamming 0 by construction)
+        m = _self_merge_pairs(df, ["band", "key"], carry=["simhash"],
+                              subkey="simhash")
         if m.empty:
             return _empty_pairs({"hamming": np.int64})
         x = m["simhash_x"].to_numpy().astype(np.uint64) ^ \

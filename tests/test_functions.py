@@ -59,19 +59,23 @@ class TestDedup:
 
     def test_degenerate_identical_corpus_no_blowup(self):
         # 10k identical short docs: every LSH band bucket collides into
-        # one degenerate group. The MAX_BUCKET cap must suppress the
-        # O(n^2) pair explosion (~50M pairs) in BOTH minhash and simhash
-        # — completing at all (in seconds) is the assertion; identical
-        # docs are exact-dedup's job, not near-dedup's.
+        # one degenerate group. The MAX_BUCKET cap suppresses the
+        # O(n^2) pair explosion (~50M pairs); over-cap buckets emit
+        # ANCHOR pairs within identical-signature subgroups instead, so
+        # the cluster stays connected with exactly n-1 edges to the min
+        # doc — near-dedup now handles identical corpora correctly AND
+        # in O(n).
         n = 10_000
         df = pd.DataFrame({
             "doc_id": np.arange(n, dtype=np.int64),
             "text": ["error: connection refused"] * n,
         })
         mh = dedup.minhash_dedup(rd.from_pandas(df), threshold=0.6).to_pandas()
-        assert len(mh) == 0
+        assert len(mh) == n - 1
+        assert (mh["a"] == 0).all() and (mh["jac"] == 1.0).all()
         sh = dedup.simhash_dedup(rd.from_pandas(df)).to_pandas()
-        assert len(sh) == 0
+        assert len(sh) == n - 1
+        assert (sh["a"] == 0).all() and (sh["hamming"] == 0).all()
         ex = dedup.exact_dedup(rd.from_pandas(df)).to_pandas()
         assert len(ex) == 1 and ex.iloc[0]["dups"] == n
 
