@@ -506,6 +506,14 @@ def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
         E = np.stack([np.asarray(v, dtype=np.float64)
                       for v in batch["embedding"].to_pylist()])
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        # vector fingerprint: byte-identical embeddings share it, so
+        # over-cap buckets can anchor exact-duplicate clusters (same
+        # fix as minhash's sig_hash — without it a >MAX_BUCKET cluster
+        # of identical vectors would silently produce no pairs).
+        # blake2b, NOT python hash() (seeded per process).
+        vsig = np.array([int.from_bytes(hashlib.blake2b(
+            E[i].tobytes(), digest_size=8).digest(), "little") >> 1
+            for i in range(len(E))], dtype=np.int64)
         parts = []
         for t in range(n_tables):
             signs = (En @ planes[t].T) > 0
@@ -514,6 +522,7 @@ def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
                 "vec_id": pa.array(ids, type=pa.int64()),
                 "table": pa.array(np.full(len(ids), t, dtype=np.int32)),
                 "key": pa.array(key),
+                "vsig": pa.array(vsig),
                 "embedding": batch["embedding"],
             }))
         return pa.concat_tables(parts)
@@ -527,7 +536,24 @@ def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
         parts = []
         for _, g in df.groupby(["table", "key"], sort=False):
             u = g.drop_duplicates("vec_id").sort_values("vec_id")
-            if len(u) < 2 or len(u) > MAX_BUCKET:
+            if len(u) < 2:
+                continue
+            if len(u) > MAX_BUCKET:
+                # degenerate bucket: O(n) anchor pairs within each
+                # byte-identical-vector subgroup (cos 1.0 by
+                # construction, still thresholded for consistency)
+                for _, sg in u.groupby("vsig", sort=False):
+                    if len(sg) < 2:
+                        continue
+                    ids = sg["vec_id"].to_numpy()
+                    anchor = ids.min()
+                    rest = ids[ids != anchor]
+                    if 1.0 >= threshold and len(rest):
+                        parts.append(pd.DataFrame({
+                            "a": np.full(len(rest), anchor,
+                                         dtype=np.int64),
+                            "b": rest,
+                            "cos": np.ones(len(rest))}))
                 continue
             ids = u["vec_id"].to_numpy()
             E = np.stack([np.asarray(v, dtype=np.float64)

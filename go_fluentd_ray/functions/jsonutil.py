@@ -18,17 +18,29 @@ import pyarrow as pa
 EXTRA_TYPE = pa.map_(pa.string(), pa.string())
 
 
-def flatten_obj(obj: dict, joiner: str = "__") -> dict[str, str]:
+def flatten_obj(obj: dict, joiner: str = "__") -> "dict[str, str | None]":
     """Pure-Python FlattenMap: {'a': {'b': {'c': 1}}, 'd': 2} ->
-    {'a__b__c': '1', 'd': '2'} (values stringified for the map col)."""
-    out: dict[str, str] = {}
+    {'a__b__c': '1', 'd': '2'}. Value stringification matches DuckDB's
+    json_extract_string so the SQL oracle agrees: true/false lowercase,
+    JSON null -> null map value (not 'None'), arrays as compact JSON
+    text."""
+    out: dict[str, str | None] = {}
+
+    def scalar(o) -> "str | None":
+        if o is None:
+            return None
+        if isinstance(o, bool):
+            return "true" if o else "false"
+        if isinstance(o, list):
+            return json.dumps(o, separators=(",", ":"))
+        return str(o)
 
     def walk(prefix: str, o) -> None:
         if isinstance(o, dict):
             for k, v in o.items():
                 walk(f"{prefix}{joiner}{k}" if prefix else str(k), v)
         else:
-            out[prefix] = json.dumps(o) if isinstance(o, (list,)) else str(o)
+            out[prefix] = scalar(o)
 
     walk("", obj)
     return out

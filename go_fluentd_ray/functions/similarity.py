@@ -48,10 +48,15 @@ def knn_bruteforce(ds, k: int = 5):
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
             sims = self.Q @ En.T                      # nq x batch
             kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # deterministic tie-break (sim DESC, vec_id ASC): each
+            # batch's local top-k under the same TOTAL order the global
+            # reduce uses, so results don't depend on block boundaries
+            # (argpartition drops boundary ties arbitrarily)
+            order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims),
+                               axis=1)[:, :kk]
             qid = np.repeat(np.arange(sims.shape[0]), kk)
-            vid = ids[top.reshape(-1)]
-            sim = sims[qid, top.reshape(-1)]
+            vid = ids[order.reshape(-1)]
+            sim = sims[qid, order.reshape(-1)]
             return pa.table({
                 "qid": pa.array(qid.astype(np.int64)),
                 "vec_id": pa.array(vid, type=pa.int64()),
@@ -139,7 +144,9 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
                 sims = self.Q[qid] @ En[m].T
                 mids = ids[m]
                 kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
+                # same deterministic (sim DESC, vec_id ASC) local top-k
+                # as knn_bruteforce's Score — partition-independent
+                top = np.lexsort((mids, -sims))[:kk]
                 parts["qid"].append(np.full(kk, qid, dtype=np.int64))
                 parts["vec_id"].append(mids[top])
                 parts["sim"].append(sims[top])

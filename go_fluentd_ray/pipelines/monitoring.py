@@ -8,7 +8,9 @@ Reasons (same classification the pure-Python oracle tracks):
   ``spark_ignore`` (ignore-regex drop), ``unknown_tag`` (not in the
   accept whitelist);
 - segment level (post-concat): ``regex_nonmatch``, ``must_include``,
-  ``time_parse``, and ``emitted`` (rows that reach the sinks).
+  ``time_parse``, ``no_sink`` (parsed but tag absent from sink_map —
+  the dispatcher discard, es_sender_dispatcher.go:63-67), and
+  ``emitted`` (rows that reach the sinks).
 
 Everything is per-batch partial counts (combiner) + one tiny groupby —
 the monitoring query costs one pass over the data, no extra shuffle of
@@ -35,48 +37,28 @@ def _count_rows(reasons: list[str], counts: list[int]) -> pa.Table:
 
 def acceptor_classify_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Input-row-level discard partials (window / spark_ignore /
-    unknown_tag), mirroring acceptor_transform's filter order."""
-    from ..stages.acceptor import _lookup
+    unknown_tag) — delegated to acceptor_transform's own counters so
+    the monitoring numbers can never drift from the filter semantics."""
+    from ..stages.acceptor import acceptor_transform
 
-    n = batch.num_rows
-    lo = pa.scalar(cfg.window_min_ts).cast(pa.timestamp("us"))
-    hi = pa.scalar(cfg.window_max_ts).cast(pa.timestamp("us"))
-    in_win = pc.and_(pc.greater_equal(batch["ts"], lo),
-                     pc.less_equal(batch["ts"], hi))
-    window = n - pc.sum(pc.cast(in_win, pa.int64())).as_py()
-    batch = batch.filter(in_win)
-
-    tag = _lookup(batch["tool"], cfg.ingress_tags)
-    text = batch["text"]
-    is_spark = pc.equal(tag, cfg.spark_tag)
-    drop = pc.and_(is_spark,
-                   pc.match_substring_regex(text, cfg.spark_ignore_regex))
-    spark_ignore = pc.sum(pc.cast(pc.fill_null(drop, False),
-                                  pa.int64())).as_py()
-    keep = pc.fill_null(pc.invert(drop), True)
-    batch, tag, text = batch.filter(keep), tag.filter(keep), text.filter(keep)
-
-    unassigned = pc.equal(tag, cfg.spring_tag)
-    for rule in cfg.retag_rules:
-        if rule.regex == ".*":
-            m = unassigned
-        else:
-            m = pc.and_(unassigned, pc.match_substring_regex(text, rule.regex))
-        tag = pc.if_else(m, rule.new_tag, tag)
-        unassigned = pc.and_(unassigned, pc.invert(m))
-    accepted = pc.fill_null(pc.is_in(
-        tag, value_set=pa.array(sorted(cfg.accept_tags), type=pa.string())),
-        False)
-    unknown = batch.num_rows - pc.sum(pc.cast(accepted, pa.int64())).as_py()
-    return _count_rows(["window", "spark_ignore", "unknown_tag"],
-                       [window, spark_ignore, unknown])
+    counts: dict[str, int] = {}
+    acceptor_transform(batch, cfg, counts=counts)
+    items = sorted(counts.items())
+    return _count_rows([k for k, _ in items], [v for _, v in items])
 
 
 def parse_classify_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Segment-level classification (regex_nonmatch / must_include /
     time_parse / emitted), mirroring parse_batch's discard order."""
     reasons = {"regex_nonmatch": 0, "must_include": 0,
-               "time_parse": 0, "emitted": 0}
+               "time_parse": 0, "no_sink": 0, "emitted": 0}
+
+    def emit(tag: str, n: int) -> None:
+        # rows that survive parsing still need a sink mapping — tags
+        # absent from sink_map are discarded by the dispatcher
+        # (es_sender_dispatcher.go:63-67, route_batch/oracle parity)
+        reasons["emitted" if tag in cfg.sink_map else "no_sink"] += int(n)
+
     tags = batch["tag"]
     for tag, pcfg in cfg.parsers.items():
         sub = batch.filter(pc.equal(tags, tag))
@@ -110,13 +92,14 @@ def parse_classify_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
                                 errors="coerce")
         good = int(parsed.notna().sum())
         reasons["time_parse"] += len(ex) - good
-        reasons["emitted"] += good
+        emit(tag, good)
 
     # accepted tags with no parser bypass unparsed (pipeline.go:88-91)
-    known = pa.array(sorted(cfg.parsers), type=pa.string())
-    bypass = pc.sum(pc.cast(pc.invert(pc.fill_null(
-        pc.is_in(tags, value_set=known), False)), pa.int64())).as_py()
-    reasons["emitted"] += int(bypass or 0)
+    known = set(cfg.parsers)
+    for t in pc.unique(tags).to_pylist():
+        if t not in known:
+            emit(t, pc.sum(pc.cast(pc.equal(tags, t),
+                                   pa.int64())).as_py() or 0)
     return _count_rows(list(reasons), list(reasons.values()))
 
 
@@ -179,21 +162,21 @@ def discard_counts_sql(path: str, cfg: PipelineConfig) -> str:
         must = (f"nullif(trim(g.{p.must_include}), '') IS NULL"
                 if p.must_include else "FALSE")
         fmt = _sq(p.time_format.replace("%f", "%g"))
+        final = "emitted" if t in cfg.sink_map else "no_sink"
         branches.append(f"""
   SELECT CASE
            WHEN NOT {match} THEN 'regex_nonmatch'
            WHEN {must} THEN 'must_include'
            WHEN try_strptime(replace(nullif(trim(g.time), ''), ',', '.'),
                              '{fmt}') IS NULL THEN 'time_parse'
-           ELSE 'emitted'
+           ELSE '{final}'
          END AS reason
   FROM (SELECT text, {ex} AS g FROM merged WHERE tag = '{_sq(t)}') s""")
-    unparsed = sorted(cfg.accept_tags - set(cfg.parsers))
-    if unparsed:
-        in_list = ", ".join(f"'{_sq(t)}'" for t in unparsed)
+    for t in sorted(cfg.accept_tags - set(cfg.parsers)):
+        final = "emitted" if t in cfg.sink_map else "no_sink"
         branches.append(
-            f"  SELECT 'emitted' AS reason FROM merged "
-            f"WHERE tag IN ({in_list})")
+            f"  SELECT '{final}' AS reason FROM merged "
+            f"WHERE tag = '{_sq(t)}'")
     seg_cls = "\n  UNION ALL\n".join(branches)
 
     return f"""

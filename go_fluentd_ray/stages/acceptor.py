@@ -33,12 +33,23 @@ def _lookup(values: pa.ChunkedArray | pa.Array, mapping: dict[str, str],
     return out
 
 
-def acceptor_transform(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def acceptor_transform(batch: pa.Table, cfg: PipelineConfig,
+                       counts: dict | None = None) -> pa.Table:
+    """When ``counts`` is given, per-reason discard counters (window /
+    spark_ignore / unknown_tag) are accumulated into it — the single
+    source of truth the /monitor query (pipelines/monitoring.py) uses,
+    so filter semantics can never desynchronize from the counters."""
+    def _note(reason: str, n: int) -> None:
+        if counts is not None and n:
+            counts[reason] = counts.get(reason, 0) + int(n)
+
     # ---- allowed-lateness window (inclusive) ------------------------------
     lo = pa.scalar(cfg.window_min_ts).cast(pa.timestamp("us"))
     hi = pa.scalar(cfg.window_max_ts).cast(pa.timestamp("us"))
     keep = pc.and_(pc.greater_equal(batch["ts"], lo), pc.less_equal(batch["ts"], hi))
+    n0 = batch.num_rows
     batch = batch.filter(keep)
+    _note("window", n0 - batch.num_rows)
     if batch.num_rows == 0:
         return _empty_like(batch)
 
@@ -51,7 +62,9 @@ def acceptor_transform(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     is_spark = pc.equal(tag, cfg.spark_tag)
     drop = pc.and_(is_spark, pc.match_substring_regex(text, cfg.spark_ignore_regex))
     keep = pc.fill_null(pc.invert(drop), True)
+    n0 = batch.num_rows
     batch, tag, text = batch.filter(keep), tag.filter(keep), text.filter(keep)
+    _note("spark_ignore", n0 - batch.num_rows)
 
     # ---- spring retag: first matching rule wins ---------------------------
     unassigned = pc.equal(tag, cfg.spring_tag)
@@ -65,7 +78,9 @@ def acceptor_transform(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
     # ---- accept whitelist --------------------------------------------------
     keep = pc.is_in(tag, value_set=pa.array(sorted(cfg.accept_tags), type=pa.string()))
+    n0 = batch.num_rows
     batch, tag, text = batch.filter(keep), tag.filter(keep), text.filter(keep)
+    _note("unknown_tag", n0 - batch.num_rows)
 
     # ---- precompute concat controls ---------------------------------------
     concat_tags = sorted(cfg.concat)

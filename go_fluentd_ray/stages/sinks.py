@@ -235,7 +235,10 @@ def write_es_bulk(ds, out_root: str, type_name: str = "logs"):
         with gzip.open(tmp, "wb") as f:
             f.write(payload.encode("utf-8"))
         os.rename(tmp, os.path.join(out_root, name))
-        n_docs = payload.count('{"index"')
+        # exact: every doc is one action line + one doc line (counting
+        # '{"index"' substrings overcounts docs whose first field is
+        # literally named "index")
+        n_docs = payload.count("\n") // 2
         return pa.table({"file": pa.array([name], type=pa.string()),
                          "docs": pa.array([n_docs], type=pa.int64())})
 

@@ -104,3 +104,29 @@ def test_discard_counts_match_oracle():
     want = {k: int(v) for k, v in disc.items() if v}
     got = dict(zip(out["reason"], out["n"].astype(int)))
     assert got == want
+
+
+def test_discard_counts_no_sink_reason():
+    """A parsed tag absent from sink_map is a dispatcher discard
+    (es_sender_dispatcher.go:63-67): the monitoring surface must report
+    it as no_sink, in exact agreement with the oracle."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from go_fluentd_ray.config import DEFAULT_CONFIG
+    from go_fluentd_ray.oracle import run_oracle
+    from go_fluentd_ray.pipelines import monitoring
+    from go_fluentd_ray.synth import transcript_table
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        sink_map={k: v for k, v in DEFAULT_CONFIG.sink_map.items()
+                  if k != "ai.sit"})
+    t = transcript_table(6000)
+    out = monitoring.discard_counts(rd.from_arrow(t), cfg).to_pandas()
+    want_tbl, disc = run_oracle(t, cfg)
+    disc["emitted"] = want_tbl.num_rows
+    want = {k: int(v) for k, v in disc.items() if v}
+    got = dict(zip(out["reason"], out["n"].astype(int)))
+    assert got == want and want.get("no_sink", 0) > 0

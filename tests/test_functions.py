@@ -471,3 +471,45 @@ class TestComponents:
             "doc_id").to_pandas()
         assert sorted(out["doc_id"]) == [0, 1, 4, 5, 7, 8, 9]
         assert str(out["n"].dtype) == "int32"  # schema restored
+
+
+def test_flatten_matches_duckdb_json_extract_string():
+    """flatten_obj's value stringification must agree with DuckDB's
+    json_extract_string (booleans lowercase, null -> null value,
+    arrays as compact JSON) or the flagship_json_extra oracle breaks
+    the moment the corpus carries such values."""
+    import json as _json
+
+    import duckdb
+
+    from go_fluentd_ray.functions.jsonutil import flatten_obj
+
+    obj = {"b": True, "no": False, "n": None, "f": 1.5, "i": 7,
+           "arr": [1, 2, "a"], "x": "s", "nest": {"y": True}}
+    flat = flatten_obj(obj)
+    con = duckdb.connect()
+    j = _json.dumps(obj)
+    for key, val in flat.items():
+        path = "$." + key.replace("__", ".")
+        sql_val = con.sql(
+            "SELECT json_extract_string(?::JSON, ?)", params=[j, path]
+        ).fetchone()[0]
+        assert sql_val == val, (key, sql_val, val)
+
+
+def test_embedding_lsh_degenerate_identical_cluster():
+    """>MAX_BUCKET identical vectors: every LSH bucket is over-cap; the
+    vsig anchor fallback must still connect the cluster (n-1 pairs to
+    the min vec_id) instead of silently dropping it."""
+    from go_fluentd_ray.functions import dedup
+
+    n = 400  # > MAX_BUCKET (256)
+    v = np.full(8, 0.5)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.copy() for _ in range(n)],
+    })
+    out = dedup.embedding_dup_lsh(rd.from_pandas(df),
+                                  threshold=0.95).to_pandas()
+    assert len(out) == n - 1
+    assert (out["a"] == 0).all() and (out["cos"] == 1.0).all()

@@ -30,23 +30,34 @@ def ensure_docs(n_docs: int) -> str:
     meta = out + ".meta.json"
     if os.path.exists(meta) and os.path.isdir(out):
         return out
+    import glob
+    import tempfile
+
     corpus = synth.ensure_corpus(n_docs)  # 1 turn -> 1 doc
-    os.makedirs(out + ".tmp", exist_ok=True)
+    os.makedirs(synth.CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=synth.CACHE_ROOT,
+                           prefix=f".docs-v1-{n_docs}-")
     doc_id = 0
     part = 0
-    import glob
-
     for f in sorted(glob.glob(os.path.join(corpus, "*.parquet"))):
         t = pq.read_table(f, columns=["text"])
         n = t.num_rows
         ids = pa.array(range(doc_id, doc_id + n), type=pa.int64())
         pq.write_table(pa.table({"doc_id": ids, "text": t["text"]}),
-                       os.path.join(out + ".tmp", f"part-{part:05d}.parquet"))
+                       os.path.join(tmp, f"part-{part:05d}.parquet"))
         doc_id += n
         part += 1
-    os.rename(out + ".tmp", out)
-    with open(meta, "w") as f:
-        json.dump({"n_docs": doc_id}, f)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"n_docs": doc_id}, f)
     return out
 
 
