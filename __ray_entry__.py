@@ -428,6 +428,12 @@ def _q_doc_chunks(sf_dir: str):
     return sampling.chunk_documents(_docs(sf_dir))
 
 
+def _q_pack_sequences(sf_dir: str):
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.pack_documents(_docs(sf_dir))
+
+
 def _q_word_topk(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
@@ -574,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "quota_per_key": _q_quota_per_key,
         "doc_chunks": _q_doc_chunks,
+        "pack_sequences": _q_pack_sequences,
         "word_topk": _q_word_topk,
         "distinct_users": _q_distinct_users,
         "asof_signup_lag": _q_asof,
@@ -747,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _sampling.hash_sample_sql(20),
         "quota_per_key": _sampling.quota_per_key_sql(n=25),
         "doc_chunks": _sampling.chunk_documents_sql(),
+        "pack_sequences": _sampling.pack_documents_sql(),
         "word_topk": _agg.WORD_TOPK_SQL,
         "distinct_users": _agg.DISTINCT_USERS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,

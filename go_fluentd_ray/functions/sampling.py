@@ -138,3 +138,87 @@ WITH s AS (
 SELECT doc_id, i AS chunk_idx,
        substr(text, i * {stride} + 1, {width}) AS chunk
 FROM s"""
+
+
+PACK_BUDGET = 512
+
+
+def pack_documents(ds, budget: int = PACK_BUDGET,
+                   num_buckets: int | None = None):
+    """Greedy sequence packing: concatenate docs (in doc_id order) into
+    training sequences of at most ``budget`` whitespace tokens; a doc
+    larger than the budget gets its own sequence. Returns one row per
+    doc: (doc_id, bucket, seq_idx, n_tokens).
+
+    Packing is inherently sequential, so it runs per hash bucket
+    (bucket = doc_id % B — modulo, not hash, so the SQL oracle can
+    reproduce it exactly) with ONE pass per bucket; the documented
+    partitioning assumption is that sequences never span buckets. The
+    per-bucket scan is a plain int loop (no per-row pandas), O(n) and
+    restart-deterministic."""
+    # the bucket count is part of the OUTPUT semantics (it decides
+    # which docs can share a sequence), so it is a fixed default — NOT
+    # cluster-size-derived — and identical to the SQL oracle's
+    B = num_buckets or 32
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\w+"),
+                    pa.int64())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": n,
+                         "bucket": pa.array((ids % B).astype(np.int32))})
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        toks = df["n_tokens"].to_numpy()
+        seq = np.empty(len(toks), dtype=np.int64)
+        acc = 0
+        s = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                s += 1
+                acc = t
+            else:
+                acc += t
+            seq[i] = s
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "bucket": df["bucket"].to_numpy(),
+                             "seq_idx": seq,
+                             "n_tokens": toks})
+
+    ds = ds.select_columns(["doc_id", "text"]).map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("bucket").map_groups(pack_bucket,
+                                           batch_format="pandas")
+
+
+def pack_documents_sql(budget: int = PACK_BUDGET,
+                       num_buckets: int = 32,
+                       table: str = "documents") -> str:
+    """Exact SQL twin: the greedy scan as a recursive CTE chained on
+    per-bucket row_number (one recursion step per doc per bucket)."""
+    return rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens,
+         (doc_id % {num_buckets})::INTEGER AS bucket
+  FROM {table}
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM d
+),
+pack(bucket, rn, doc_id, n_tokens, seq, acc) AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.bucket, n.rn, n.doc_id, n.n_tokens,
+         CASE WHEN p.acc + n.n_tokens > {budget}
+              THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.acc + n.n_tokens > {budget}
+              THEN n.n_tokens ELSE p.acc + n.n_tokens END
+  FROM pack p JOIN numbered n ON n.bucket = p.bucket AND n.rn = p.rn + 1
+)
+SELECT doc_id, bucket, seq AS seq_idx, n_tokens FROM pack"""

@@ -513,3 +513,23 @@ def test_embedding_lsh_degenerate_identical_cluster():
                                   threshold=0.95).to_pandas()
     assert len(out) == n - 1
     assert (out["a"] == 0).all() and (out["cos"] == 1.0).all()
+
+
+def test_pack_documents_greedy_semantics():
+    """Greedy packing: sequences fill to the budget; an oversize doc
+    gets its own sequence; accumulation resets after a close."""
+    from go_fluentd_ray.functions import sampling
+
+    texts = ["w " * 300,   # 300 tokens
+             "w " * 300,   # 300 -> 600 > 512: closes seq0, starts seq1
+             "w " * 600,   # oversize: closes seq1, alone in seq2
+             "w " * 100,   # seq3 (previous was oversize, acc=600)
+             "w " * 100]   # still seq3 (200 <= 512)
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64) * 32,
+                       "text": [t.strip() for t in texts]})
+    # doc_ids multiples of 32 -> all in bucket 0, packed in order
+    out = (sampling.pack_documents(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["seq_idx"]) == [0, 1, 2, 3, 3]
+    assert (out["bucket"] == 0).all()
+    assert list(out["n_tokens"]) == [300, 300, 600, 100, 100]
