@@ -225,6 +225,14 @@ def _q_lang_id(sf_dir: str):
         zero_copy_batch=True).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_lm_score(sf_dir: str):
+    """Char-trigram LM quality scoring (perplexity-style filter).
+    Rows-only: the model is data-derived, not SQL-expressible."""
+    from go_fluentd_ray.functions import text as T
+
+    return T.lm_score(_docs(sf_dir))
+
+
 def _q_fingerprint(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
@@ -555,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "lm_score": _q_lm_score,
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,

@@ -146,3 +146,96 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
     for name, arr in [("n_fp", n_fp), ("fp_min", fp_min), ("fp_xor", fp_xor)]:
         out = out.append_column(name, pa.array(arr, type=pa.int64()))
     return out
+
+
+# ---------------------------------------------------------------------------
+# char-ngram LM scoring (perplexity-style quality filter, CCNet-shaped)
+# ---------------------------------------------------------------------------
+
+class NgramLmScorer:
+    """Actor-pool stage: score each doc by its per-character bits under
+    a char-trigram model fit on a reference sample (low = fluent /
+    reference-like, high = noise) — the classic LM-perplexity quality
+    filter for training-data curation.
+
+    The (small) reference model ships ONCE: the counts are built in
+    ``__init__`` from a broadcast list of reference texts (ray.put by
+    the caller; at real scale a fitted model object). Scoring is
+    vectorized per doc with numpy over code-point trigrams; add-one
+    smoothing over the observed vocabulary keeps unseen trigrams finite
+    and deterministic."""
+
+    def __init__(self, ref_ref=None, ref_texts: "list[str] | None" = None):
+        import ray
+
+        texts = ray.get(ref_ref) if ref_ref is not None else (ref_texts or [])
+        counts: dict[int, int] = {}
+        total = 0
+        for t in texts:
+            g = self._grams(t.lower())
+            for v in g:
+                counts[int(v)] = counts.get(int(v), 0) + 1
+            total += len(g)
+        self.vocab = max(len(counts), 1)
+        self.total = total
+        # log2 probabilities with add-one smoothing
+        self.logp = {k: np.log2((c + 1) / (total + self.vocab))
+                     for k, c in counts.items()}
+        self.unseen = np.log2(1.0 / (total + self.vocab))
+
+    @staticmethod
+    def _grams(t: str) -> np.ndarray:
+        b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < 3:
+            return np.zeros(0, dtype=np.uint64)
+        w = np.lib.stride_tricks.sliding_window_view(b, 3).astype(np.uint64)
+        return (w[:, 0] << np.uint64(16)) | (w[:, 1] << np.uint64(8)) | w[:, 2]
+
+    def __call__(self, batch: pa.Table, col: str = "text") -> pa.Table:
+        bits = np.empty(batch.num_rows)
+        for i, t in enumerate(batch[col].to_pylist()):
+            g = self._grams((t or "").lower())
+            if len(g) == 0:
+                bits[i] = float(-self.unseen)
+                continue
+            s = sum(self.logp.get(int(v), self.unseen) for v in g)
+            bits[i] = -s / len(g)
+        return batch.append_column(
+            "lm_bits_per_char", pa.array(np.round(bits, 4)))
+
+
+def lm_score(docs_ds, ref_sample_n: int = 256):
+    """Fit the reference trigram model on a deterministic sample of the
+    corpus itself (the ref_sample_n docs with smallest md5(doc_id) —
+    stable across runs, partitionings and cluster sizes), broadcast it
+    once, and score every doc. The sample selection is a per-batch
+    top-K partial + tiny driver reduce (K rows per batch, never the
+    corpus)."""
+    import hashlib as _h
+
+    import ray
+
+    K = ref_sample_n
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "h": [_h.md5(str(i).encode()).hexdigest()
+                  for i in batch["doc_id"].to_pylist()],
+            "text": batch["text"].to_pylist(),
+        })
+        df = df.sort_values("h", kind="mergesort").head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        local_min, batch_format="pyarrow").take_all()
+    partials.sort(key=lambda r: r["h"])
+    ref_texts = [r["text"] for r in partials[:K]]
+    ref = ray.put(ref_texts)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return docs_ds.map_batches(
+        NgramLmScorer, fn_constructor_kwargs={"ref_ref": ref},
+        batch_format="pyarrow", concurrency=max(2, cpus // 4),
+        zero_copy_batch=True).select_columns(["doc_id",
+                                              "lm_bits_per_char"])

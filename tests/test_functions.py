@@ -533,3 +533,24 @@ def test_pack_documents_greedy_semantics():
     assert list(out["seq_idx"]) == [0, 1, 2, 3, 3]
     assert (out["bucket"] == 0).all()
     assert list(out["n_tokens"]) == [300, 300, 600, 100, 100]
+
+
+def test_lm_score_separates_fluent_from_noise():
+    """Char-trigram LM bits-per-char: reference-like text must score
+    lower (more probable) than character noise; deterministic across
+    runs."""
+    from go_fluentd_ray.functions import text as T
+
+    base = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": ["the quick brown fox jumps over the lazy dog again"] * 38
+        + ["zq xv jj qq kk pp zz xx vv ww yy qq zz xv jq",
+           "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"],
+    })
+    out = T.lm_score(rd.from_pandas(base)).to_pandas().set_index("doc_id")
+    fluent = out.loc[0, "lm_bits_per_char"]
+    noise1 = out.loc[38, "lm_bits_per_char"]
+    noise2 = out.loc[39, "lm_bits_per_char"]
+    assert fluent < noise1 and fluent < noise2
+    out2 = T.lm_score(rd.from_pandas(base)).to_pandas().set_index("doc_id")
+    assert (out["lm_bits_per_char"] == out2["lm_bits_per_char"]).all()
