@@ -169,19 +169,17 @@ class NgramLmScorer:
         import ray
 
         texts = ray.get(ref_ref) if ref_ref is not None else (ref_texts or [])
-        counts: dict[int, int] = {}
-        total = 0
-        for t in texts:
-            g = self._grams(t.lower())
-            for v in g:
-                counts[int(v)] = counts.get(int(v), 0) + 1
-            total += len(g)
-        self.vocab = max(len(counts), 1)
-        self.total = total
-        # log2 probabilities with add-one smoothing
-        self.logp = {k: np.log2((c + 1) / (total + self.vocab))
-                     for k, c in counts.items()}
-        self.unseen = np.log2(1.0 / (total + self.vocab))
+        grams = [self._grams(t.lower()) for t in texts] or [
+            np.zeros(0, dtype=np.uint64)]
+        allg = np.concatenate(grams)
+        keys, counts = np.unique(allg, return_counts=True)
+        total = int(counts.sum())
+        self.vocab = max(len(keys), 1)
+        # sorted key array + aligned log2 probs: scoring is a single
+        # searchsorted per doc, no python-per-trigram work
+        self.keys = keys
+        self.logp = np.log2((counts + 1) / (total + self.vocab))
+        self.unseen = float(np.log2(1.0 / (total + self.vocab)))
 
     @staticmethod
     def _grams(t: str) -> np.ndarray:
@@ -196,9 +194,13 @@ class NgramLmScorer:
         for i, t in enumerate(batch[col].to_pylist()):
             g = self._grams((t or "").lower())
             if len(g) == 0:
-                bits[i] = float(-self.unseen)
+                bits[i] = -self.unseen
                 continue
-            s = sum(self.logp.get(int(v), self.unseen) for v in g)
+            idx = np.searchsorted(self.keys, g)
+            idx[idx >= len(self.keys)] = 0
+            hit = self.keys[idx] == g if len(self.keys) else \
+                np.zeros(len(g), dtype=bool)
+            s = self.logp[idx[hit]].sum() + self.unseen * (~hit).sum()
             bits[i] = -s / len(g)
         return batch.append_column(
             "lm_bits_per_char", pa.array(np.round(bits, 4)))
