@@ -121,3 +121,50 @@ max_field_len: 150
     assert got.num_rows == want.num_rows and got.num_rows > 0
     assert got.equals(want)
     assert disc["window"] > 0 and disc["spark_ignore"] > 0
+
+
+def test_yaml_per_tag_joiner_and_unixof_rowkey():
+    """Round-2 extension surface through YAML: per-tag joiners and the
+    %{@unixof:col} CustomBigDataFilter rowkey token, verified against
+    the oracle end-to-end."""
+    from go_fluentd_ray import oracle
+    from go_fluentd_ray.pipelines import flagship
+    from go_fluentd_ray.synth import transcript_table
+
+    head = '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3} \\|'
+    cfg = config_yaml.from_yaml(f"""
+env: sit
+ingress_tags: {{"": "spring.{{env}}", bash: "spark.{{env}}"}}
+window: {{min: "2015-01-01T00:00:00", max: "2030-01-01T00:00:00"}}
+spark: {{tag: "spark.{{env}}", ignore_regex: 'executor=\\\\d+'}}
+spring:
+  tag: "spring.{{env}}"
+  rules:
+    - {{regex: 'ms_\\\\w+', new_tag: "bot.{{env}}"}}
+    - {{regex: ".*", new_tag: "app.spring.{{env}}"}}
+accept_tags: ["app.spring.{{env}}", "bot.{{env}}"]
+concat:
+  "app.spring.{{env}}": {{head_regex: '{head}', max_length: 8192,
+                          joiner: " || "}}
+  "bot.{{env}}": {{head_regex: '{head}', max_length: 8192,
+                   joiner: "\\t"}}
+parsers:
+  "app.spring.{{env}}":
+    pattern: "(?s)^(?P<time>\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}} \\\\d{{2}}:\\\\d{{2}}:\\\\d{{2}}\\\\.\\\\d{{3}}) \\\\| (?P<app>[^ |]+) \\\\| (?P<level>[^ |]+) \\\\| (?P<thread>[^ |]+) \\\\| (?P<class_name>[^ |]+) \\\\| (?P<line>\\\\d+): (?P<message>.*)$"
+    must_include: app
+adds:
+  "app.spring.{{env}}":
+    datasource: bigdata
+    rowkey: "%{{app}}_%{{@unixof:@timestamp}}"
+sink_map: {{"app.spring.{{env}}": "s1", "bot.{{env}}": "s2"}}
+""")
+    assert cfg.concat["app.spring.sit"].joiner == " || "
+    assert cfg.concat["bot.sit"].joiner == "\t"
+    t = transcript_table(6000)
+    got = flagship.run_local(t, cfg)
+    want, _ = oracle.run_oracle(t, cfg)
+    assert got.num_rows == want.num_rows and got.num_rows > 0
+    assert got.equals(want)
+    df = got.to_pandas()
+    rk = df[df["tag"] == "app.spring.sit"]["rowkey"].dropna()
+    assert rk.str.match(r".+_\d{9,}$").all()  # app + epoch seconds
