@@ -22,8 +22,10 @@ def flatten_obj(obj: dict, joiner: str = "__") -> "dict[str, str | None]":
     """Pure-Python FlattenMap: {'a': {'b': {'c': 1}}, 'd': 2} ->
     {'a__b__c': '1', 'd': '2'}. Value stringification matches DuckDB's
     json_extract_string so the SQL oracle agrees: true/false lowercase,
-    JSON null -> null map value (not 'None'), arrays as compact JSON
-    text."""
+    JSON null -> null map value (not 'None'), arrays as compact
+    non-ASCII-preserving JSON text. Known divergence: integers beyond
+    uint64 render inconsistently in DuckDB itself (double text for some
+    magnitudes) and are kept exact here."""
     out: dict[str, str | None] = {}
 
     def scalar(o) -> "str | None":
@@ -32,7 +34,7 @@ def flatten_obj(obj: dict, joiner: str = "__") -> "dict[str, str | None]":
         if isinstance(o, bool):
             return "true" if o else "false"
         if isinstance(o, list):
-            return json.dumps(o, separators=(",", ":"))
+            return json.dumps(o, separators=(",", ":"), ensure_ascii=False)
         return str(o)
 
     def walk(prefix: str, o) -> None:

@@ -162,8 +162,9 @@ def pack_documents(ds, budget: int = PACK_BUDGET,
     B = num_buckets or 32
 
     def tokens(batch: pa.Table) -> pa.Table:
-        n = pc.cast(pc.count_substring_regex(batch["text"], r"\w+"),
-                    pa.int64())
+        # null text counts as 0 tokens (SQL twin coalesces identically)
+        n = pc.fill_null(pc.cast(
+            pc.count_substring_regex(batch["text"], r"\w+"), pa.int64()), 0)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"doc_id": pa.array(ids),
                          "n_tokens": n,
@@ -202,7 +203,8 @@ def pack_documents_sql(budget: int = PACK_BUDGET,
     return rf"""
 WITH RECURSIVE d AS (
   SELECT doc_id,
-         length(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens,
+         coalesce(length(regexp_extract_all(text, '\w+')), 0)::BIGINT
+             AS n_tokens,
          (doc_id % {num_buckets})::INTEGER AS bucket
   FROM {table}
 ),
@@ -215,9 +217,9 @@ pack(bucket, rn, doc_id, n_tokens, seq, acc) AS (
   FROM numbered WHERE rn = 1
   UNION ALL
   SELECT n.bucket, n.rn, n.doc_id, n.n_tokens,
-         CASE WHEN p.acc + n.n_tokens > {budget}
+         CASE WHEN p.acc > 0 AND p.acc + n.n_tokens > {budget}
               THEN p.seq + 1 ELSE p.seq END,
-         CASE WHEN p.acc + n.n_tokens > {budget}
+         CASE WHEN p.acc > 0 AND p.acc + n.n_tokens > {budget}
               THEN n.n_tokens ELSE p.acc + n.n_tokens END
   FROM pack p JOIN numbered n ON n.bucket = p.bucket AND n.rn = p.rn + 1
 )

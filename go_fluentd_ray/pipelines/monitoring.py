@@ -42,7 +42,7 @@ def acceptor_classify_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     from ..stages.acceptor import acceptor_transform
 
     counts: dict[str, int] = {}
-    acceptor_transform(batch, cfg, counts=counts)
+    acceptor_transform(batch, cfg, counts=counts, precompute_heads=False)
     items = sorted(counts.items())
     return _count_rows([k for k, _ in items], [v for _, v in items])
 

@@ -34,11 +34,15 @@ def _lookup(values: pa.ChunkedArray | pa.Array, mapping: dict[str, str],
 
 
 def acceptor_transform(batch: pa.Table, cfg: PipelineConfig,
-                       counts: dict | None = None) -> pa.Table:
+                       counts: dict | None = None,
+                       precompute_heads: bool = True) -> pa.Table:
     """When ``counts`` is given, per-reason discard counters (window /
     spark_ignore / unknown_tag) are accumulated into it — the single
     source of truth the /monitor query (pipelines/monitoring.py) uses,
-    so filter semantics can never desynchronize from the counters."""
+    so filter semantics can never desynchronize from the counters.
+    ``precompute_heads=False`` skips the concat head-regex scans and
+    output-column appends for counts-only callers (the scans are the
+    expensive part and unused there)."""
     def _note(reason: str, n: int) -> None:
         if counts is not None and n:
             counts[reason] = counts.get(reason, 0) + int(n)
@@ -81,6 +85,9 @@ def acceptor_transform(batch: pa.Table, cfg: PipelineConfig,
     n0 = batch.num_rows
     batch, tag, text = batch.filter(keep), tag.filter(keep), text.filter(keep)
     _note("unknown_tag", n0 - batch.num_rows)
+
+    if not precompute_heads:
+        return batch.append_column("tag", tag)
 
     # ---- precompute concat controls ---------------------------------------
     concat_tags = sorted(cfg.concat)

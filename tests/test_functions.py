@@ -554,3 +554,27 @@ def test_lm_score_separates_fluent_from_noise():
     assert fluent < noise1 and fluent < noise2
     out2 = T.lm_score(rd.from_pandas(base)).to_pandas().set_index("doc_id")
     assert (out["lm_bits_per_char"] == out2["lm_bits_per_char"]).all()
+
+
+def test_pack_zero_token_doc_sql_parity():
+    """Review regression: a zero-token doc (acc stays 0) followed by an
+    oversize doc must pack identically in Ray and the recursive-CTE
+    oracle (the SQL needs the same acc > 0 guard as the Python scan)."""
+    import duckdb
+
+    from go_fluentd_ray.functions import sampling
+
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 32, 64], dtype=np.int64),  # one bucket
+        "text": ["!!! ### $$$",          # 0 tokens
+                 "w " * 600,             # oversize (600 > 512)
+                 "w " * 100],
+    })
+    out = (sampling.pack_documents(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert list(out["seq_idx"]) == [0, 0, 1]
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.sql(sampling.pack_documents_sql())
+           .df().sort_values("doc_id"))
+    assert list(sql["seq_idx"]) == [0, 0, 1]
