@@ -162,6 +162,11 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
                                 "b": pd.Series(dtype=np.int64),
                                 ca: pd.Series(dtype=object),
                                 cb: pd.Series(dtype=object)})
+        else:
+            # the corpus rows' null pair ids promote a/b to float64 in
+            # the pandas bucket frame — restore the key dtype
+            out["a"] = out["a"].astype(np.int64)
+            out["b"] = out["b"].astype(np.int64)
         if finalize is not None:
             out = finalize(out)
         return out

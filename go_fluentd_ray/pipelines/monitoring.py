@@ -13,8 +13,10 @@ Reasons (same classification the pure-Python oracle tracks):
   ``emitted`` (rows that reach the sinks).
 
 Everything is per-batch partial counts (combiner) + one tiny groupby —
-the monitoring query costs one pass over the data, no extra shuffle of
-row payloads.
+the monitoring query costs one counts-only acceptor pass (head-regex
+scans skipped) plus one acceptor+concat pass for the segment-level
+reasons; no shuffle ever moves row payloads beyond the concat bucket
+exchange.
 """
 
 from __future__ import annotations
