@@ -87,3 +87,21 @@ BENCHES.update({
     "asof_signup_lag": bench_asof,
     "doc_chunks": bench_doc_chunks,
 })
+
+
+def bench_pack(sf_dir: str):
+    from .sampling import pack_documents
+
+    return pack_documents(_docs(sf_dir)).count()
+
+
+def bench_lm_score(sf_dir: str):
+    from .text import lm_score
+
+    return lm_score(_docs(sf_dir)).count()
+
+
+BENCHES.update({
+    "pack_sequences": bench_pack,
+    "lm_score": bench_lm_score,
+})
