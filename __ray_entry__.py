@@ -442,6 +442,18 @@ def _q_pack_sequences(sf_dir: str):
     return sampling.pack_documents(_docs(sf_dir))
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (mergeable per-batch
+    sketches). Rows-only: approximate by design; the exact companion
+    is the oracle-checked distinct_users."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import sketches
+
+    return sketches.approx_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), "user_id")
+
+
 def _q_word_topk(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "word_topk": _q_word_topk,
         "distinct_users": _q_distinct_users,
+        "approx_distinct_users": _q_approx_distinct_users,
         "asof_signup_lag": _q_asof,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,

@@ -578,3 +578,41 @@ def test_pack_zero_token_doc_sql_parity():
     sql = (con.sql(sampling.pack_documents_sql())
            .df().sort_values("doc_id"))
     assert list(sql["seq_idx"]) == [0, 0, 1]
+
+
+class TestSketches:
+    def test_hll_accuracy_and_merge(self):
+        import numpy as _np
+
+        from go_fluentd_ray.functions.sketches import (hll_estimate,
+                                                       hll_registers)
+
+        whole = hll_registers(list(range(100_000)))
+        a = hll_registers(list(range(0, 60_000)))
+        b = hll_registers(list(range(40_000, 100_000)))
+        merged = _np.maximum(a, b)
+        # mergeability: max-merge of overlapping halves == whole sketch
+        assert (merged == whole).all()
+        est = hll_estimate(whole)
+        assert abs(est - 100_000) / 100_000 < 0.05
+
+    def test_approx_distinct_dataset(self):
+        from go_fluentd_ray.functions import sketches
+
+        n = 20_000
+        df = pd.DataFrame({"user_id": np.arange(n, dtype=np.int64)})
+        # several blocks -> several per-batch sketches get merged
+        out = sketches.approx_distinct(
+            rd.from_pandas(df).repartition(8), "user_id").to_pandas()
+        est = int(out["approx_distinct"].iloc[0])
+        assert abs(est - n) / n < 0.05
+
+    def test_approx_distinct_by_key_vs_exact(self):
+        from go_fluentd_ray.functions import sketches
+
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        got = (sketches.approx_distinct_by_key(ds, "event_type", "user_id")
+               .to_pandas().set_index("event_type")["approx_distinct"])
+        exact = (ds.to_pandas().groupby("event_type")["user_id"].nunique())
+        for k, e in exact.items():
+            assert abs(got[k] - e) / max(e, 1) < 0.06, (k, got[k], e)
