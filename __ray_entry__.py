@@ -257,7 +257,10 @@ def _q_dedup_exact_rows(sf_dir: str):
 def _q_dedup_minhash(sf_dir: str):
     from go_fluentd_ray.functions import dedup
 
-    return dedup.minhash_dedup(_docs(sf_dir))
+    # min_bands=2 is the scale route (collision pre-filter; the default
+    # is the exhaustive min_bands=1 — see minhash_dedup's docstring for
+    # the measured ~1-2% pair-recall tradeoff this opts into)
+    return dedup.minhash_dedup(_docs(sf_dir), min_bands=2)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -311,7 +314,7 @@ def _q_near_dedup_rows(sf_dir: str):
     from go_fluentd_ray.functions.components import dedup_rows_by_components
 
     docs = _docs(sf_dir)
-    pairs = dedup.minhash_dedup(docs, threshold=0.7)
+    pairs = dedup.minhash_dedup(docs, threshold=0.7, min_bands=2)
     out = dedup_rows_by_components(docs, pairs, "doc_id")
     return out.select_columns(["doc_id"])
 
@@ -329,6 +332,15 @@ def _q_knn_ivf(sf_dir: str):
     from go_fluentd_ray.functions import similarity
 
     return similarity.knn_ivf(_emb(sf_dir))
+
+
+def _q_knn_ivf_recall(sf_dir: str):
+    """recall@k of IVF vs brute force per query (+ overall mean row,
+    qid=-1). Rows-only: the approximate path's quality gate, made
+    driver-visible so IVF regressions surface in the oracle harness."""
+    from go_fluentd_ray.functions import similarity
+
+    return similarity.knn_ivf_recall(_emb(sf_dir))
 
 
 def _q_events_hourly(sf_dir: str):
@@ -587,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_rows": _q_near_dedup_rows,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_recall": _q_knn_ivf_recall,
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding,
         "sessionize": _q_sessionize,

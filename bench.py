@@ -52,42 +52,56 @@ def run_bench() -> dict:
     corpus = synth.ensure_corpus(n_turns)
 
     out_dir = "/tmp/bench_sink"
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     # warm: one untimed pass (page cache + actor pool + worker import)
     flagship.build_pipeline(flagship.read_transcripts(corpus)).count()
 
     queries: dict[str, float] = {}
+    # per-query best-of-N: wall times swing with page-cache/actor-spawn
+    # jitter (observed 1.5x between identical runs), so a single pass is
+    # not reproducible; min-of-2 estimates capability within ~15%
+    repeats = int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "2"))
+
+    def timed(name: str, fn) -> None:
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        queries[name] = round(best, 3)
 
     # headline consumer: parquet sink by default; the scaling mode uses the
     # aggregate consumer because the single local disk is a shared fixed
     # resource that a real 4N-node cluster scales with its nodes
     consumer = os.environ.get("GRAFT_BENCH_CONSUMER", "sink")
-    t0 = time.time()
-    pipe = flagship.build_pipeline(flagship.read_transcripts(corpus))
-    if consumer == "agg":
-        pipe.count()
-    else:
-        pipe.write_parquet(out_dir)
-    headline = time.time() - t0
-    queries["flagship_sink"] = round(headline, 3)
+
+    def run_headline() -> None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        pipe = flagship.build_pipeline(flagship.read_transcripts(corpus))
+        if consumer == "agg":
+            pipe.count()
+        else:
+            pipe.write_parquet(out_dir)
+
+    timed("flagship_sink", run_headline)
+    headline = queries["flagship_sink"]
 
     # aggregate consumer (per-sink routed-row counts, the north-rule gate)
-    t0 = time.time()
-    pipe = flagship.build_pipeline(flagship.read_transcripts(corpus))
-    flagship.sink_counts(pipe).to_pandas()
-    queries["sink_counts"] = round(time.time() - t0, 3)
+    timed("sink_counts", lambda: flagship.sink_counts(
+        flagship.build_pipeline(flagship.read_transcripts(corpus)))
+        .to_pandas())
 
-    # extras over the testdata tables, if present
-    try:
-        from go_fluentd_ray.functions import bench_extras
+    # extras over the testdata tables, if present (skipped by the
+    # scaling orchestrator — only the headline feeds efficiency there)
+    if not int(os.environ.get("GRAFT_BENCH_SKIP_EXTRAS", "0")):
+        try:
+            from go_fluentd_ray.functions import bench_extras
 
-        for name, fn in bench_extras.BENCHES.items():
-            t0 = time.time()
-            fn(SF_DIR)
-            queries[name] = round(time.time() - t0, 3)
-    except ImportError:
-        pass
+            for name, fn in bench_extras.BENCHES.items():
+                timed(name, lambda fn=fn: fn(SF_DIR))
+        except ImportError:
+            pass
 
     result = {
         "metric": "flagship transcript pipeline wall seconds "
@@ -122,7 +136,10 @@ def run_scaling() -> dict:
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_TURNS=str(n_turns),
-                       GRAFT_BENCH_CONSUMER="agg")
+                       GRAFT_BENCH_CONSUMER="agg",
+                       # best-of-2 happens at the process level here
+                       GRAFT_BENCH_QUERY_REPEATS="1",
+                       GRAFT_BENCH_SKIP_EXTRAS="1")
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True,
                                  check=True).stdout

@@ -9,11 +9,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def word_topk(ds, k: int = 20, col: str = "text"):
+def word_topk(ds, k: int = 20, col: str = "text",
+              num_buckets: int | None = None):
     """Heavy hitters: top-k tokens by total count across all documents.
     Stage 1 tokenizes and counts WITHIN each batch (one row per distinct
-    word per batch — the mergeable 'sketch'); stage 2 is a small
-    groupby-sum; stage 3 a driver-side sort of the tiny result."""
+    word per batch — the mergeable 'sketch'); stage 2 buckets the
+    partials by hash(word) % B and takes an EXACT per-bucket sum +
+    local top-k (exact because every occurrence of a word lands in one
+    bucket); stage 3 merges the B x k survivors on the driver. The
+    driver never sees the distinct-word table — at 100 TB that table
+    (with noise/typos) is billions of rows, while B x k stays tiny."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         # \w+ extraction == split on runs of non-word chars (same RE2
@@ -26,14 +34,23 @@ def word_topk(ds, k: int = 20, col: str = "text"):
         return pa.table({"word": pa.array(g.index, type=pa.string()),
                          "n": pa.array(g.to_numpy(), type=pa.int64())})
 
-    from ray.data.aggregate import Sum
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()  # (word, n) non-null -> exact conversion
+        g = df.groupby("word", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({"word": pa.array(g["word"], type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
 
     agg = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True)
-    out = agg.groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.map_batches(lambda t: add_bucket_col(t, ["word"], B),
+                          batch_format="pyarrow")
+    out = agg.groupby("__bkt").map_groups(
+        bucket_topk, batch_format="pyarrow").to_pandas()  # <= B*k rows
     out = out.sort_values(["n", "word"], ascending=[False, True],
                           kind="mergesort").head(k).reset_index(drop=True)
-    return out
+    return out[["word", "n"]]
 
 
 WORD_TOPK_SQL = r"""
@@ -46,27 +63,42 @@ ORDER BY n DESC, word LIMIT 20
 """
 
 
-def distinct_users(ds):
-    """Exact distinct count per group with a combiner: per-batch
-    drop_duplicates (the shuffle then moves at most one row per
-    (event_type, user) per batch), then a small grouped nunique."""
+def distinct_users(ds, num_buckets: int | None = None):
+    """Exact distinct count per group, two-level: per-batch
+    drop_duplicates combiner, then per-BUCKET (hash(user) % B) distinct
+    counts per type, then a per-type Sum of the tiny bucket partials.
+    A user lives in exactly one bucket, so the bucket counts are
+    disjoint and their sum is the exact distinct count — and no single
+    task ever gathers ALL users of one hot event_type (the failure mode
+    of groupby(event_type).map_groups at real scale)."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["event_type", "user_id"]).to_pandas()
-        return pa.Table.from_pandas(
+        t = pa.Table.from_pandas(
             df.drop_duplicates(["event_type", "user_id"]),
             preserve_index=False)
+        return add_bucket_col(t, ["user_id"], B)
 
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": [df["event_type"].iloc[0]],
-            "n_users": [int(df["user_id"].nunique())],
+    def bucket_counts(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().drop_duplicates(["event_type", "user_id"])
+        g = (df.groupby("event_type", sort=False).size()
+             .rename("n_users").reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"], type=pa.string()),
+            "n_users": pa.array(g["n_users"].to_numpy(), type=pa.int64()),
         })
 
-    return ds.groupby("event_type").map_groups(per_group,
-                                               batch_format="pandas")
+    part = ds.groupby("__bkt").map_groups(bucket_counts,
+                                          batch_format="pyarrow")
+    return part.groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users"))
 
 
 DISTINCT_USERS_SQL = """

@@ -26,7 +26,7 @@ def bench_dedup_exact(sf_dir: str):
 def bench_dedup_minhash(sf_dir: str):
     from .dedup import minhash_dedup
 
-    return minhash_dedup(_docs(sf_dir)).count()
+    return minhash_dedup(_docs(sf_dir), min_bands=2).count()
 
 
 def bench_quality(sf_dir: str):

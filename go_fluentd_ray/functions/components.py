@@ -20,15 +20,16 @@ fixpoint).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .shuffle import add_bucket_col, default_buckets
 
 
-def _min_label_partial(df: pd.DataFrame) -> pd.DataFrame:
-    g = df.groupby("n", sort=False)["lab"].min().reset_index()
-    return g
+def _min_label_partial(tbl: pa.Table) -> pa.Table:
+    """Per-batch combiner (arrow-native: every block in the label loop
+    stays an ArrowBlock, and int64 node ids are never widened)."""
+    g = tbl.group_by("n").aggregate([("lab", "min")])
+    return g.select(["n", "lab_min"]).rename_columns(["n", "lab"])
 
 
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
@@ -57,7 +58,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                          "lab": pa.array(np.minimum(u, v))})
 
     labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-              .map_batches(_min_label_partial, batch_format="pandas")
+              .map_batches(_min_label_partial, batch_format="pyarrow")
               .groupby("n").aggregate(Min("lab", alias_name="lab"))
               ).materialize()
     prev_sum = labels.sum("lab")
@@ -81,15 +82,20 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                          "__side": pa.array(np.ones(n, dtype=np.int8))},
                         schema=sides_schema)
 
-    def push(df: pd.DataFrame) -> pd.DataFrame:
-        labs = df[df["__side"] == 1][["__key", "lab"]]
-        es = df[df["__side"] == 0][["__key", "u"]]
-        if es.empty:
-            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
-                                 "lab": pd.Series(dtype=np.int64)})
-        m = es.merge(labs, on="__key", how="inner")
-        return (m.groupby("u", sort=False)["lab"].min().reset_index()
-                .rename(columns={"u": "n"}))
+    def push(tbl: pa.Table) -> pa.Table:
+        # Arrow-native join + grouped min: node ids never ride through a
+        # null-padded pandas float64 frame (ids > 2^53 stay exact)
+        import pyarrow.compute as pc
+
+        side = tbl["__side"]
+        labs = tbl.filter(pc.equal(side, 1)).select(["__key", "lab"])
+        es = tbl.filter(pc.equal(side, 0)).select(["__key", "u"])
+        if es.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64())})
+        m = es.join(labs, keys="__key", join_type="inner")
+        g = m.group_by("u").aggregate([("lab", "min")])
+        return g.select(["u", "lab_min"]).rename_columns(["n", "lab"])
 
     def hop_rows(batch: pa.Table) -> pa.Table:
         # pointer-doubling request: look up the label OF my label
@@ -117,10 +123,10 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                   .repartition(cpus, shuffle=False)
                   .map_batches(lambda t: add_bucket_col(t, ["__key"], B),
                                batch_format="pyarrow")
-                  .groupby("__bkt").map_groups(push, batch_format="pandas"))
+                  .groupby("__bkt").map_groups(push, batch_format="pyarrow"))
         labels = (pushed.union(labels)
                   .repartition(cpus, shuffle=False)
-                  .map_batches(_min_label_partial, batch_format="pandas")
+                  .map_batches(_min_label_partial, batch_format="pyarrow")
                   .groupby("n").aggregate(Min("lab", alias_name="lab"))
                   ).materialize()
         s = labels.sum("lab")

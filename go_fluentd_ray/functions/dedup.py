@@ -291,9 +291,15 @@ def _verify_cached(threshold: float, nonce: str) -> "VerifyJaccard":
 
 
 def minhash_dedup(ds, threshold: float = 0.7, num_buckets: int | None = None,
-                  min_bands: int = 2):
+                  min_bands: int = 1):
     """Full MinHash-LSH near-dup detection. Returns (a, b, jac) pairs
     with verified Jaccard >= threshold, a < b.
+
+    The DEFAULT (min_bands=1) is exhaustive over LSH candidates — every
+    band collision is verified. Scale-sensitive callers opt in to
+    min_bands=2 explicitly (and accept the documented ~1-2% pair-recall
+    loss at s~=threshold); the default never silently changes the
+    output contract.
 
     End-to-end shuffle-native: band rows shuffle once (bucketed), the
     skinny candidate pairs shuffle once for the band-collision count,

@@ -50,13 +50,18 @@ WHERE ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT % 100
 
 
 def quota_per_key(ds, key: str = "lang", measure: str = "n_chars",
-                  n: int = 50):
+                  n: int = 50, num_buckets: int | None = None):
     """Top-n rows per key by (measure DESC, doc_id ASC) — integer
     measure so the ordering is engine-exact. Per-batch combiner keeps
-    each batch's local top-n; the global stage then handles at most
-    n x num_batches rows per key (tiny), grouped by the key itself
-    (key cardinality here is low — language codes / source names; for
-    an unbounded key, bucket by hash(key) % B like functions/shuffle)."""
+    each batch's local top-n; the global stage groups by hash(key) % B
+    (NOT by the key itself), so an unbounded key domain — source URL,
+    site, author — costs one vectorized call per bucket instead of one
+    Python call per key, and no single task ever depends on the key
+    cardinality. Each key lives wholly in one bucket, so the per-bucket
+    grouped head is exact."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values([key, measure, "doc_id"],
@@ -65,7 +70,13 @@ def quota_per_key(ds, key: str = "lang", measure: str = "n_chars",
                 .groupby(key, sort=False).head(n))
 
     ds = ds.map_batches(local_top, batch_format="pandas")
-    return ds.groupby(key).map_groups(local_top, batch_format="pandas")
+    ds = ds.map_batches(lambda t: add_bucket_col(t, [key], B),
+                        batch_format="pyarrow")
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        return local_top(df).drop(columns=["__bkt"])
+
+    return ds.groupby("__bkt").map_groups(bucket_top, batch_format="pandas")
 
 
 def quota_per_key_sql(key: str = "lang", measure: str = "n_chars",

@@ -80,17 +80,30 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
 
     1. pairs explode to (key=a, side=0) + (key=b, side=1) rows;
     2. union with corpus rows (key=corpus_key, side=-1, value);
-    3. groupby(hash(key) % B): vectorized pd.merge attaches value to
+    3. groupby(hash(key) % B): an Arrow hash join attaches value to
        each pair-side row (the corpus moves across the wire ONCE);
     4. groupby(hash(a,b) % B): the two sides of each pair re-co-locate
        and pivot to (a, b, out_cols[0], out_cols[1]).
+
+    Every per-bucket step is Arrow-native (pa.Table.join / group_by) —
+    int64 keys and ids NEVER round-trip through a null-padded pandas
+    float64 frame, so full-range 64-bit values (content hashes,
+    simhashes) survive exactly.
+
+    Contract: ``corpus_key`` must be UNIQUE in corpus_ds (a duplicated
+    key would duplicate every pair touching it — both joins here are
+    many-to-one by assumption), and pair keys are attached with an
+    INNER join: a pair whose key is absent from the corpus is dropped
+    rather than emitted with a null value (callers like minhash derive
+    pairs from the corpus itself, so nothing is lost there).
 
     ``dedup_sides=True`` makes duplicate (a, b) pairs in the input
     harmless (side rows are deduped inside the keyed stage — cheaper
     than a standalone distinct shuffle when the payload per key is
     deterministic). ``finalize(df)`` runs INSIDE the pivot stage on the
-    joined (a, b, out_cols...) frame — fusing the consumer (e.g. a
-    verify filter) into the shuffle stage so wide intermediate rows are
+    joined (a, b, out_cols...) pandas frame (all columns non-null there,
+    so the conversion is exact) — fusing the consumer (e.g. a verify
+    filter) into the shuffle stage so wide intermediate rows are
     reduced before they are ever written out as blocks. Nothing is
     materialized on the driver."""
     B = num_buckets or default_buckets()
@@ -131,57 +144,61 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
     unioned = sides.union(corpus).map_batches(
         lambda t: add_bucket_col(t, ["__key"], B), batch_format="pyarrow")
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[df["__side"] == -1][["__key", "__val"]]
-        prs = df[df["__side"] >= 0][["__key", "a", "b", "__side"]]
-        if dedup_sides and not prs.empty:
-            prs = prs.drop_duplicates(["a", "b", "__side"])
-        if prs.empty:
-            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                 "b": pd.Series(dtype=np.int64),
-                                 "__side": pd.Series(dtype=np.int8),
-                                 "__val": pd.Series(dtype=object)})
-        m = prs.merge(vals, on="__key", how="left")
-        return m[["a", "b", "__side", "__val"]]
+    def attach(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = tbl["__side"]
+        vals = tbl.filter(pc.equal(side, -1)).select(["__key", "__val"])
+        prs = tbl.filter(pc.greater_equal(side, 0)).select(
+            ["__key", "a", "b", "__side"])
+        if dedup_sides and prs.num_rows:
+            # __key is a pure function of (a, b, __side), so grouping on
+            # all four == distinct pair-sides (aggregate([]) = distinct)
+            prs = prs.group_by(
+                ["__key", "a", "b", "__side"]).aggregate([]).select(
+                ["__key", "a", "b", "__side"])
+        # INNER: pair keys missing from the corpus drop here (see
+        # contract in the docstring)
+        m = prs.join(vals, keys="__key", join_type="inner")
+        return m.select(["a", "b", "__side", "__val"])
 
     attached = unioned.groupby("__bkt").map_groups(
-        attach, batch_format="pandas")
+        attach, batch_format="pyarrow")
     attached = attached.map_batches(
         lambda t: add_bucket_col(t, ["a", "b"], B), batch_format="pyarrow")
 
     ca, cb = out_cols
 
-    def pivot(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["__side"] == 0][["a", "b", "__val"]].rename(
-            columns={"__val": ca})
-        right = df[df["__side"] == 1][["a", "b", "__val"]].rename(
-            columns={"__val": cb})
-        out = left.merge(right, on=["a", "b"], how="inner")
-        if out.empty:
-            out = pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                                "b": pd.Series(dtype=np.int64),
-                                ca: pd.Series(dtype=object),
-                                cb: pd.Series(dtype=object)})
-        else:
-            # the corpus rows' null pair ids promote a/b to float64 in
-            # the pandas bucket frame — restore the key dtype
-            out["a"] = out["a"].astype(np.int64)
-            out["b"] = out["b"].astype(np.int64)
+    def pivot(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = tbl["__side"]
+        left = tbl.filter(pc.equal(side, 0)).select(
+            ["a", "b", "__val"]).rename_columns(["a", "b", ca])
+        right = tbl.filter(pc.equal(side, 1)).select(
+            ["a", "b", "__val"]).rename_columns(["a", "b", cb])
+        out = left.join(right, keys=["a", "b"], join_type="inner")
+        out = out.select(["a", "b", ca, cb])
         if finalize is not None:
-            out = finalize(out)
+            # joined rows have no nulls -> exact pandas conversion
+            out = pa.Table.from_pandas(finalize(out.to_pandas()),
+                                       preserve_index=False)
         return out
 
     # pivot's output already excludes __bkt
-    return attached.groupby("__bkt").map_groups(pivot, batch_format="pandas")
+    return attached.groupby("__bkt").map_groups(pivot, batch_format="pyarrow")
 
 
 def bucketed_anti_join(ds, key: str, keys_ds, keys_col: str,
                        num_buckets: int | None = None):
     """ds rows whose ``key`` is NOT in keys_ds[keys_col] — the
     distributed anti-join: both sides bucket on hash(key) % B, one
-    corpus shuffle, vectorized isin filter per bucket. Replaces the
+    corpus shuffle, vectorized is_in filter per bucket. Replaces the
     take_all()-the-key-set-and-broadcast pattern, which is unbounded
-    when the key set scales with the corpus."""
+    when the key set scales with the corpus. The per-bucket filter is
+    Arrow-native end to end, so int64 columns (full-range content
+    hashes, ids > 2^53) are never promoted to float64 by null-padded
+    pandas frames."""
     B = num_buckets or default_buckets()
     base = ds.schema().base_schema
     if not isinstance(base, pa.Schema):
@@ -216,21 +233,16 @@ def bucketed_anti_join(ds, key: str, keys_ds, keys_col: str,
                           zero_copy_batch=True)
     right = keys_ds.map_batches(key_rows, batch_format="pyarrow")
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        dropset = df[df["__drop"] == 1][key]
-        keep = df[df["__drop"] == 0]
-        out = keep[~keep[key].isin(set(dropset))]
-        return out.drop(columns=["__drop", "__bkt"])
+    def anti(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    out = left.union(right).groupby("__bkt").map_groups(
-        anti, batch_format="pandas")
+        drop = tbl["__drop"]
+        dropset = tbl.filter(pc.equal(drop, 1))[key]
+        if isinstance(dropset, pa.ChunkedArray):
+            dropset = dropset.combine_chunks()
+        keep = tbl.filter(pc.equal(drop, 0))
+        out = keep.filter(pc.invert(pc.is_in(keep[key], value_set=dropset)))
+        return out.drop_columns(["__drop", "__bkt"]).select(base.names)
 
-    def restore(batch: pa.Table) -> pa.Table:
-        # the null-padded key rows promote int columns to float in the
-        # pandas bucket frames — cast back to the corpus schema
-        cols = [batch[f.name].cast(f.type) for f in base]
-        return pa.Table.from_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in cols], schema=base)
-
-    return out.map_batches(restore, batch_format="pyarrow")
+    return left.union(right).groupby("__bkt").map_groups(
+        anti, batch_format="pyarrow")

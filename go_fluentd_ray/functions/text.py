@@ -211,8 +211,11 @@ def lm_score(docs_ds, ref_sample_n: int = 256):
     corpus itself (the ref_sample_n docs with smallest md5(doc_id) —
     stable across runs, partitionings and cluster sizes), broadcast it
     once, and score every doc. The sample selection is a per-batch
-    top-K partial + tiny driver reduce (K rows per batch, never the
-    corpus)."""
+    top-K partial, then a TREE-REDUCE round (coalesce to <= 8 blocks,
+    top-K within each) before the driver's final pick — so the driver
+    holds at most 8*K candidate rows, never K x n_batches (at 100 TB
+    that would be tens of GB of text for hundreds of thousands of
+    blocks)."""
     import hashlib as _h
 
     import ray
@@ -230,8 +233,18 @@ def lm_score(docs_ds, ref_sample_n: int = 256):
         df = df.sort_values("h", kind="mergesort").head(K)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = docs_ds.select_columns(["doc_id", "text"]).map_batches(
-        local_min, batch_format="pyarrow").take_all()
+    def combine_min(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values("h", kind="mergesort").head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = (docs_ds.select_columns(["doc_id", "text"])
+                .map_batches(local_min, batch_format="pyarrow")
+                .repartition(8, shuffle=False)
+                .map_batches(combine_min, batch_format="pyarrow",
+                             batch_size=None)  # whole block -> <= K rows out
+                .take_all())  # <= 8 * K rows on the driver
     partials.sort(key=lambda r: r["h"])
     ref_texts = [r["text"] for r in partials[:K]]
     ref = ray.put(ref_texts)

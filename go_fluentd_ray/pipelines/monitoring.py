@@ -169,7 +169,7 @@ def discard_counts_sql(path: str, cfg: PipelineConfig) -> str:
   SELECT CASE
            WHEN NOT {match} THEN 'regex_nonmatch'
            WHEN {must} THEN 'must_include'
-           WHEN try_strptime(replace(nullif(trim(g.time), ''), ',', '.'),
+           WHEN try_strptime(replace(nullif(trim(g.{p.time_group}), ''), ',', '.'),
                              '{fmt}') IS NULL THEN 'time_parse'
            ELSE '{final}'
          END AS reason

@@ -146,7 +146,7 @@ def _parse_branch(tag: str, cfg: PipelineConfig) -> str:
     return f"""
   SELECT tag, conv_id, turn_idx, role, tool, ts, n_merged, text,
          {sel_groups},
-         strftime(strptime(replace(nullif(trim(g.time), ''), ',', '.'),
+         strftime(strptime(replace(nullif(trim(g.{p.time_group}), ''), ',', '.'),
                   '{_sq(fmt)}'), '%Y-%m-%dT%H:%M:%S.%fZ') AS "@timestamp",
          {_json_exprs(tag, cfg)}
   FROM (SELECT *, {ex} AS g FROM merged

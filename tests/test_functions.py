@@ -130,14 +130,13 @@ class TestSimilarity:
 
     def test_ivf_recall(self):
         ds = rd.read_parquet(f"{SF}/embeddings.parquet")
-        brute = similarity.knn_bruteforce(ds, k=5)
-        ivf = similarity.knn_ivf(ds, k=5)
-        recalls = []
-        for qid in brute.qid.unique():
-            b = set(brute[brute.qid == qid]["vec_id"])
-            a = set(ivf[ivf.qid == qid]["vec_id"])
-            recalls.append(len(a & b) / len(b))
-        assert np.mean(recalls) >= 0.5  # approximate, deterministic seeds
+        out = similarity.knn_ivf_recall(ds, k=5)
+        overall = float(out.loc[out.qid == -1, "recall_at_k"].iloc[0])
+        # deterministic seeds; random embeddings are the IVF worst case
+        # and the default nprobe is sized to clear 0.9 even there
+        assert overall >= 0.9, overall
+        assert set(out.columns) == {"qid", "recall_at_k"}
+        assert len(out) == similarity.N_QUERIES + 1
 
 
 class TestText:

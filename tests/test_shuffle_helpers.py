@@ -85,6 +85,43 @@ class TestBucketedDistinctAnti:
             want = corpus[~corpus["doc_id"].isin(set(drop["n"]))]
             assert sorted(got["doc_id"]) == sorted(want["doc_id"]), seed
 
+    def test_int64_beyond_2e53_survive(self):
+        """Full-range 64-bit values (content hashes, simhashes) must
+        ride the bucketed helpers exactly — a pandas float64 round-trip
+        would silently corrupt anything above 2^53."""
+        big = np.array([(1 << 62) + 1, (1 << 62) + 3, (1 << 53) + 1,
+                        (1 << 63) - 5, 7], dtype=np.int64)
+        corpus = pd.DataFrame({"doc_id": big,
+                               "payload": big + 1,  # int64 payload column
+                               "text": [f"x{i}" for i in range(len(big))]})
+        drop = pd.DataFrame({"n": big[:2]})
+        got = bucketed_anti_join(rd.from_pandas(corpus), "doc_id",
+                                 rd.from_pandas(drop), "n",
+                                 num_buckets=4).to_pandas()
+        assert sorted(got["doc_id"]) == sorted(big[2:])
+        assert sorted(got["payload"]) == sorted(big[2:] + 1)
+        pairs = pd.DataFrame({"a": big[[0, 2]], "b": big[[1, 3]]})
+        att = bucketed_attach(
+            rd.from_pandas(pairs), rd.from_pandas(corpus),
+            left_keys=("a", "b"), corpus_key="doc_id", value_col="text",
+            out_cols=("ta", "tb"), num_buckets=4).to_pandas()
+        assert set(att["a"]) == {big[0], big[2]}
+        assert set(att["b"]) == {big[1], big[3]}
+        assert set(att["ta"]) == {"x0", "x2"} and set(att["tb"]) == {"x1", "x3"}
+
+    def test_attach_inner_drops_keys_missing_from_corpus(self):
+        corpus = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                               "text": ["t1", "t2"]})
+        pairs = pd.DataFrame({"a": np.array([1, 1], dtype=np.int64),
+                              "b": np.array([2, 99], dtype=np.int64)})
+        got = bucketed_attach(
+            rd.from_pandas(pairs), rd.from_pandas(corpus),
+            left_keys=("a", "b"), corpus_key="doc_id", value_col="text",
+            out_cols=("ta", "tb"), num_buckets=4).to_pandas()
+        # the (1, 99) pair has no corpus row for 99 -> dropped, not
+        # emitted with a null value (which would crash finalize callers)
+        assert got[["a", "b"]].to_records(index=False).tolist() == [(1, 2)]
+
     def test_anti_join_empty_and_full_drop(self):
         corpus, _ = _rand_case(5)
         none = pd.DataFrame({"n": pd.Series(dtype=np.int64)})

@@ -76,7 +76,7 @@ def one(ncpu: int) -> dict:
     path = ensure_docs(N_DOCS)
     ds = rd.read_parquet(path)
     t0 = time.time()
-    pairs = dedup.minhash_dedup(ds).count()
+    pairs = dedup.minhash_dedup(ds, min_bands=2).count()
     wall = time.time() - t0
     ray.shutdown()
     return {"num_cpus": ncpu, "sec": round(wall, 2), "pairs": pairs,
