@@ -542,6 +542,25 @@ def _q_fluentd_frames(sf_dir: str):
     return read_fluentd_frames(path)
 
 
+def _q_fluentd_pipeline(sf_dir: str):
+    """COMPOSED end-to-end: fluentd-forward msgpack frames (3 shapes)
+    -> transcript rows -> acceptor -> head-regex concat -> parse ->
+    enrich -> route — the reference's recv feeding its in-connection
+    concatenator and tag pipeline (recvs/fluentd.go:399-544). The SQL
+    twin runs the flagship oracle over the frames DECODED to parquet,
+    so every post-decode stage is oracle-checked; the msgpack decode
+    itself is pytest-checked (DuckDB cannot read msgpack)."""
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.pipelines import flagship
+    from go_fluentd_ray.sources.fluentd_frames import read_fluentd_transcripts
+
+    path = synth.ensure_fluentd_transcript_corpus(
+        synth.turns_for_sf_dir(sf_dir))
+    ds = read_fluentd_transcripts(path)
+    pipe = flagship.build_pipeline(ds)
+    return pipe.drop_columns(["merged_turns", "extra"])
+
+
 def _q_http_fields_route(sf_dir: str):
     """Composed post pipeline: http validate -> FieldsFilter
     (TemplateWithMap new_fields + include projection) ->
@@ -611,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kafka_parse": _q_kafka_parse,
         "http_fields_route": _q_http_fields_route,
         "fluentd_frames": _q_fluentd_frames,
+        "fluentd_pipeline": _q_fluentd_pipeline,
         "hash_sample": _q_hash_sample,
         "quota_per_key": _q_quota_per_key,
         "doc_chunks": _q_doc_chunks,
@@ -622,6 +642,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
+
+
+def _fluentd_decoded_path() -> str:
+    from go_fluentd_ray import synth
+
+    return synth.ensure_fluentd_decoded(synth.turns_for_sf_dir(SF001))
 
 
 def _http_ingest_sql() -> str:
@@ -786,6 +812,8 @@ def oracle_sql() -> dict[str, str]:
         "rsyslog_transform": _rsyslog_sql(),
         "kafka_parse": _kafka_sql(),
         "http_fields_route": _http_fields_route_sql(),
+        "fluentd_pipeline": sql_oracle.flagship_sql(
+            _fluentd_decoded_path() + "/part-*.parquet"),
         "hash_sample": _sampling.hash_sample_sql(20),
         "quota_per_key": _sampling.quota_per_key_sql(n=25),
         "doc_chunks": _sampling.chunk_documents_sql(),

@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The image/audio decode libraries are not in this container, so the
-decode kernel is STUBBED (deterministic fake features / explicit
-NotImplementedError) — but the Ray-side plumbing is real and tested:
-binary columns flow zero-copy through Arrow, the stage is an actor
-pool sized for large rows (small batch_size), and the output layout
-(fixed schema with list<float> features) is what a real decoder would
-emit. Swap ``_decode_stub`` for a PIL/libav call and nothing else
-changes.
+Codec libraries are FEATURE-DETECTED once per actor (__init__): when
+PIL / soundfile are importable, PNG/JPEG and WAV payloads are really
+decoded (pixels -> pooled grayscale features; samples -> pooled
+amplitude features). In containers without those libraries — this one —
+the detection comes back empty and the deterministic stub path runs
+instead (explicit NotImplementedError in strict mode), so the Ray-side
+plumbing is identical either way: binary columns flow zero-copy through
+Arrow, the stage is an actor pool sized for large rows (small
+batch_size), and the output layout (fixed schema with list<float>
+features) does not depend on which decoder ran.
 """
 
 from __future__ import annotations
@@ -36,15 +38,58 @@ def _decode_stub(payload: bytes, dim: int = 8) -> np.ndarray:
     return v / 65535.0
 
 
+_PNG_MAGIC = b"\x89PNG"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_WAV_MAGIC = b"RIFF"
+
+
 class MultimodalExtract:
     """Actor-pool stage over binary payloads: validates magic, extracts
-    metadata (size, crc32, format), emits stub features. Use a SMALL
-    batch_size when payloads are large (brief: batch x concurrency must
-    fit the worker heap)."""
+    metadata (size, crc32, format), emits features. Real codecs are
+    feature-detected ONCE per actor; payloads whose magic matches an
+    available codec are really decoded, everything else takes the
+    deterministic stub (or NotImplementedError in strict mode). Use a
+    SMALL batch_size when payloads are large (brief: batch x
+    concurrency must fit the worker heap)."""
 
     def __init__(self, feature_dim: int = 8, strict: bool = False):
         self.dim = feature_dim
         self.strict = strict
+        # codec detection happens here — once per actor, never per batch
+        try:
+            from PIL import Image as _Image  # noqa: N813
+
+            self._pil = _Image
+        except ImportError:
+            self._pil = None
+        try:
+            import soundfile as _sf
+
+            self._sf = _sf
+        except ImportError:
+            self._sf = None
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        """PIL path: grayscale, resize to (dim, 1), normalized pixels —
+        deterministic for a given image and dim."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload)).convert("L")
+        img = img.resize((self.dim, 1))
+        return np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+
+    def _decode_audio(self, payload: bytes) -> np.ndarray:
+        """soundfile path: mean |amplitude| over dim equal slices."""
+        import io
+
+        data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        if len(data) == 0:
+            return np.zeros(self.dim, dtype=np.float32)
+        chunks = np.array_split(np.abs(data), self.dim)
+        return np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                        dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -55,10 +100,18 @@ class MultimodalExtract:
             if p[:4] == MAGIC:
                 fmt.append("img0")
                 feats.append(_decode_stub(p, self.dim))
+            elif (p[:4] == _PNG_MAGIC or p[:3] == _JPEG_MAGIC) \
+                    and self._pil is not None:
+                fmt.append("png" if p[:4] == _PNG_MAGIC else "jpeg")
+                feats.append(self._decode_image(p))
+            elif p[:4] == _WAV_MAGIC and self._sf is not None:
+                fmt.append("wav")
+                feats.append(self._decode_audio(p))
             else:
                 if self.strict:
                     raise NotImplementedError(
-                        "real decoder not available in this container")
+                        "no decoder available for this payload "
+                        "(codec libraries absent from this container)")
                 fmt.append("unknown")
                 feats.append(np.zeros(self.dim, dtype=np.float32))
         out = batch.drop_columns(["payload"])

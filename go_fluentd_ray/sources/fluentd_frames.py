@@ -137,3 +137,73 @@ def read_fluentd_frames(path: str):
 
     return ds.map_batches(decode_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# frames carrying transcript rows (the composed pipeline's ingest edge:
+# the reference's recv hands records straight to its in-connection
+# concatenator + tag pipeline, recvs/fluentd.go:399-544)
+# ---------------------------------------------------------------------------
+
+TRANSCRIPT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+
+def transcripts_from_stream(buf: bytes) -> pa.Table:
+    """Decode one connection-stream into the flagship transcript
+    schema: the record's 'log' key is the text (msg_key analogue), the
+    remaining keys are the typed turn columns (ts as epoch micros —
+    exact round-trip, no string formatting). Records missing conv_id /
+    turn_idx are discarded (warn-and-continue parity)."""
+    rows, _ = decode_stream(buf)
+    conv, turn, role, text, tool, ts_us = [], [], [], [], [], []
+
+    def _s(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v if isinstance(v, str) else None
+
+    for _tag, _t, rec in rows:
+        c, ti = _s(rec.get("conv_id")), rec.get("turn_idx")
+        if c is None or not isinstance(ti, int):
+            continue
+        conv.append(c)
+        turn.append(ti)
+        role.append(_s(rec.get("role")))
+        text.append(_s(rec.get("log")))
+        tool.append(_s(rec.get("tool")))
+        t = rec.get("ts_us")
+        ts_us.append(t if isinstance(t, int) else None)
+    return pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn, type=pa.int32()),
+        "role": pa.array(role, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+
+
+def read_fluentd_transcripts(path: str):
+    """Ray reader for transcript-bearing frame files: one decode task
+    per connection file, output in the flagship input schema — feed the
+    result straight into pipelines.flagship.build_pipeline."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path)
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        parts = [transcripts_from_stream(
+            b.as_py() if hasattr(b, "as_py") else b)
+            for b in batch["bytes"]]
+        return (pa.concat_tables(parts) if parts
+                else TRANSCRIPT_SCHEMA.empty_table())
+
+    return ds.map_batches(decode_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -243,3 +243,142 @@ def write_es_bulk(ds, out_root: str, type_name: str = "logs"):
                          "docs": pa.array([n_docs], type=pa.int64())})
 
     return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fluentd-forward msgpack sink (wire-format parity)
+# ---------------------------------------------------------------------------
+
+def _row_records(batch: pa.Table, drop: tuple[str, ...]) -> list[dict]:
+    """JSON/msgpack-safe record dicts: null fields and non-wire columns
+    omitted, timestamps ISO-formatted (the senders marshal the message
+    map, not the engine's columnar internals)."""
+    import datetime
+
+    out = []
+    for r in batch.to_pylist():
+        rec = {}
+        for k, v in r.items():
+            if v is None or k in drop:
+                continue
+            if isinstance(v, datetime.datetime):
+                v = v.isoformat()
+            rec[k] = v
+        out.append(rec)
+    return out
+
+
+def fluentd_forward_payload(batch: pa.Table, tag_col: str = "tag",
+                            drop: tuple[str, ...] = ("merged_turns",
+                                                     "extra", "bucket"),
+                            ) -> bytes:
+    """One fluentd-forward Forward frame per distinct tag:
+    ``["tag", [[time, record], ...]]`` — the reference's EncodeBatch
+    (library/fluentd.go:50-68; senders/fluentd.go:54-209 sends one such
+    batch per flush). Event time is the record's @timestamp as epoch
+    seconds when present, else 0 (the reference's receivers likewise
+    treat frame time as advisory)."""
+    try:
+        import msgpack
+    except ImportError:  # pragma: no cover - baked into this container
+        raise NotImplementedError("msgpack is unavailable")
+    import datetime as _dt
+
+    by_tag: dict[str, list] = {}
+    for rec in _row_records(batch, drop):
+        tag = rec.get(tag_col)
+        if tag is None:
+            continue
+        t = 0
+        ts = rec.get("@timestamp")
+        if isinstance(ts, str):
+            try:
+                t = int(_dt.datetime.fromisoformat(
+                    ts.rstrip("Z")).timestamp())
+            except ValueError:
+                t = 0
+        by_tag.setdefault(tag, []).append([t, rec])
+    out = bytearray()
+    for tag in sorted(by_tag):
+        out += msgpack.packb([tag, by_tag[tag]], default=str)
+    return bytes(out)
+
+
+def write_fluentd_forward(ds, out_root: str, tag_col: str = "tag"):
+    """Write the dataset as fluentd-forward msgpack frame files — one
+    file per executing batch, atomic rename, written inside the map
+    task (nothing funnels through the driver). The output is readable
+    by any fluentd forward consumer AND by this repo's own
+    sources.fluentd_frames.read_fluentd_frames (round-trip tested).
+    Returns the lazy per-file summary dataset; count() it to execute."""
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        payload = fluentd_forward_payload(batch, tag_col)
+        name = f"fwd-{uuid.uuid4().hex}.msgpack"
+        fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".ftmp")
+        os.close(fd)
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.rename(tmp, os.path.join(out_root, name))
+        return pa.table({"file": pa.array([name], type=pa.string()),
+                         "rows": pa.array([batch.num_rows],
+                                          type=pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Kafka JSON sink (wire-format parity)
+# ---------------------------------------------------------------------------
+
+def kafka_json_payloads(batch: pa.Table, topic_col: str = "sink",
+                        drop: tuple[str, ...] = ("merged_turns", "extra",
+                                                 "bucket"),
+                        ) -> dict[str, str]:
+    """Per-topic NDJSON bodies: each routed row JSON-marshalled exactly
+    as the reference's KafkaSender produces messages
+    (senders/kafka.go:110-150, json.Marshal per msg; the topic is the
+    dispatcher's per-tag topic — here the sink column). Rows with no
+    topic are skipped (the getMsgStarting error path analogue)."""
+    bodies: dict[str, list[str]] = {}
+    for rec in _row_records(batch, drop):
+        topic = rec.pop(topic_col, None)
+        if topic is None:
+            continue
+        bodies.setdefault(topic, []).append(
+            json.dumps(rec, separators=(",", ":"), sort_keys=True))
+    return {t: "\n".join(lines) + "\n" for t, lines in bodies.items()}
+
+
+def write_kafka_json(ds, out_root: str, topic_col: str = "sink"):
+    """Write per-topic NDJSON message files (topic=<t>/ directories so
+    each topic's consumer reads only its own) — one file per (batch,
+    topic), atomic rename, written inside the map task. Returns the
+    lazy per-file summary dataset; count() it to execute."""
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        files, topics, counts = [], [], []
+        for topic, body in sorted(
+                kafka_json_payloads(batch, topic_col).items()):
+            d = os.path.join(out_root, f"topic={topic}")
+            os.makedirs(d, exist_ok=True)
+            name = f"msgs-{uuid.uuid4().hex}.ndjson"
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".ktmp")
+            os.close(fd)
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.rename(tmp, os.path.join(d, name))
+            files.append(f"topic={topic}/{name}")
+            topics.append(topic)
+            counts.append(body.count("\n"))
+        return pa.table({"file": pa.array(files, type=pa.string()),
+                         "topic": pa.array(topics, type=pa.string()),
+                         "msgs": pa.array(counts, type=pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")

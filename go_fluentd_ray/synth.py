@@ -528,3 +528,124 @@ def ensure_fluentd_corpus(n: int, seed: int = DEFAULT_SEED,
             json.dump({"version": FLUENTD_CORPUS_VERSION, "n": n,
                        "seed": seed}, f)
     return d
+
+
+# ---------------------------------------------------------------------------
+# fluentd-forward frames CARRYING TRANSCRIPT ROWS (the composed
+# frames -> concat -> parse pipeline fixture, recvs/fluentd.go:399-544:
+# the reference's in-connection concatenator feeding the tag pipeline)
+# ---------------------------------------------------------------------------
+
+FLUENTD_TRANSCRIPT_VERSION = 1
+
+
+def _transcript_frames_for_part(tbl: pa.Table, seed: int) -> bytes:
+    """Pack one transcript parquet part into a deterministic mix of the
+    three fluentd-forward frame shapes; each record carries the turn's
+    columns (text under the msg_key 'log', ts as epoch micros so the
+    round-trip is exact)."""
+    import msgpack
+
+    rng = np.random.default_rng((seed, 31337))
+    conv = tbl["conv_id"].to_pylist()
+    turn = tbl["turn_idx"].to_pylist()
+    role = tbl["role"].to_pylist()
+    text = tbl["text"].to_pylist()
+    tool = tbl["tool"].to_pylist()
+    ts_us = tbl["ts"].cast(pa.int64()).to_pylist()
+    out = io.BytesIO()
+    n = tbl.num_rows
+    i = 0
+    while i < n:
+        shape = int(rng.integers(0, 3))
+        k = min(int(rng.integers(1, 6)), n - i)
+        recs = [{"log": text[i + j], "conv_id": conv[i + j],
+                 "turn_idx": turn[i + j], "role": role[i + j],
+                 "tool": tool[i + j], "ts_us": ts_us[i + j]}
+                for j in range(k)]
+        times = [ts_us[i + j] // 1_000_000 for j in range(k)]
+        tag = "transcripts.sit"
+        if shape == 0:      # Forward
+            out.write(msgpack.packb(
+                [tag, [[times[j], recs[j]] for j in range(k)]]))
+        elif shape == 1:    # PackedForward
+            inner = b"".join(msgpack.packb([times[j], recs[j]])
+                             for j in range(k))
+            out.write(msgpack.packb([tag, inner]))
+        else:               # Message (one record per frame)
+            k = 1
+            out.write(msgpack.packb([tag, times[0], recs[0]]))
+        i += k
+    return out.getvalue()
+
+
+def ensure_fluentd_transcript_corpus(n_turns: int,
+                                     seed: int = DEFAULT_SEED) -> str:
+    """msgpack frame files (one per transcript corpus part) whose
+    records are the transcript rows — the input of the composed
+    fluentd_pipeline query."""
+    key = (f"fluentd-tr-v{FLUENTD_TRANSCRIPT_VERSION}"
+           f"-g{GENERATOR_VERSION}-t{n_turns}-s{seed}")
+    d = os.path.join(CACHE_ROOT, key)
+    meta = os.path.join(CACHE_ROOT, key + ".meta.json")
+    if os.path.exists(meta) and os.path.isdir(d):
+        return d
+    corpus = ensure_corpus(n_turns, seed)
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
+    parts = sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))
+    for i, name in enumerate(parts):
+        tbl = pq.read_table(os.path.join(corpus, name))
+        with open(os.path.join(tmp, f"conn-{i:05d}.msgpack"), "wb") as f:
+            f.write(_transcript_frames_for_part(tbl, seed + i))
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.isdir(d):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"version": FLUENTD_TRANSCRIPT_VERSION,
+                       "n_turns": n_turns, "seed": seed}, f)
+    return d
+
+
+def ensure_fluentd_decoded(n_turns: int, seed: int = DEFAULT_SEED) -> str:
+    """The frame corpus decoded back to transcript-schema parquet (pure
+    local decode, no Ray) — the table the SQL oracle reads, so the
+    post-decode stages (acceptor/concat/parse/enrich/route) are
+    oracle-checked end to end; the msgpack decode itself is covered by
+    pytest round-trips (DuckDB cannot read msgpack)."""
+    from .sources.fluentd_frames import transcripts_from_stream
+
+    key = (f"fluentd-dec-v{FLUENTD_TRANSCRIPT_VERSION}"
+           f"-g{GENERATOR_VERSION}-t{n_turns}-s{seed}")
+    d = os.path.join(CACHE_ROOT, key)
+    meta = os.path.join(CACHE_ROOT, key + ".meta.json")
+    if os.path.exists(meta) and os.path.isdir(d):
+        return d
+    frames = ensure_fluentd_transcript_corpus(n_turns, seed)
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
+    parts = sorted(f for f in os.listdir(frames) if f.endswith(".msgpack"))
+    for i, name in enumerate(parts):
+        with open(os.path.join(frames, name), "rb") as f:
+            tbl = transcripts_from_stream(f.read())
+        pq.write_table(tbl, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                       compression="snappy")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.isdir(d):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"version": FLUENTD_TRANSCRIPT_VERSION,
+                       "n_turns": n_turns, "seed": seed}, f)
+    return d

@@ -212,6 +212,34 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal.MultimodalExtract(strict=True)(t)
 
+    def test_real_png_decode_when_pil_present(self):
+        """Feature-detected PIL path: a real 2x2 PNG decodes to real
+        pixel features. Auto-skips where the codec library is absent
+        (this container ships without PIL — the stub path above is the
+        coverage there)."""
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io as _io
+
+        img = PIL_Image.new("L", (2, 2))
+        img.putdata([0, 85, 170, 255])
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        t = pa.table({"doc_id": [1], "payload": [buf.getvalue()]})
+        out = multimodal.MultimodalExtract(feature_dim=4)(t).to_pylist()[0]
+        assert out["format"] == "png"
+        assert len(out["features"]) == 4
+        assert any(f > 0 for f in out["features"])  # real pixels, not zeros
+
+    def test_unknown_without_codecs_is_stub_zeros(self):
+        ext = multimodal.MultimodalExtract(feature_dim=4)
+        if ext._pil is not None:
+            pytest.skip("PIL present; stubless container covers this")
+        t = pa.table({"doc_id": [1],
+                      "payload": [b"\x89PNG fake image bytes"]})
+        out = ext(t).to_pylist()[0]
+        assert out["format"] == "unknown"
+        assert out["features"] == [0.0, 0.0, 0.0, 0.0]
+
 
 class TestFlatten:
     """Mirrors reference TestFlattenMap (library/utils_test.go:11-54)."""

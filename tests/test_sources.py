@@ -175,3 +175,140 @@ class TestEsBulkSink:
                 docs += 1
         assert docs == out.num_rows
         assert indexes == set(pa.compute.unique(out["sink"]).to_pylist())
+
+
+class TestFluentdForwardSink:
+    def test_encode_decode_roundtrip(self, tmp_path):
+        import ray.data as rd
+
+        from go_fluentd_ray.pipelines.flagship import run_local
+        from go_fluentd_ray.sources.fluentd_frames import decode_stream
+        from go_fluentd_ray.stages.sinks import write_fluentd_forward
+        from go_fluentd_ray.synth import transcript_table
+
+        out = run_local(transcript_table(2000))
+        ds = rd.from_arrow(out)
+        summary = write_fluentd_forward(ds, str(tmp_path)).to_pandas()
+        assert summary["rows"].sum() == out.num_rows
+        # decode every frame file with this repo's own forward decoder
+        rows = []
+        for f in tmp_path.glob("fwd-*.msgpack"):
+            decoded, discarded = decode_stream(f.read_bytes())
+            assert discarded == 0
+            rows.extend(decoded)
+        assert len(rows) == out.num_rows
+        # record payloads match the routed rows exactly (tag from the
+        # frame == record's tag column; null fields omitted)
+        want = {}
+        for r in out.to_pylist():
+            key = (r["conv_id"], r["turn_idx"])
+            want[key] = {k: v for k, v in r.items()
+                         if v is not None and k not in
+                         ("merged_turns", "extra", "bucket", "ts",
+                          "@timestamp")}
+        for tag, _t, rec in rows:
+            assert rec["tag"] == tag
+            key = (rec["conv_id"], rec["turn_idx"])
+            got = {k: v for k, v in rec.items()
+                   if k not in ("ts", "@timestamp")}
+            assert got == want[key], key
+
+    def test_event_time_from_timestamp(self):
+        import datetime
+
+        import pyarrow as pa
+
+        from go_fluentd_ray.sources.fluentd_frames import decode_stream
+        from go_fluentd_ray.stages.sinks import fluentd_forward_payload
+
+        batch = pa.table({
+            "tag": ["a.sit", "a.sit", "b.sit"],
+            "@timestamp": ["2024-01-05T06:07:08.000Z", None,
+                           "2024-01-05T00:00:00.000Z"],
+            "msg": ["x", "y", "z"],
+        })
+        rows, disc = decode_stream(fluentd_forward_payload(batch))
+        assert disc == 0
+        by_msg = {rec["msg"]: (tag, t) for tag, t, rec in rows}
+        epoch = int(datetime.datetime.fromisoformat(
+            "2024-01-05T06:07:08").timestamp())
+        assert by_msg["x"] == ("a.sit", epoch)
+        assert by_msg["y"][1] == 0          # no timestamp -> advisory 0
+        assert by_msg["z"][0] == "b.sit"
+
+
+class TestKafkaJsonSink:
+    def test_per_topic_roundtrip(self, tmp_path):
+        import json as _json
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from go_fluentd_ray.pipelines.flagship import run_local
+        from go_fluentd_ray.stages.sinks import write_kafka_json
+        from go_fluentd_ray.synth import transcript_table
+
+        out = run_local(transcript_table(2000))
+        ds = rd.from_arrow(out)
+        summary = write_kafka_json(ds, str(tmp_path)).to_pandas()
+        assert summary["msgs"].sum() == out.num_rows
+        topics = set()
+        msgs = 0
+        for d in tmp_path.glob("topic=*"):
+            topic = d.name.split("=", 1)[1]
+            topics.add(topic)
+            for f in d.glob("msgs-*.ndjson"):
+                for line in f.read_text().splitlines():
+                    rec = _json.loads(line)
+                    assert "sink" not in rec  # topic carried by the dir
+                    assert "conv_id" in rec and "merged_turns" not in rec
+                    msgs += 1
+        assert msgs == out.num_rows
+        assert topics == set(pa.compute.unique(out["sink"]).to_pylist())
+
+
+class TestFluentdTranscriptFrames:
+    def test_decoded_parquet_equals_ray_decode(self, tmp_path):
+        """The SQL oracle's decoded-parquet twin and the Ray reader
+        must see the SAME table (that equality is what lets the
+        composed fluentd_pipeline be oracle-checked past the decode)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.sources.fluentd_frames import (
+            read_fluentd_transcripts, transcripts_from_stream)
+
+        frames = synth.ensure_fluentd_transcript_corpus(3000)
+        decoded = synth.ensure_fluentd_decoded(3000)
+        want = pq.read_table(decoded)
+        got = pa.concat_tables([
+            transcripts_from_stream(
+                open(f"{frames}/{n}", "rb").read())
+            for n in sorted(__import__("os").listdir(frames))
+            if n.endswith(".msgpack")])
+        assert got.equals(want)
+        # and the Ray reader round-trips to the same multiset of rows
+        ray_rows = read_fluentd_transcripts(frames).to_pandas()
+        assert len(ray_rows) == want.num_rows
+        key = ["conv_id", "turn_idx"]
+        a = ray_rows.sort_values(key).reset_index(drop=True)
+        b = want.to_pandas().sort_values(key).reset_index(drop=True)
+        assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+
+    def test_source_rows_match_transcripts(self):
+        """Frames carry the transcript corpus losslessly (ts round-trips
+        as epoch micros, no string formatting)."""
+        import pyarrow.parquet as pq
+
+        from go_fluentd_ray import synth
+
+        n = 3000
+        src = pq.read_table(synth.ensure_corpus(n))
+        dec = pq.read_table(synth.ensure_fluentd_decoded(n))
+        assert dec.num_rows == src.num_rows
+        a = src.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(
+            drop=True)
+        b = dec.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(
+            drop=True)
+        assert a.equals(b[a.columns.tolist()])
