@@ -331,6 +331,47 @@ def write_fluentd_forward(ds, out_root: str, tag_col: str = "tag"):
 
 
 # ---------------------------------------------------------------------------
+# HTTP-forward gzip JSON sink (wire-format parity)
+# ---------------------------------------------------------------------------
+
+def http_forward_payload(batch: pa.Table,
+                         drop: tuple[str, ...] = ("merged_turns", "extra",
+                                                  "bucket")) -> bytes:
+    """One gzipped JSON ARRAY of message maps — exactly the body the
+    reference's HTTPSender POSTs per batch (senders/httpforward.go:
+    155-177: JSON.Marshal([]map, Content-encoding: gzip). The reference
+    never wires this sender into controllor, but the wire format
+    completes §2.6)."""
+    import gzip
+
+    return gzip.compress(json.dumps(
+        _row_records(batch, drop), separators=(",", ":")).encode("utf-8"))
+
+
+def write_http_forward(ds, out_root: str):
+    """Write the dataset as gzip JSON-array body files (one per
+    executing batch = one POST body), atomic rename, inside the map
+    task. Returns the lazy per-file summary dataset; count() executes."""
+    os.makedirs(out_root, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        payload = http_forward_payload(batch)
+        name = f"post-{uuid.uuid4().hex}.json.gz"
+        fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".htmp")
+        os.close(fd)
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.rename(tmp, os.path.join(out_root, name))
+        return pa.table({"file": pa.array([name], type=pa.string()),
+                         "msgs": pa.array([batch.num_rows],
+                                          type=pa.int64())})
+
+    return ds.map_batches(write_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Kafka JSON sink (wire-format parity)
 # ---------------------------------------------------------------------------
 

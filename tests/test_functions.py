@@ -443,6 +443,27 @@ class TestSampling:
         en = out[out["lang"] == "en"]["n_chars"]
         assert sorted(en) == [55, 56, 57, 58, 59]  # top-5 longest per key
 
+    def test_quota_per_key_high_cardinality(self):
+        """The bucketed global stage must stay exact when the key
+        domain is unbounded (one key per few rows — the 'cap each
+        source URL' shape): compare against a pandas reference."""
+        from go_fluentd_ray.functions import sampling
+
+        rng = np.random.default_rng(7)
+        n = 3000
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": [f"site-{i}" for i in rng.integers(0, 1000, n)],
+            "n_chars": rng.integers(0, 10_000, n),
+        })
+        out = sampling.quota_per_key(rd.from_pandas(df), n=2,
+                                     num_buckets=16).to_pandas()
+        want = (df.sort_values(["lang", "n_chars", "doc_id"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby("lang", sort=False).head(2))
+        assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+
     def test_chunk_documents_windows(self):
         from go_fluentd_ray.functions import sampling
 

@@ -312,3 +312,31 @@ class TestFluentdTranscriptFrames:
         b = dec.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(
             drop=True)
         assert a.equals(b[a.columns.tolist()])
+
+
+class TestHttpForwardSink:
+    def test_gzip_json_array_roundtrip(self, tmp_path):
+        import gzip
+        import json as _json
+
+        import ray.data as rd
+
+        from go_fluentd_ray.pipelines.flagship import run_local
+        from go_fluentd_ray.stages.sinks import write_http_forward
+        from go_fluentd_ray.synth import transcript_table
+
+        out = run_local(transcript_table(2000))
+        ds = rd.from_arrow(out)
+        summary = write_http_forward(ds, str(tmp_path)).to_pandas()
+        assert summary["msgs"].sum() == out.num_rows
+        msgs = []
+        for f in tmp_path.glob("post-*.json.gz"):
+            body = _json.loads(gzip.decompress(f.read_bytes()))
+            assert isinstance(body, list)  # JSON array per POST body
+            msgs.extend(body)
+        assert len(msgs) == out.num_rows
+        want = {(r["conv_id"], r["turn_idx"]): r for r in out.to_pylist()}
+        for m in msgs:
+            w = want[(m["conv_id"], m["turn_idx"])]
+            assert m["tag"] == w["tag"] and m["sink"] == w["sink"]
+            assert "merged_turns" not in m
