@@ -429,6 +429,16 @@ def _q_http_pipeline(sf_dir: str):
     return http_pipeline.build(rd.read_json(path))
 
 
+def _q_clean_redact(sf_dir: str):
+    """Text cleaning / PII redaction (control-char strip, email/IPv4
+    redaction, whitespace collapse) — pure RE2 kernel chain, exactly
+    mirrored in SQL."""
+    from go_fluentd_ray.functions import textclean
+
+    return textclean.clean_redact(_docs(sf_dir)).select_columns(
+        ["doc_id", "clean_text", "n_emails", "n_ips"])
+
+
 def _q_hash_sample(sf_dir: str):
     from go_fluentd_ray.functions import sampling
 
@@ -470,6 +480,15 @@ def _q_word_topk(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
     return aggregates.word_topk(_docs(sf_dir))
+
+
+def _q_word_topk_sketch(sf_dir: str):
+    """Misra-Gries heavy hitters with deterministic error bounds — the
+    bounded-memory 100 TB route; rows-only (approximate by design, the
+    exact companion word_topk is the SQL-checked truth)."""
+    from go_fluentd_ray.functions import sketches
+
+    return sketches.topk_words_sketch(_docs(sf_dir))
 
 
 def _q_distinct_users(sf_dir: str):
@@ -631,11 +650,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "http_fields_route": _q_http_fields_route,
         "fluentd_frames": _q_fluentd_frames,
         "fluentd_pipeline": _q_fluentd_pipeline,
+        "clean_redact": _q_clean_redact,
         "hash_sample": _q_hash_sample,
         "quota_per_key": _q_quota_per_key,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "word_topk": _q_word_topk,
+        "word_topk_sketch": _q_word_topk_sketch,
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
         "asof_signup_lag": _q_asof,
@@ -738,6 +759,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import joins as _joins
     from go_fluentd_ray.functions import events, multimodal, similarity
     from go_fluentd_ray.functions import sampling as _sampling
+    from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.config import DEFAULT_CONFIG as _dcfg
     from go_fluentd_ray.pipelines import monitoring as _monitoring
     from go_fluentd_ray.functions import text as T
@@ -814,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "http_fields_route": _http_fields_route_sql(),
         "fluentd_pipeline": sql_oracle.flagship_sql(
             _fluentd_decoded_path() + "/part-*.parquet"),
+        "clean_redact": _textclean.clean_redact_sql(),
         "hash_sample": _sampling.hash_sample_sql(20),
         "quota_per_key": _sampling.quota_per_key_sql(n=25),
         "doc_chunks": _sampling.chunk_documents_sql(),

@@ -109,3 +109,86 @@ def approx_distinct_by_key(ds, key: str, col: str):
     # low key cardinality by construction (event types / tags); for an
     # unbounded key, bucket by hash(key) % B first (functions/shuffle)
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / Space-Saving heavy hitters (mergeable, bounded memory)
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 4096
+
+
+def mg_compress(words: pd.Series, capacity: int) -> tuple[pd.DataFrame, int]:
+    """Misra-Gries compression of an exact count vector to <= capacity
+    entries: subtract the (capacity+1)-th largest count from all, keep
+    the positive remainder. Each kept count UNDERESTIMATES the true
+    count by at most the decrement, and the decrement is <= N/(C+1)
+    (Misra & Gries 1982 / Metwally et al. Space-Saving)."""
+    g = words.value_counts()
+    if len(g) <= capacity:
+        return (pd.DataFrame({"word": g.index, "n_low": g.to_numpy()}), 0)
+    dec = int(g.iloc[capacity])
+    kept = g.iloc[:capacity] - dec
+    kept = kept[kept > 0]
+    return (pd.DataFrame({"word": kept.index, "n_low": kept.to_numpy()}),
+            dec)
+
+
+def topk_words_sketch(ds, k: int = 20, col: str = "text",
+                      capacity: int = MG_CAPACITY,
+                      num_buckets: int | None = None) -> pd.DataFrame:
+    """Approximate heavy hitters with DETERMINISTIC error bounds: each
+    batch emits a <= capacity-entry Misra-Gries summary (lower-bound
+    counts) plus its decrement; summaries merge by per-word Sum
+    (bucketed, like the exact word_topk), and the summed decrements
+    bound the undercount. Returns top-k by lower bound with
+    (word, count_min, count_max): count_min <= true <= count_max, where
+    count_max - count_min = sum of all batch decrements <= N/(C+1).
+    At 100 TB this caps every task's memory at ~capacity rows where the
+    exact operator's per-bucket state grows with the vocabulary."""
+    import pyarrow.compute as pc
+
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch[col], pattern=r"[^\w]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        df, dec = mg_compress(pd.Series(toks.to_pylist(), dtype=object),
+                              capacity)
+        # the null-word row carries this batch's decrement
+        return pa.table({
+            "word": pa.array(list(df["word"]) + [None], type=pa.string()),
+            "n_low": pa.array(list(df["n_low"].astype(np.int64)) + [dec],
+                              type=pa.int64()),
+        })
+
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        dec = int(df.loc[df["word"].isna(), "n_low"].sum())
+        g = (df[df["word"].notna()].groupby("word", sort=False)["n_low"]
+             .sum().reset_index())
+        g = g.sort_values(["n_low", "word"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "word": pa.array(list(g["word"]) + [None], type=pa.string()),
+            "n_low": pa.array(list(g["n_low"].astype(np.int64)) + [dec],
+                              type=pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    parts = parts.map_batches(
+        lambda t: add_bucket_col(t, ["word"], B), batch_format="pyarrow")
+    merged = parts.groupby("__bkt").map_groups(
+        bucket_topk, batch_format="pyarrow").to_pandas()  # <= B*(k+1) rows
+    total_dec = int(merged.loc[merged["word"].isna(), "n_low"].sum())
+    top = (merged[merged["word"].notna()]
+           .sort_values(["n_low", "word"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True))
+    return pd.DataFrame({"word": top["word"],
+                         "count_min": top["n_low"].astype(np.int64),
+                         "count_max": (top["n_low"] + total_dec)
+                         .astype(np.int64)})

@@ -664,3 +664,87 @@ class TestSketches:
         exact = (ds.to_pandas().groupby("event_type")["user_id"].nunique())
         for k, e in exact.items():
             assert abs(got[k] - e) / max(e, 1) < 0.06, (k, got[k], e)
+
+
+class TestTopkSketch:
+    """Misra-Gries heavy hitters: bounds must CONTAIN the exact counts
+    and the true heavy hitters must surface."""
+
+    def _corpus(self, n=400):
+        rng = np.random.default_rng(11)
+        # skewed vocabulary: 'alpha' dominates, then 'beta', then noise
+        words = (["alpha"] * 5 + ["beta"] * 3 + ["gamma"] * 2
+                 + [f"w{i}" for i in range(50)])
+        texts = [" ".join(rng.choice(words, size=30)) for _ in range(n)]
+        return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                             "text": texts})
+
+    def _exact(self, df):
+        from collections import Counter
+        import re
+
+        c = Counter()
+        for t in df["text"]:
+            c.update(re.findall(r"\w+", t))
+        return c
+
+    def test_bounds_contain_truth(self):
+        from go_fluentd_ray.functions import sketches
+
+        df = self._corpus()
+        exact = self._exact(df)
+        out = sketches.topk_words_sketch(
+            rd.from_pandas(df), k=5, capacity=16, num_buckets=8)
+        assert len(out) == 5
+        for _, r in out.iterrows():
+            true = exact[r["word"]]
+            assert r["count_min"] <= true <= r["count_max"], r["word"]
+        # the dominant words must surface despite the tiny capacity
+        assert {"alpha", "beta"} <= set(out["word"])
+        assert out.iloc[0]["word"] == "alpha"
+
+    def test_exact_when_capacity_suffices(self):
+        from go_fluentd_ray.functions import aggregates, sketches
+
+        df = self._corpus(100)
+        out = sketches.topk_words_sketch(
+            rd.from_pandas(df), k=10, capacity=4096, num_buckets=8)
+        # capacity >= vocabulary -> zero decrement -> exact counts
+        assert (out["count_min"] == out["count_max"]).all()
+        exact = aggregates.word_topk(rd.from_pandas(df), k=10)
+        assert list(out["word"]) == list(exact["word"])
+        assert list(out["count_min"]) == list(exact["n"])
+
+
+class TestTextClean:
+    def test_redaction_and_normalize(self):
+        from go_fluentd_ray.functions import textclean
+
+        t = pa.table({"doc_id": [1, 2, 3], "text": [
+            "contact bob.smith+x@example.co.uk or 10.0.0.7 now",
+            "tab\there\x00ctl  and   runs ",
+            "two mails a@b.io c@d.org, ip 192.168.1.1 and 8.8.8.8",
+        ]})
+        out = textclean.clean_redact_batch(t).to_pylist()
+        assert out[0]["clean_text"] == "contact <EMAIL> or <IP> now"
+        assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 1
+        assert out[1]["clean_text"] == "tab here ctl and runs"
+        assert out[1]["n_emails"] == 0 and out[1]["n_ips"] == 0
+        assert out[2]["clean_text"] == \
+            "two mails <EMAIL> <EMAIL>, ip <IP> and <IP>"
+        assert out[2]["n_emails"] == 2 and out[2]["n_ips"] == 2
+
+    def test_redaction_order_contract(self):
+        from go_fluentd_ray.functions import textclean
+
+        # emails redact FIRST (a real-TLD address never re-counts as an
+        # IP); an @ with a bare-IP domain is NOT an email (TLD must be
+        # alphabetic) so its IP still redacts — both deliberate
+        t = pa.table({"doc_id": [1, 2],
+                      "text": ["x@mail.example.com plus 5.6.7.8",
+                               "x@1.2.3.44 plus 5.6.7.8"]})
+        out = textclean.clean_redact_batch(t).to_pylist()
+        assert out[0]["n_emails"] == 1 and out[0]["n_ips"] == 1
+        assert out[0]["clean_text"] == "<EMAIL> plus <IP>"
+        assert out[1]["n_emails"] == 0 and out[1]["n_ips"] == 2
+        assert out[1]["clean_text"] == "x@<IP> plus <IP>"
