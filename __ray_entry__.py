@@ -482,6 +482,15 @@ def _q_word_topk(sf_dir: str):
     return aggregates.word_topk(_docs(sf_dir))
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable quantile summary over documents.n_chars (rows-only:
+    approximate by design, rank error < N/256)."""
+    from go_fluentd_ray.functions import sketches
+
+    return sketches.approx_quantiles(_docs(sf_dir), "n_chars",
+                                     qs=(0.5, 0.9, 0.99))
+
+
 def _q_word_topk_sketch(sf_dir: str):
     """Misra-Gries heavy hitters with deterministic error bounds — the
     bounded-memory 100 TB route; rows-only (approximate by design, the
@@ -657,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "word_topk": _q_word_topk,
         "word_topk_sketch": _q_word_topk_sketch,
+        "approx_quantiles": _q_approx_quantiles,
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct_users,
         "asof_signup_lag": _q_asof,

@@ -34,10 +34,12 @@ def _min_label_partial(tbl: pa.Table) -> pa.Table:
 
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                          num_buckets: int | None = None,
-                         max_iters: int = 30):
+                         max_iters: int = 30,
+                         stats: dict | None = None):
     """(a, b) pair Dataset -> (n, root) Dataset, root = min node id in
     the component. Nodes not in any pair are absent (their root is
-    themselves by definition)."""
+    themselves by definition). When ``stats`` is passed, fills in
+    iterations / n_edges / n_nodes (for scaling evidence)."""
     from ray.data.aggregate import Min
 
     B = num_buckets or default_buckets()
@@ -109,7 +111,9 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
+    iters_done = 0
     for _ in range(max_iters):
+        iters_done += 1
         # one neighbor-push round + one pointer-doubling round per
         # iteration: push spreads labels one hop, doubling jumps
         # label->label-of-label, so chains converge in O(log diameter).
@@ -133,6 +137,11 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         if s == prev_sum:  # labels only decrease -> fixpoint
             break
         prev_sum = s
+
+    if stats is not None:
+        stats["iterations"] = iters_done
+        stats["n_edges"] = edges.count() // 2
+        stats["n_nodes"] = labels.count()
 
     def rename(batch: pa.Table) -> pa.Table:
         # empty pandas partials can promote ints to float64 upstream —

@@ -84,11 +84,17 @@ def approx_distinct(ds, col: str):
     return partials.repartition(1).map_batches(merge, batch_format="pandas")
 
 
-def approx_distinct_by_key(ds, key: str, col: str):
+def approx_distinct_by_key(ds, key: str, col: str,
+                           num_buckets: int | None = None):
     """Approximate per-key COUNT(DISTINCT col): one sketch per
     (batch, key) partial, merged per key. The shuffle moves one 4 KB
     sketch per key per batch — independent of the number of distinct
-    values."""
+    values — and the merge groups by hash(key) % B (keys co-locate per
+    bucket; one vectorized call per bucket), so an unbounded key domain
+    never means one Python call per key."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = [(k, hll_registers(g[col].tolist()).tobytes())
@@ -106,9 +112,63 @@ def approx_distinct_by_key(ds, key: str, col: str):
 
     partials = ds.select_columns([key, col]).map_batches(
         partial, batch_format="pandas")
-    # low key cardinality by construction (event types / tags); for an
-    # unbounded key, bucket by hash(key) % B first (functions/shuffle)
-    return partials.groupby(key).map_groups(merge, batch_format="pandas")
+    partials = partials.map_batches(
+        lambda t: add_bucket_col(t, [key], B), batch_format="pyarrow")
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return merge(df.drop(columns=["__bkt"]))
+
+    return partials.groupby("__bkt").map_groups(bucket_merge,
+                                                batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (compressed-histogram merge)
+# ---------------------------------------------------------------------------
+
+QUANT_PER_BATCH = 256
+
+
+def approx_quantiles(ds, col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     per_batch: int = QUANT_PER_BATCH):
+    """Approximate quantiles with a deterministic rank-error bound:
+    each batch compresses its SORTED values to ``per_batch`` equally
+    spaced (value, weight) pairs (weight = n_batch / per_batch); the
+    tiny union of summaries (B x per_batch rows) merges in one reduce
+    task by weighted cumulative rank. Each batch's compression shifts
+    any rank by < n_batch / per_batch, so the merged rank error is
+    < N / per_batch total (~0.4% of N at the default) — the classic
+    mergeable-summary bound, independent of the value distribution.
+    Returns a Dataset of (q, value) rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch[col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        v = v[~np.isnan(v)]
+        n = len(v)
+        if n == 0:
+            return pa.table({"value": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.float64())})
+        k = min(per_batch, n)
+        idx = np.minimum((np.arange(k) + 0.5) / k * n, n - 1).astype(np.int64)
+        return pa.table({"value": pa.array(v[idx]),
+                         "weight": pa.array(np.full(k, n / k))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("value", kind="mergesort")
+        w = d["weight"].to_numpy()
+        cum = np.cumsum(w) - w / 2.0
+        total = float(w.sum())
+        vals = np.interp([q * total for q in qs], cum,
+                         d["value"].to_numpy())
+        return pd.DataFrame({"q": np.array(qs, dtype=np.float64),
+                             "value": vals})
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    # all summaries fit one reduce task: per_batch rows per input batch
+    return partials.repartition(1).map_batches(merge, batch_format="pandas",
+                                               batch_size=None)
 
 
 # ---------------------------------------------------------------------------

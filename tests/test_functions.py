@@ -748,3 +748,32 @@ class TestTextClean:
         assert out[0]["clean_text"] == "<EMAIL> plus <IP>"
         assert out[1]["n_emails"] == 0 and out[1]["n_ips"] == 2
         assert out[1]["clean_text"] == "x@<IP> plus <IP>"
+
+
+class TestQuantileSketch:
+    def test_rank_error_bound_on_skewed_data(self):
+        from go_fluentd_ray.functions import sketches
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([rng.lognormal(3, 2, 20_000),
+                               rng.integers(0, 5, 5_000).astype(float)])
+        df = pd.DataFrame({"x": vals})
+        out = sketches.approx_quantiles(
+            rd.from_pandas(df), "x", qs=(0.1, 0.5, 0.9, 0.99),
+            per_batch=256).to_pandas()
+        assert list(out["q"]) == [0.1, 0.5, 0.9, 0.99]
+        srt = np.sort(vals)
+        n = len(srt)
+        for _, r in out.iterrows():
+            # the approx quantile's TRUE rank must be within ~1% of n
+            # of the requested rank (bound is N/per_batch per level)
+            rank = np.searchsorted(srt, r["value"])
+            assert abs(rank - r["q"] * n) < 0.02 * n, (r["q"], rank)
+
+    def test_exact_on_tiny_input(self):
+        from go_fluentd_ray.functions import sketches
+
+        df = pd.DataFrame({"x": np.arange(100, dtype=float)})
+        out = sketches.approx_quantiles(
+            rd.from_pandas(df), "x", qs=(0.5,)).to_pandas()
+        assert abs(out.iloc[0]["value"] - 49.5) <= 1.0
