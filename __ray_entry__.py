@@ -225,6 +225,16 @@ def _q_lang_id(sf_dir: str):
         zero_copy_batch=True).select_columns(["doc_id", "lang_pred"])
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style duplicate-line / duplicate-word fractions."""
+    from go_fluentd_ray.functions import text as T
+
+    return _docs(sf_dir).map_batches(
+        T.repetition_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(
+        ["doc_id", "dup_line_frac", "dup_word_frac"])
+
+
 def _q_lm_score(sf_dir: str):
     """Char-trigram LM quality scoring (perplexity-style filter).
     Rows-only: the model is data-derived, not SQL-expressible."""
@@ -635,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "lm_score": _q_lm_score,
+        "repetition_score": _q_repetition,
         "doc_fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,
@@ -805,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_bpe_tokens FROM documents"),
         "quality_score": (
             f"SELECT doc_id, {T.QUALITY_SQL_EXPRS} FROM documents"),
+        "repetition_score": T.REPETITION_SQL,
         "dedup_exact": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
             "count(*)::BIGINT AS dups FROM documents GROUP BY 1"),

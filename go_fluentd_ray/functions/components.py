@@ -32,14 +32,66 @@ def _min_label_partial(tbl: pa.Table) -> pa.Table:
     return g.select(["n", "lab_min"]).rename_columns(["n", "lab"])
 
 
+SMALL_GRAPH_EDGES = 5_000_000
+
+
+def _unionfind_table(batch: pa.Table) -> pa.Table:
+    """Single-task CC: array-based union-find with path halving over
+    the whole (compacted-id) edge list, then a second pass relabels
+    every root to the MIN original id of its component. Runs in ONE
+    worker task (never on the driver) — the small-graph fast path."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(ids, a)
+    cb = np.searchsorted(ids, b)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(len(ca)):
+        ra, rb = find(ca[i]), find(cb[i])
+        if ra != rb:
+            # union by smaller ORIGINAL id keeps the min-id invariant
+            if ids[ra] < ids[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    # full path compression, vectorized fixpoint
+    while True:
+        nxt = parent[parent]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
+    return pa.table({"n": pa.array(ids),
+                     "root": pa.array(ids[parent])})
+
+
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                          num_buckets: int | None = None,
                          max_iters: int = 30,
-                         stats: dict | None = None):
+                         stats: dict | None = None,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES):
     """(a, b) pair Dataset -> (n, root) Dataset, root = min node id in
     the component. Nodes not in any pair are absent (their root is
     themselves by definition). When ``stats`` is passed, fills in
-    iterations / n_edges / n_nodes (for scaling evidence)."""
+    iterations / n_edges / n_nodes (for scaling evidence).
+
+    Two paths, chosen by edge count:
+    - pair graphs up to ``small_graph_edges`` run single-task
+      union-find in ONE worker (near-dup pair graphs are orders of
+      magnitude smaller than the corpus — 0.27M edges from 400k docs
+      here — and the iterative path's per-round shuffle latency
+      dominates such graphs at ANY cluster size: measured 14 rounds /
+      ~126 s iterative vs ~2 s union-find on that graph);
+    - larger graphs take the iterative bucketed min-label propagation
+      + pointer doubling below, whose per-round work IS distributed.
+    The threshold is a worker-heap bound (~16 bytes/edge + id arrays),
+    not a driver bound — the edge list never lands on the driver."""
     from ray.data.aggregate import Min
 
     B = num_buckets or default_buckets()
@@ -49,6 +101,26 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         b = batch[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"u": pa.array(np.concatenate([a, b])),
                          "v": pa.array(np.concatenate([b, a]))})
+
+    n_pairs = pairs_ds.count()
+    if n_pairs <= small_graph_edges:
+        if stats is not None:
+            stats["iterations"] = 1
+            stats["n_edges"] = n_pairs
+            stats["path"] = "unionfind"
+
+        def rename_cols(batch: pa.Table) -> pa.Table:
+            return pa.table({"a": batch[a_col].cast(pa.int64()),
+                             "b": batch[b_col].cast(pa.int64())})
+
+        out = (pairs_ds.map_batches(rename_cols, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(_unionfind_table, batch_format="pyarrow",
+                            batch_size=None))
+        if stats is not None:
+            out = out.materialize()
+            stats["n_nodes"] = out.count()
+        return out
 
     edges = pairs_ds.map_batches(both_dirs,
                                  batch_format="pyarrow").materialize()
@@ -142,6 +214,7 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         stats["iterations"] = iters_done
         stats["n_edges"] = edges.count() // 2
         stats["n_nodes"] = labels.count()
+        stats["path"] = "iterative"
 
     def rename(batch: pa.Table) -> pa.Table:
         # empty pandas partials can promote ints to float64 upstream —

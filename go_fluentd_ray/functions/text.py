@@ -148,6 +148,62 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
     return out
 
 
+def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals: fraction of duplicate lines and
+    duplicate words per document (1 - distinct/total; 0 when empty).
+    Boilerplate / template spam scores high and gets filtered before
+    training. Tokenization is RE2 (Arrow kernels) so the DuckDB twin's
+    regexp_extract_all/string_split agree exactly; the grouped
+    distinct-counting is one vectorized pandas pass per batch."""
+    import pandas as pd
+
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+
+    def frac(list_arr, drop_empty: bool) -> np.ndarray:
+        lens = pc.list_value_length(list_arr).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(list_arr)
+        idx = np.repeat(np.arange(n), lens)
+        df = pd.DataFrame({"i": idx, "v": flat.to_pandas()})
+        if drop_empty:
+            df = df[df["v"] != ""]
+        g = df.groupby("i")["v"].agg(["count", "nunique"])
+        out = np.zeros(n)
+        out[g.index.to_numpy()] = 1.0 - g["nunique"].to_numpy() / \
+            g["count"].to_numpy()
+        return out
+
+    dup_line = frac(pc.split_pattern(text, "\n"), drop_empty=False)
+    dup_word = frac(pc.split_pattern_regex(text, r"[^\w]+"),
+                    drop_empty=True)
+    out = batch.append_column("dup_line_frac", pa.array(dup_line))
+    return out.append_column("dup_word_frac", pa.array(dup_word))
+
+
+REPETITION_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         count(*) AS n, count(DISTINCT line) AS d
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents) GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id,
+         count(*) AS n, count(DISTINCT word) AS d
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS word
+        FROM documents) GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       coalesce(1.0 - l.d::DOUBLE / l.n, 0.0) AS dup_line_frac,
+       coalesce(1.0 - w.d::DOUBLE / w.n, 0.0) AS dup_word_frac
+FROM documents doc
+LEFT JOIN l ON l.doc_id = doc.doc_id
+LEFT JOIN w ON w.doc_id = doc.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # char-ngram LM scoring (perplexity-style quality filter, CCNet-shaped)
 # ---------------------------------------------------------------------------

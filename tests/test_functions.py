@@ -504,6 +504,29 @@ class TestComponents:
         comp = connected_components(rd.from_pandas(pairs)).to_pandas()
         assert (comp["root"] == 0).all() and len(comp) == n
 
+    def test_both_paths_agree(self):
+        """The single-task union-find fast path and the iterative
+        bucketed path must produce identical (n, root) labelings on a
+        random multi-component graph (forced via small_graph_edges)."""
+        from go_fluentd_ray.functions.components import connected_components
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 400, 600).astype(np.int64)
+        b = rng.integers(0, 400, 600).astype(np.int64)
+        keep = a != b
+        pairs = pd.DataFrame({"a": a[keep], "b": b[keep]})
+        s_uf, s_it = {}, {}
+        uf = (connected_components(rd.from_pandas(pairs), stats=s_uf)
+              .to_pandas().sort_values("n").reset_index(drop=True))
+        it = (connected_components(rd.from_pandas(pairs), stats=s_it,
+                                   small_graph_edges=0)
+              .to_pandas().sort_values("n").reset_index(drop=True))
+        assert s_uf["path"] == "unionfind" and s_it["path"] == "iterative"
+        assert uf.equals(it)
+        # min-id invariant: every root is the min node of its component
+        g = uf.groupby("root")["n"].min()
+        assert (g.index == g.to_numpy()).all()
+
     def test_dedup_rows_by_components(self):
         from go_fluentd_ray.functions.components import (
             dedup_rows_by_components)
@@ -777,3 +800,26 @@ class TestQuantileSketch:
         out = sketches.approx_quantiles(
             rd.from_pandas(df), "x", qs=(0.5,)).to_pandas()
         assert abs(out.iloc[0]["value"] - 49.5) <= 1.0
+
+
+class TestRepetition:
+    def test_fractions_hand_case(self):
+        t = pa.table({"doc_id": [1, 2, 3], "text": [
+            "aa bb\naa bb\ncc",          # 3 lines, 1 dup; words aa bb aa bb cc
+            "x y z",                     # no repetition
+            "",                          # empty: both fracs 0
+        ]})
+        out = T.repetition_batch(t).to_pylist()
+        assert abs(out[0]["dup_line_frac"] - (1 - 2 / 3)) < 1e-12
+        assert abs(out[0]["dup_word_frac"] - (1 - 3 / 5)) < 1e-12
+        assert out[1]["dup_line_frac"] == 0.0
+        assert out[1]["dup_word_frac"] == 0.0
+        assert out[2]["dup_word_frac"] == 0.0
+
+    def test_boilerplate_scores_higher(self):
+        t = pa.table({"doc_id": [1, 2], "text": [
+            "menu item\n" * 40 + "one real sentence here",
+            "a genuinely varied sentence with all different words",
+        ]})
+        out = T.repetition_batch(t).to_pylist()
+        assert out[0]["dup_line_frac"] > 0.9 > out[1]["dup_line_frac"]
