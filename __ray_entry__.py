@@ -187,9 +187,9 @@ def _q_tool_role_sink_counts(sf_dir: str):
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from go_fluentd_ray.io_util import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return sized_read_parquet(f"{sf_dir}/documents.parquet")
 
 
 def _q_bpe_token_count(sf_dir: str):
@@ -279,10 +279,16 @@ def _q_dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(_docs(sf_dir))
 
 
-def _emb(sf_dir: str):
-    import ray.data as rd
+def _events(sf_dir: str):
+    from go_fluentd_ray.io_util import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sized_read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(sf_dir: str):
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    return sized_read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
 _EMB_DUP_THR = 0.30  # testdata embeddings are random (max pairwise
@@ -358,7 +364,7 @@ def _q_events_hourly(sf_dir: str):
 
     from go_fluentd_ray.functions import events
 
-    return events.events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return events.events_hourly(_events(sf_dir))
 
 
 def _q_events_sliding(sf_dir: str):
@@ -366,7 +372,7 @@ def _q_events_sliding(sf_dir: str):
 
     from go_fluentd_ray.functions import events
 
-    return events.sliding_3h(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return events.sliding_3h(_events(sf_dir))
 
 
 def _q_running_totals(sf_dir: str):
@@ -374,7 +380,7 @@ def _q_running_totals(sf_dir: str):
 
     from go_fluentd_ray.functions import events
 
-    return events.running_totals(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return events.running_totals(_events(sf_dir))
 
 
 def _q_sessionize(sf_dir: str):
@@ -382,7 +388,7 @@ def _q_sessionize(sf_dir: str):
 
     from go_fluentd_ray.functions import events
 
-    return events.sessionize(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return events.sessionize(_events(sf_dir))
 
 
 def _q_multimodal_meta(sf_dir: str):
@@ -402,7 +408,7 @@ def _q_asof(sf_dir: str):
 
     from go_fluentd_ray.functions import joins
 
-    return joins.asof_signup_lag(rd.read_parquet(f"{sf_dir}/events.parquet"))
+    return joins.asof_signup_lag(_events(sf_dir))
 
 
 def _q_dim_join(sf_dir: str):
@@ -413,7 +419,7 @@ def _q_dim_join(sf_dir: str):
 
     dim = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
     out = joins.broadcast_dim_join(
-        rd.read_parquet(f"{sf_dir}/events.parquet"), dim)
+        _events(sf_dir), dim)
     return out.select_columns(["event_id", "user_id", "event_type", "c_name"])
 
 
@@ -483,7 +489,7 @@ def _q_approx_distinct_users(sf_dir: str):
     from go_fluentd_ray.functions import sketches
 
     return sketches.approx_distinct(
-        rd.read_parquet(f"{sf_dir}/events.parquet"), "user_id")
+        _events(sf_dir), "user_id")
 
 
 def _q_word_topk(sf_dir: str):
@@ -516,7 +522,7 @@ def _q_distinct_users(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
     return aggregates.distinct_users(
-        rd.read_parquet(f"{sf_dir}/events.parquet"))
+        _events(sf_dir))
 
 
 def _q_http_ingest(sf_dir: str):

@@ -6,15 +6,15 @@ from __future__ import annotations
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from ..io_util import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return sized_read_parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from ..io_util import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sized_read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def bench_dedup_exact(sf_dir: str):

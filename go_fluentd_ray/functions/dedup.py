@@ -129,6 +129,34 @@ class MinHasher:
         v = (np.outer(sh, self.a) + self.b) % _MERSENNE
         return v.min(axis=0)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """All signatures for a batch in chunked vectorized passes:
+        shingles concatenate across docs, ONE (chunk x NUM_PERM) affine
+        transform per chunk, per-doc mins via np.minimum.reduceat —
+        identical output to per-doc signature() (asserted in tests) at
+        a fraction of the per-doc numpy call overhead."""
+        sh_list = [_shingle_hashes(t, self.k) for t in texts]
+        counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        allsh = (np.concatenate(sh_list) if sh_list
+                 else np.zeros(0, dtype=np.uint64))
+        sigs = np.empty((len(texts), NUM_PERM), dtype=np.uint64)
+        CH = 200_000  # shingles per chunk: bounds the chunk matrix
+        # to ~100 MB (200k x 64 x 8B)
+        i = 0
+        while i < len(texts):
+            j, tot = i, 0
+            while j < len(texts) and (j == i or tot + counts[j] <= CH):
+                tot += counts[j]
+                j += 1
+            seg = allsh[starts[i]:starts[i] + tot]
+            v = (np.outer(seg, self.a) + self.b) % _MERSENNE
+            sigs[i:j] = np.minimum.reduceat(v, starts[i:j] - starts[i],
+                                            axis=0)
+            i = j
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit BANDS rows per doc: (doc_id, band, band_hash, sig_hash).
         sig_hash fingerprints the FULL 64-perm signature — degenerate
@@ -136,7 +164,7 @@ class MinHasher:
         clusters and emit O(n) anchor pairs for them."""
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts])  # n x NUM_PERM
+        sigs = self.signatures(texts)                        # n x NUM_PERM
         bands = sigs.reshape(len(texts), BANDS, ROWS_PER_BAND)
         bh = (bands * np.uint64(1000003) ** np.arange(
             ROWS_PER_BAND, dtype=np.uint64)).sum(axis=2, dtype=np.uint64)

@@ -823,3 +823,14 @@ class TestRepetition:
         ]})
         out = T.repetition_batch(t).to_pylist()
         assert out[0]["dup_line_frac"] > 0.9 > out[1]["dup_line_frac"]
+
+
+def test_minhash_vectorized_signatures_match_per_doc():
+    """The chunked reduceat batch path must be byte-identical to the
+    per-doc signature() — every minhash output depends on it."""
+    h = dedup.MinHasher()
+    texts = (["hello world this is doc %d " % i * (i % 5 + 1)
+              for i in range(40)] + ["ab", "", "x" * 3])
+    sigs = h.signatures(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], h.signature(t)), i
