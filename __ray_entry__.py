@@ -455,6 +455,15 @@ def _q_clean_redact(sf_dir: str):
         ["doc_id", "clean_text", "n_emails", "n_ips"])
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """COMPOSED curation: clean/redact -> token count -> quality gate
+    -> exact dedup rows, value-checked end to end by a CTE-chained SQL
+    twin (the composition itself is the thing under test)."""
+    from go_fluentd_ray.pipelines import curation
+
+    return curation.curation_pipeline(_docs(sf_dir))
+
+
 def _q_hash_sample(sf_dir: str):
     from go_fluentd_ray.functions import sampling
 
@@ -677,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fluentd_frames": _q_fluentd_frames,
         "fluentd_pipeline": _q_fluentd_pipeline,
         "clean_redact": _q_clean_redact,
+        "curation_pipeline": _q_curation_pipeline,
         "hash_sample": _q_hash_sample,
         "quota_per_key": _q_quota_per_key,
         "doc_chunks": _q_doc_chunks,
@@ -787,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import events, multimodal, similarity
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import textclean as _textclean
+    from go_fluentd_ray.pipelines import curation as _curation
     from go_fluentd_ray.config import DEFAULT_CONFIG as _dcfg
     from go_fluentd_ray.pipelines import monitoring as _monitoring
     from go_fluentd_ray.functions import text as T
@@ -865,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "fluentd_pipeline": sql_oracle.flagship_sql(
             _fluentd_decoded_path() + "/part-*.parquet"),
         "clean_redact": _textclean.clean_redact_sql(),
+        "curation_pipeline": _curation.curation_pipeline_sql(),
         "hash_sample": _sampling.hash_sample_sql(20),
         "quota_per_key": _sampling.quota_per_key_sql(n=25),
         "doc_chunks": _sampling.chunk_documents_sql(),

@@ -71,7 +71,8 @@ def exact_dedup(ds):
     return out
 
 
-def exact_dedup_rows(ds, num_buckets: int | None = None):
+def exact_dedup_rows(ds, num_buckets: int | None = None,
+                     col: str = "text"):
     """The deduplicated TABLE (keep the min-doc_id row per content
     hash), fully shuffle-native: within-batch combiner drops same-batch
     dups, then ONE corpus shuffle keyed by hash(h) % B co-locates every
@@ -85,7 +86,8 @@ def exact_dedup_rows(ds, num_buckets: int | None = None):
         return (df.sort_values("doc_id", kind="mergesort")
                 .drop_duplicates("h"))
 
-    ds = ds.map_batches(md5_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(lambda t: md5_batch(t, col), batch_format="pyarrow",
+                        zero_copy_batch=True)
     ds = ds.map_batches(keep_min, batch_format="pandas")  # combiner
     ds = ds.map_batches(lambda t: add_bucket_col(t, ["h"], B),
                         batch_format="pyarrow")

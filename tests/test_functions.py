@@ -834,3 +834,28 @@ def test_minhash_vectorized_signatures_match_per_doc():
     sigs = h.signatures(texts)
     for i, t in enumerate(texts):
         assert np.array_equal(sigs[i], h.signature(t)), i
+
+
+class TestCurationPipeline:
+    def test_planted_pii_and_dups(self):
+        from go_fluentd_ray.pipelines import curation
+
+        long = ("the quick brown fox jumps over the lazy dog again and "
+                "again without ever stopping for breath at all")
+        df = pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                long,                          # kept
+                long + "   ",                  # dup after clean -> dropped
+                "too short",                   # fails min_tokens
+                long + " mail me at a@b.io or c@d.io or e@f.io or g@h.io",
+                                               # 4 PII hits > budget
+                long + " contact x@y.zz once", # 1 redaction, kept
+                long + " unique tail words",   # kept
+            ],
+        })
+        out = curation.curation_pipeline(
+            rd.from_pandas(df)).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 4, 5]
+        r4 = out[out.doc_id == 4].iloc[0]
+        assert "<EMAIL>" in r4["clean_text"] and "x@y.zz" not in r4["clean_text"]
