@@ -886,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_signup_lag": _joins.ASOF_SQL,
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
+        "doc_fingerprint": T.fingerprint_sql(),
         # rows-only (approximate / non-SQL-expressible): lang_id,
-        # doc_fingerprint, dedup_minhash_lsh, dedup_simhash,
-        # embedding_dup_lsh, knn_ivf
+        # dedup_minhash_lsh, dedup_simhash, embedding_dup_lsh, knn_ivf
     }

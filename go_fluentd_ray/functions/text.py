@@ -148,6 +148,59 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
     return out
 
 
+def fingerprint_sql(k: int = 5, window: int = 4,
+                    table: str = "documents") -> str:
+    """Exact DuckDB twin of fingerprint_batch. The kernel masks every
+    rolling hash to its low 47 bits, and 2^47 divides 2^64, so the
+    int64-wraparound polynomial hash equals
+    (sum byte_j * (B^(k-1-j) mod 2^47)) mod 2^47 — every term fits in
+    BIGINT (255 * 2^47 * k < 2^63), no HUGEINT needed. The winnowing
+    fingerprint SET is the distinct window-mins, which is tie-break
+    independent. Assumes ASCII text (ascii() == utf-8 byte), true of
+    the synthetic corpus the oracle runs on."""
+    mod = 1 << 47
+    pw = [pow(1000003, k - 1 - j, mod) for j in range(k)]
+    hexpr = "(" + " + ".join(
+        f"ascii(substr(text, i+{j}, 1)) * {pw[j]}" for j in range(k)
+    ) + f") % {mod}"
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - {k - 1})) AS i,
+         text
+  FROM {table} WHERE length(text) >= {k}
+),
+h AS (
+  SELECT doc_id, i, {hexpr} AS h,
+         count(*) OVER (PARTITION BY doc_id) AS npos
+  FROM pos
+),
+wm AS (
+  SELECT doc_id,
+         CASE WHEN npos >= {window}
+              THEN min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+              END AS wmin,
+         i, npos,
+         min(h) OVER (PARTITION BY doc_id) AS hmin
+  FROM h
+),
+sel AS (
+  SELECT doc_id, wmin FROM wm
+  WHERE npos >= {window} AND i <= npos - {window - 1}
+  UNION ALL
+  SELECT DISTINCT doc_id, hmin FROM wm WHERE npos < {window}
+),
+agg AS (
+  SELECT doc_id, count(DISTINCT wmin)::BIGINT AS n_fp,
+         min(wmin)::BIGINT AS fp_min,
+         bit_xor(DISTINCT wmin)::BIGINT AS fp_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_fp, 0) AS n_fp,
+       coalesce(a.fp_min, 0) AS fp_min, coalesce(a.fp_xor, 0) AS fp_xor
+FROM {table} d LEFT JOIN agg a USING (doc_id)"""
+
+
 def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition signals: fraction of duplicate lines and
     duplicate words per document (1 - distinct/total; 0 when empty).
