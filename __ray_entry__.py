@@ -323,6 +323,18 @@ def _q_embedding_dedup_rows(sf_dir: str):
     return out.select_columns(["vec_id", "label"])
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means cells + within-cell cosine dedup. Rows-only
+    (k-means assignment is not SQL-expressible); the exact-oracle twin
+    of the same keep-min-per-component semantics is
+    embedding_dedup_rows."""
+    from go_fluentd_ray.functions import semdedup
+
+    return semdedup.semantic_dedup(
+        _emb(sf_dir), threshold=_EMB_DUP_THR).select_columns(
+        ["vec_id", "label"])
+
+
 def _q_near_dedup_rows(sf_dir: str):
     """Same component machinery over the MinHash-LSH verified pair
     graph on documents (rows-only: minhash is not SQL-expressible)."""
@@ -462,6 +474,36 @@ def _q_curation_pipeline(sf_dir: str):
     from go_fluentd_ray.pipelines import curation
 
     return curation.curation_pipeline(_docs(sf_dir))
+
+
+def _q_decontaminate(sf_dir: str):
+    """Drop training docs sharing any word 3-gram with the benchmark
+    side (here: the deterministic 2% hash sample standing in for an
+    eval suite; the operator takes any Dataset as the benchmark)."""
+    from go_fluentd_ray.functions import decontam, sampling
+
+    docs = _docs(sf_dir)
+    bench = sampling.hash_sample(_docs(sf_dir), 2)
+    return decontam.decontaminate(docs, bench, n=3)
+
+
+_MIX_RATES = {"en": 100, "de": 60, "fr": 40, "es": 30, "zh": 20}
+
+
+def _q_domain_mix_sample(sf_dir: str):
+    """Per-language mixing weights (Pile/Gopher-style corpus reweight),
+    deterministic md5 Bernoulli per row."""
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.domain_mix_sample(_docs(sf_dir), _MIX_RATES)
+
+
+def _q_shuffle_shards(sf_dir: str):
+    """Deterministic global training shuffle -> (shard, pos) layout."""
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.shuffle_shards(_docs(sf_dir), num_shards=16) \
+        .select_columns(["doc_id", "shuffle_key", "shard", "pos"])
 
 
 def _q_hash_sample(sf_dir: str):
@@ -670,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "embedding_dedup_rows": _q_embedding_dedup_rows,
         "near_dedup_rows": _q_near_dedup_rows,
+        "semantic_dedup": _q_semantic_dedup,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_recall": _q_knn_ivf_recall,
@@ -687,6 +730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fluentd_pipeline": _q_fluentd_pipeline,
         "clean_redact": _q_clean_redact,
         "curation_pipeline": _q_curation_pipeline,
+        "decontaminate": _q_decontaminate,
+        "domain_mix_sample": _q_domain_mix_sample,
+        "shuffle_shards": _q_shuffle_shards,
         "hash_sample": _q_hash_sample,
         "quota_per_key": _q_quota_per_key,
         "doc_chunks": _q_doc_chunks,
@@ -795,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import aggregates as _agg
     from go_fluentd_ray.functions import joins as _joins
     from go_fluentd_ray.functions import events, multimodal, similarity
+    from go_fluentd_ray.functions import decontam as _decontam
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.pipelines import curation as _curation
@@ -877,6 +924,9 @@ def oracle_sql() -> dict[str, str]:
             _fluentd_decoded_path() + "/part-*.parquet"),
         "clean_redact": _textclean.clean_redact_sql(),
         "curation_pipeline": _curation.curation_pipeline_sql(),
+        "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
+        "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),
+        "shuffle_shards": _sampling.shuffle_shards_sql(num_shards=16),
         "hash_sample": _sampling.hash_sample_sql(20),
         "quota_per_key": _sampling.quota_per_key_sql(n=25),
         "doc_chunks": _sampling.chunk_documents_sql(),
@@ -887,6 +937,8 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),
-        # rows-only (approximate / non-SQL-expressible): lang_id,
-        # dedup_minhash_lsh, dedup_simhash, embedding_dup_lsh, knn_ivf
+        "lang_id": T.lang_id_sql(),
+        # rows-only (approximate / non-SQL-expressible):
+        # dedup_minhash_lsh, dedup_simhash, embedding_dup_lsh, knn_ivf,
+        # semantic_dedup, and the sketch family (approximate by design)
     }

@@ -105,3 +105,30 @@ BENCHES.update({
     "pack_sequences": bench_pack,
     "lm_score": bench_lm_score,
 })
+
+
+def bench_decontaminate(sf_dir: str):
+    from .decontam import decontaminate
+    from .sampling import hash_sample
+
+    return decontaminate(_docs(sf_dir), hash_sample(_docs(sf_dir), 2),
+                         n=3).count()
+
+
+def bench_shuffle_shards(sf_dir: str):
+    from .sampling import shuffle_shards
+
+    return shuffle_shards(_docs(sf_dir), num_shards=16).count()
+
+
+def bench_semantic_dedup(sf_dir: str):
+    from .semdedup import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir), threshold=0.95).count()
+
+
+BENCHES.update({
+    "decontaminate": bench_decontaminate,
+    "shuffle_shards": bench_shuffle_shards,
+    "semantic_dedup": bench_semantic_dedup,
+})

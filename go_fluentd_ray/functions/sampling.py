@@ -49,6 +49,82 @@ WHERE ('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT % 100
       < {rate_pct}"""
 
 
+def domain_mix_sample(ds, rates: "dict[str, int]", key: str = "lang",
+                      id_key: str = "doc_id", default_pct: int = 10):
+    """Per-domain mixing weights: deterministic Bernoulli sample whose
+    rate depends on the row's domain (source / language), the standard
+    'reweight the corpus mix' curation step (e.g. The Pile / Gopher
+    domain weights). Pure map-side filter — the rate table is a tiny
+    config dict captured in the task closure (NOT data), the decision
+    is md5(id) % 100 < rate[domain], so the pick is resume-stable and
+    identical at any cluster size, and a row's fate never depends on
+    other rows (no shuffle, no scan order)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = _md5_mod100(batch[id_key].to_pylist())
+        r = np.array([rates.get(s, default_pct)
+                      for s in batch[key].to_pylist()], dtype=np.int64)
+        return batch.filter(pa.array(h < r))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def domain_mix_sample_sql(rates: "dict[str, int]", key: str = "lang",
+                          id_key: str = "doc_id", default_pct: int = 10,
+                          table: str = "documents") -> str:
+    case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in rates.items())
+    return f"""
+SELECT * FROM {table}
+WHERE ('0x' || substr(md5(CAST({id_key} AS VARCHAR)), 1, 8))::UBIGINT % 100
+      < (CASE {key} {case} ELSE {default_pct} END)"""
+
+
+def shuffle_shards(ds, num_shards: int = 16, id_key: str = "doc_id"):
+    """Deterministic global training shuffle: shard = md5(id) % S,
+    within-shard order = (md5(id), id). This is the exporter layout a
+    training run reads — S shard files, each internally hash-shuffled —
+    and being keyed on md5(id) it is resume-stable and identical at
+    any cluster size (unlike random_shuffle). One shuffle total: the
+    shard/key columns are added map-side, then ONE task per shard
+    sorts its shard and assigns dense positions — exactly the
+    per-output-file sort a real exporter does. At 100 TB pick S so a
+    shard is file-sized (thousands of shards), which also bounds the
+    per-task sort memory."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in batch[id_key].to_pylist()], dtype=np.int64)
+        out = batch.append_column(
+            "shuffle_key", pa.array(h, type=pa.int64()))
+        return out.append_column(
+            "shard", pa.array(h % num_shards, type=pa.int64()))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["shuffle_key", id_key],
+                            kind="mergesort").reset_index(drop=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+def shuffle_shards_sql(num_shards: int = 16, id_key: str = "doc_id",
+                       table: str = "documents") -> str:
+    return f"""
+WITH k AS (
+  SELECT {id_key},
+         ('0x' || substr(md5(CAST({id_key} AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM {table}
+)
+SELECT {id_key}, h AS shuffle_key, (h % {num_shards})::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY h % {num_shards}
+                           ORDER BY h, {id_key}) - 1)::BIGINT AS pos
+FROM k"""
+
+
 def quota_per_key(ds, key: str = "lang", measure: str = "n_chars",
                   n: int = 50, num_buckets: int | None = None):
     """Top-n rows per key by (measure DESC, doc_id ASC) — integer

@@ -100,7 +100,58 @@ FROM ranked WHERE rank < {k}
 """
 
 
-def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 12,
+def deterministic_sample(ds, n: int, id_col: str, cols: "list[str]"):
+    """Order-free deterministic sample: the n rows with smallest
+    (md5(id), id). take(n) depends on block arrival order (NOT stable
+    across executions — a measured pitfall), so this runs a per-batch
+    min-n partial, coalesces, reduces once more, and only then takes
+    the tiny final candidate set on the driver (<= 8n rows)."""
+    import hashlib
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in batch[id_col].to_pylist()], dtype=np.int64)
+        t = batch.select([id_col] + cols).append_column(
+            "__h", pa.array(h, type=pa.int64()))
+        idx = np.lexsort((batch[id_col].to_numpy(), h))[:n]
+        return t.take(pa.array(idx, type=pa.int64()))
+
+    part = ds.map_batches(local_min, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    part = part.repartition(8, shuffle=False).map_batches(
+        local_min, batch_format="pyarrow")
+    df = part.to_pandas()
+    df = df.sort_values(["__h", id_col], kind="mergesort").head(n)
+    return df.drop(columns="__h").reset_index(drop=True)
+
+
+def fit_centroids(ds, n_centroids: int, sample_n: int = 2048,
+                  iters: int = 5, seed: int = 99) -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample: unit-norm
+    centroids for cosine assignment. The sample is picked by min-md5
+    of vec_id (order-free, so centroids — and everything derived from
+    them — are IDENTICAL across runs and cluster sizes); it is the
+    only data on the driver, and assignment happens map-side against
+    the broadcast centroid matrix. Shared by knn_ivf and
+    semdedup.semantic_dedup."""
+    rows = deterministic_sample(ds, sample_n, "vec_id", ["embedding"])
+    S = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in rows["embedding"]])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = S[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    return C
+
+
+def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 14,
             sample_n: int = 2048, iters: int = 5):
     """IVF-style ANN: centroids fit on a driver-side sample (k-means-
     lite, deterministic), vectors bucketed by nearest centroid via
@@ -114,19 +165,8 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 12,
     tune nprobe down per corpus, it is the speed/recall dial."""
     import ray
 
-    rows = ds.select_columns(["embedding"]).take(sample_n)
-    S = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
-    rng = np.random.default_rng(99)
-    C = S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(S @ C.T, axis=1)
-        for c in range(len(C)):
-            m = assign == c
-            if m.any():
-                v = S[m].mean(axis=0)
-                C[c] = v / np.linalg.norm(v)
-    Q = query_matrix(S.shape[1])
+    C = fit_centroids(ds, n_centroids, sample_n=sample_n, iters=iters)
+    Q = query_matrix(C.shape[1])
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # nq x nprobe
     cref = ray.put((C, Q, probes))
 

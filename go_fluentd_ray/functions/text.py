@@ -116,6 +116,26 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
+def lang_id_sql(table: str = "documents") -> str:
+    """Exact DuckDB twin of LangId, generated from the same PROFILES
+    dict so they cannot drift: per-language non-overlapping RE2 match
+    counts, argmax with first-in-profile-order tie-break (np.argmax
+    semantics), 'unknown' when every score is zero."""
+    langs = list(LangId.PROFILES)
+    scores = ", ".join(
+        f"length(regexp_extract_all(text, "
+        f"'\\b({'|'.join(words)})\\b')) AS s_{lang}"
+        for lang, words in LangId.PROFILES.items())
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs)
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH s AS (SELECT doc_id, {scores} FROM {table})
+SELECT doc_id,
+       CASE WHEN {total} = 0 THEN 'unknown' {case} END AS lang_pred
+FROM s"""
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text",
                       k: int = 5, window: int = 4) -> pa.Table:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):

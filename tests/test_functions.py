@@ -859,3 +859,163 @@ class TestCurationPipeline:
         assert sorted(out["doc_id"]) == [0, 4, 5]
         r4 = out[out.doc_id == 4].iloc[0]
         assert "<EMAIL>" in r4["clean_text"] and "x@y.zz" not in r4["clean_text"]
+
+
+class TestDecontaminate:
+    """n-gram benchmark decontamination (GPT-3-style overlap filter)."""
+
+    def test_planted_overlap_dropped(self):
+        from go_fluentd_ray.functions import decontam
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "alpha beta gamma delta",       # shares 'alpha beta gamma'
+                "zeta eta theta iota",          # clean
+                "one two alpha beta gamma",     # overlap mid-doc
+                "alpha beta kappa gamma",       # only 2-gram overlap -> kept
+                "short one",                    # < n tokens -> kept
+            ],
+        })
+        bench = pd.DataFrame({"doc_id": [100],
+                              "text": ["alpha beta gamma zzz"]})
+        out = decontam.decontaminate(
+            rd.from_pandas(docs), rd.from_pandas(bench), n=3).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3, 4]
+
+    def test_bloom_direction_safe(self):
+        """Bloom probing may only ever drop MORE docs, never fewer."""
+        from go_fluentd_ray.functions import decontam
+
+        grams = [f"g{i} h{i} k{i}" for i in range(1000)]
+        bits = decontam.gram_bloom(grams, n_bits=1 << 16)
+
+        def bloom_hit(g):
+            h = hash(g) & 0xFFFFFFFFFFFFFFFF
+            return all(bits[(h >> (i * 13)) % (1 << 16)] for i in range(4))
+
+        assert all(bloom_hit(g) for g in grams)  # zero false negatives
+
+
+class TestDomainMixAndShards:
+    def test_domain_mix_rates(self):
+        from go_fluentd_ray.functions import sampling
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(600, dtype=np.int64),
+            "lang": ["en"] * 200 + ["de"] * 200 + ["xx"] * 200,
+        })
+        out = sampling.domain_mix_sample(
+            rd.from_pandas(df), {"en": 100, "de": 0},
+            default_pct=50).to_pandas()
+        by = out.groupby("lang").size()
+        assert by.get("en", 0) == 200          # rate 100 keeps all
+        assert by.get("de", 0) == 0            # rate 0 keeps none
+        assert 60 < by.get("xx", 0) < 140      # default ~50%
+
+    def test_shuffle_shards_layout(self):
+        import hashlib
+
+        from go_fluentd_ray.functions import sampling
+
+        df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                           "text": ["t"] * 500})
+        out = sampling.shuffle_shards(
+            rd.from_pandas(df), num_shards=8).to_pandas()
+        assert len(out) == 500
+        # shard is md5(id) % 8; pos dense 0..n-1 within each shard,
+        # ordered by (shuffle_key, doc_id)
+        for did, sk, sh in zip(out.doc_id, out.shuffle_key, out.shard):
+            h = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+            assert sk == h and sh == h % 8
+        for _, g in out.groupby("shard"):
+            g = g.sort_values(["shuffle_key", "doc_id"])
+            assert list(g["pos"]) == list(range(len(g)))
+        # deterministic across runs
+        again = sampling.shuffle_shards(
+            rd.from_pandas(df), num_shards=8).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = again.sort_values("doc_id").reset_index(drop=True)
+        assert a[["shard", "pos"]].equals(b[["shard", "pos"]])
+
+
+class TestSemanticDedup:
+    """SemDeDup: k-means cells + within-cell cosine dedup."""
+
+    def _corpus(self):
+        rng = np.random.default_rng(7)
+        # 6 well-separated anchor directions, 4 near-copies each, plus
+        # 20 scattered singletons
+        dim = 16
+        anchors = rng.normal(size=(6, dim))
+        rows = []
+        vid = 0
+        for a in anchors:
+            for _ in range(4):
+                v = a + rng.normal(scale=1e-3, size=dim)
+                rows.append((vid, v / np.linalg.norm(v)))
+                vid += 1
+        for _ in range(20):
+            v = rng.normal(size=dim)
+            rows.append((vid, v / np.linalg.norm(v)))
+            vid += 1
+        return pd.DataFrame({
+            "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "embedding": [r[1].tolist() for r in rows],
+            "label": ["x"] * len(rows),
+        })
+
+    def test_planted_clusters_keep_min(self):
+        from go_fluentd_ray.functions import semdedup
+
+        df = self._corpus()
+        out = semdedup.semantic_dedup(
+            rd.from_pandas(df), threshold=0.99, n_centroids=8,
+            sample_n=64).to_pandas()
+        kept = set(out["vec_id"])
+        # each 4-copy group collapses to its min id (0, 4, 8, ...)
+        for g in range(6):
+            grp = set(range(4 * g, 4 * g + 4))
+            assert grp & kept == {4 * g}
+        # scattered singletons survive (random 16-dim pairs don't hit
+        # cosine 0.99)
+        assert set(range(24, 44)) <= kept
+
+    def test_no_dups_is_identity(self):
+        from go_fluentd_ray.functions import semdedup
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "vec_id": np.arange(30, dtype=np.int64),
+            "embedding": [
+                (v / np.linalg.norm(v)).tolist()
+                for v in rng.normal(size=(30, 16))],
+            "label": ["x"] * 30,
+        })
+        out = semdedup.semantic_dedup(
+            rd.from_pandas(df), threshold=0.999, n_centroids=4,
+            sample_n=30).to_pandas()
+        assert sorted(out["vec_id"]) == list(range(30))
+
+
+def test_deterministic_sample_order_free():
+    """deterministic_sample must not depend on block arrival order."""
+    from go_fluentd_ray.functions import similarity
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "vec_id": np.arange(5000, dtype=np.int64),
+        "embedding": [v.tolist() for v in rng.normal(size=(5000, 4))],
+    })
+    a = similarity.deterministic_sample(
+        rd.from_pandas(df).repartition(13), 64, "vec_id", ["embedding"])
+    b = similarity.deterministic_sample(
+        rd.from_pandas(df).repartition(3), 64, "vec_id", ["embedding"])
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    # matches the driver-side reference computation exactly
+    import hashlib
+    ref = sorted(
+        range(5000),
+        key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                           16), i))[:64]
+    assert list(a["vec_id"]) == ref
