@@ -237,7 +237,8 @@ def _q_repetition(sf_dir: str):
 
 def _q_lm_score(sf_dir: str):
     """Char-trigram LM quality scoring (perplexity-style filter).
-    Rows-only: the model is data-derived, not SQL-expressible."""
+    SQL twin rebuilds the same min-md5 reference sample and smoothed
+    trigram model in CTEs (text.lm_score_sql)."""
     from go_fluentd_ray.functions import text as T
 
     return T.lm_score(_docs(sf_dir))
@@ -337,7 +338,8 @@ def _q_semantic_dedup(sf_dir: str):
 
 def _q_near_dedup_rows(sf_dir: str):
     """Same component machinery over the MinHash-LSH verified pair
-    graph on documents (rows-only: minhash is not SQL-expressible)."""
+    graph on documents; SQL twin = the exact minhash pair CTE +
+    recursive-CTE component closure."""
     from go_fluentd_ray.functions import dedup
     from go_fluentd_ray.functions.components import dedup_rows_by_components
 
@@ -842,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import joins as _joins
     from go_fluentd_ray.functions import events, multimodal, similarity
     from go_fluentd_ray.functions import decontam as _decontam
+    from go_fluentd_ray.functions import dedup as _dedup
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.pipelines import curation as _curation
@@ -938,7 +941,30 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),
         "lang_id": T.lang_id_sql(),
+        "dedup_minhash_lsh": _dedup.minhash_dedup_sql(
+            threshold=0.7, min_bands=2),
+        "dedup_simhash": _dedup.simhash_dedup_sql(),
+        "lm_score": T.lm_score_sql(),
+        "near_dedup_rows": f"""
+            WITH RECURSIVE mh AS ({_dedup.minhash_dedup_sql(
+                threshold=0.7, min_bands=2)}),
+            e AS (
+              SELECT a AS u, b AS v FROM mh
+              UNION ALL SELECT b, a FROM mh
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT u FROM comp WHERE u <> root)""",
         # rows-only (approximate / non-SQL-expressible):
-        # dedup_minhash_lsh, dedup_simhash, embedding_dup_lsh, knn_ivf,
-        # semantic_dedup, and the sketch family (approximate by design)
+        # embedding_dup_lsh (float32 list kernels + unspecified SQL sum
+        # order make hyperplane sign bits unreliable), knn_ivf /
+        # knn_ivf_recall / semantic_dedup (k-means), fluentd_frames
+        # (msgpack), and the sketch family (approximate by design)
     }

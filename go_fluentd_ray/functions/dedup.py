@@ -404,21 +404,96 @@ def minhash_dedup(ds, threshold: float = 0.7, num_buckets: int | None = None,
         dedup_sides=True, finalize=verify_df)
 
 
+def minhash_dedup_sql(threshold: float = 0.7, min_bands: int = 2,
+                      table: str = "documents") -> str:
+    """Exact DuckDB twin of minhash_dedup, generated from the SAME
+    constants (NUM_PERM/BANDS/_MERSENNE, the 0xC0FFEE permutation
+    seed) so the two sides cannot drift. The uint64-wraparound
+    arithmetic is exactly expressible: every intermediate product is
+    < 2^125, inside HUGEINT range, so `x % 2^64` reproduces numpy's
+    uint64 wrap bit-for-bit — shingle rolling hash, (a*x+b) mod 2^64
+    mod (2^61-1) signatures, and the per-band polynomial band hash.
+
+    Modeled semantics: band collision in >= min_bands of the 16 bands,
+    then true-Jaccard verify over the same distinct-shingle-hash sets.
+    NOT modeled (never triggers at oracle scale, covered by dedicated
+    degenerate-corpus pytests): the MAX_BUCKET anchor-star fallback —
+    valid while no (band, band_hash) group exceeds 256 rows. Assumes
+    ASCII text (ascii() == utf-8 byte), true of the synthetic corpus."""
+    p = int(_MERSENNE)
+    m64 = 1 << 64
+    bconst = 1000003
+    rng = np.random.default_rng(0xC0FFEE)
+    a = rng.integers(1, _MERSENNE, NUM_PERM, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, NUM_PERM, dtype=np.uint64)
+    perm_rows = ",\n    ".join(
+        f"({r}, {int(a[r])}::HUGEINT, {int(b[r])}::HUGEINT)"
+        for r in range(NUM_PERM))
+    k = 4
+    hexpr = "(" + " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {bconst ** j}"
+        for j in range(k)) + f") % {m64}"
+    return f"""
+WITH perms(r, pa, pb) AS (VALUES
+    {perm_rows}
+),
+sh AS (
+  SELECT DISTINCT doc_id, {hexpr} AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {k - 1})) AS i
+        FROM {table} WHERE length(text) >= {k})
+),
+shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, r,
+         min(((h * pa) % {m64} + pb) % {m64} % {p}) AS sig
+  FROM sh CROSS JOIN perms GROUP BY doc_id, r
+),
+band AS (
+  SELECT doc_id, r // {ROWS_PER_BAND} AS band,
+         sum(sig * {bconst}::HUGEINT ** (r % {ROWS_PER_BAND})) % {m64}
+         AS bh
+  FROM sig GROUP BY doc_id, r // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y ON x.band = y.band AND x.bh = y.bh
+                          AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_bands}
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+  GROUP BY c.a, c.b
+),
+jac AS (
+  SELECT c.a, c.b,
+         coalesce(i.ni, 0)::DOUBLE / (na.n + nb.n - coalesce(i.ni, 0))
+         AS j
+  FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+       JOIN shn na ON na.doc_id = c.a
+       JOIN shn nb ON nb.doc_id = c.b
+)
+SELECT a, b, round(j, 4) AS jac FROM jac WHERE j >= {threshold}"""
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """64-bit SimHash over word features (vectorized per batch)."""
+    """64-bit SimHash over word features (vectorized per batch). The
+    word hash is md5[:16] — an arbitrary uniform 64-bit hash chosen so
+    the SQL oracle (simhash_dedup_sql) can reproduce it exactly."""
     texts = batch[col].to_pylist()
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         words = t.lower().split()
         if not words:
             continue
-        hs = np.array([int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-            for w in words], dtype=np.uint64)
+        hs = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                       for w in words], dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
         sim = (bits * 2 > len(hs)).astype(np.uint64)
         out[i] = (sim << np.arange(64, dtype=np.uint64)).sum()
@@ -485,6 +560,49 @@ def simhash_dedup(ds, max_hamming: int = 3, num_buckets: int | None = None):
     # hamming is a pure function of (a, b) -> rows are identical across
     # bands; bucketed distinct replaces the per-pair map_groups
     return bucketed_distinct(out, ["a", "b"], num_buckets=B)
+
+
+def simhash_dedup_sql(max_hamming: int = 3,
+                      table: str = "documents") -> str:
+    """Exact DuckDB twin of simhash_dedup. Word hash = md5[:16] (same
+    as simhash_batch); per-bit majority vote over word OCCURRENCES
+    (multiplicity kept, matching .split()); the 4x16-bit band
+    collision requirement and hamming <= max_hamming verify are
+    modeled directly as an O(n^2) join (oracle scale only). The
+    MAX_BUCKET anchor fallback is not modeled (never triggers at
+    oracle scale; covered by degenerate-corpus pytests)."""
+    cexprs = ",\n    ".join(
+        f"sum(((h >> {p}) & 1)::BIGINT) AS c{p}" for p in range(64))
+    simexpr = " + ".join(
+        f"(CASE WHEN 2*c{p} > nw THEN {1 << p}::HUGEINT ELSE 0 END)"
+        for p in range(64))
+    bandcond = " OR ".join(
+        f"((x.u >> {16 * bd}) & 65535) = ((y.u >> {16 * bd}) & 65535)"
+        for bd in range(4))
+    return f"""
+WITH w AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+        FROM {table})
+),
+c AS (
+  SELECT doc_id, count(*) AS nw,
+    {cexprs}
+  FROM w GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, ({simexpr}) AS u,
+         CASE WHEN ({simexpr}) >= {1 << 63}::HUGEINT
+              THEN (({simexpr}) - {1 << 64}::HUGEINT)::BIGINT
+              ELSE ({simexpr})::BIGINT END AS sv
+  FROM c
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.sv, y.sv))::BIGINT AS hamming
+FROM s x JOIN s y ON x.doc_id < y.doc_id
+WHERE ({bandcond})
+  AND bit_count(xor(x.sv, y.sv)) <= {max_hamming}"""
 
 
 # ---------------------------------------------------------------------------

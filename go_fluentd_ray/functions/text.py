@@ -335,6 +335,47 @@ class NgramLmScorer:
             "lm_bits_per_char", pa.array(np.round(bits, 4)))
 
 
+def lm_score_sql(ref_sample_n: int = 256, table: str = "documents") -> str:
+    """Exact DuckDB twin of lm_score: the reference sample is the
+    ref_sample_n docs with smallest md5(doc_id) (full-hexdigest string
+    order — identical to the Ray side's tree-reduced pick), the model
+    is add-one-smoothed char-trigram counts over that sample, and each
+    doc scores mean -log2 P(trigram). Float sums differ from numpy's
+    pairwise summation only in final ULPs, absorbed by the round(…, 4)
+    both sides apply (verified exact at oracle scale). ASCII corpus
+    (byte trigrams == char trigrams)."""
+    return f"""
+WITH ref AS (
+  SELECT lower(text) AS t FROM {table}
+  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {ref_sample_n}
+),
+rg AS (
+  SELECT substr(t, i, 3) AS g
+  FROM (SELECT t, unnest(generate_series(1, length(t) - 2)) AS i
+        FROM ref WHERE length(t) >= 3)
+),
+model AS (SELECT g, count(*) AS c FROM rg GROUP BY g),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM model),
+dg AS (
+  SELECT doc_id, substr(lower(text), i, 3) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM {table} WHERE length(text) >= 3)
+),
+sc AS (
+  SELECT doc_id,
+         -sum(CASE WHEN m.c IS NULL THEN log2(1.0 / (total + vocab))
+                   ELSE log2((m.c + 1.0) / (total + vocab)) END)
+          / count(*) AS bits
+  FROM dg LEFT JOIN model m USING (g) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(sc.bits, -log2(1.0 / (total + vocab))), 4)
+       AS lm_bits_per_char
+FROM {table} d LEFT JOIN sc USING (doc_id) CROSS JOIN tot"""
+
+
 def lm_score(docs_ds, ref_sample_n: int = 256):
     """Fit the reference trigram model on a deterministic sample of the
     corpus itself (the ref_sample_n docs with smallest md5(doc_id) —
