@@ -31,27 +31,36 @@ import pandas as pd
 import pyarrow as pa
 
 
+_CENTROID_CACHE: dict = {}
+
+
 def cluster_pairs(emb_ds, centroids: np.ndarray, threshold: float,
                   id_col: str = "vec_id"):
-    """(a, b) pairs with cosine >= threshold inside each k-means cell."""
+    """(a, b) pairs with cosine >= threshold inside each k-means cell.
+    Assignment runs in TASK mode with a per-worker centroid cache
+    keyed by the broadcast ref (the _minhash_fn pattern): the centroid
+    matrix is tiny, so task mode gets actor-style one-time setup
+    without paying actor-pool spawn latency."""
     import ray
 
     cref = ray.put(centroids)
+    key = cref.hex()
 
-    class Assign:
-        def __init__(self):
-            self.C = ray.get(cref)
+    def assign(batch: pa.Table) -> pa.Table:
+        C = _CENTROID_CACHE.get(key)
+        if C is None:
+            if len(_CENTROID_CACHE) > 8:   # bound worker memory
+                _CENTROID_CACHE.clear()
+            C = _CENTROID_CACHE[key] = ray.get(cref)
+        E = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cid = np.argmax(En @ C.T, axis=1)
+        return batch.append_column(
+            "cluster", pa.array(cid.astype(np.int64)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            E = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in batch["embedding"].to_pylist()])
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cid = np.argmax(En @ self.C.T, axis=1)
-            return batch.append_column(
-                "cluster", pa.array(cid.astype(np.int64)))
-
-    assigned = emb_ds.map_batches(Assign, batch_format="pyarrow",
-                                  concurrency=2)
+    assigned = emb_ds.map_batches(assign, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
