@@ -217,6 +217,15 @@ def _q_quality(sf_dir: str):
                       "stop_ratio", "mean_word_len", "quality"])
 
 
+def _q_quality_prune(sf_dir: str):
+    """Percentile quality pruning: keep the top 20% of docs by the
+    deterministic quality score — skinny-projection global sort +
+    streaming limit (DCLM/FineWeb-style corpus pruning)."""
+    from go_fluentd_ray.functions import text as T
+
+    return T.quality_prune(_docs(sf_dir), pct=20)
+
+
 def _q_lang_id(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
@@ -272,6 +281,15 @@ def _q_dedup_minhash(sf_dir: str):
     # is the exhaustive min_bands=1 — see minhash_dedup's docstring for
     # the measured ~1-2% pair-recall tradeoff this opts into)
     return dedup.minhash_dedup(_docs(sf_dir), min_bands=2)
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering —
+    the deterministic twin of dedup_minhash_lsh (no banding
+    randomness, no recall loss), same one-corpus-shuffle verify."""
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.jaccard_join(_docs(sf_dir), threshold=0.8)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -467,6 +485,21 @@ def _q_clean_redact(sf_dir: str):
 
     return textclean.clean_redact(_docs(sf_dir)).select_columns(
         ["doc_id", "clean_text", "n_emails", "n_ips"])
+
+
+def _q_line_dedup(sf_dir: str):
+    """Corpus-level repeated-line removal (C4/CCNet boilerplate pass):
+    bucketed exact line counts -> one small broadcast -> vectorized
+    map-side line filter + reassembly. Runs over the deterministic
+    multiline synthetic corpus (the testdata documents are single-line);
+    the SQL twin reads the same parquet."""
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.functions import linededup
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(sf_dir))
+    return linededup.line_dedup(sized_read_parquet(path)).select_columns(
+        ["doc_id", "clean_text", "n_removed"])
 
 
 def _q_curation_pipeline(sf_dir: str):
@@ -702,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
+        "quality_prune": _q_quality_prune,
         "lang_id": _q_lang_id,
         "lm_score": _q_lm_score,
         "repetition_score": _q_repetition,
@@ -709,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_exact_rows": _q_dedup_exact_rows,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_dup": _q_embedding_dup,
         "embedding_dup_lsh": _q_embedding_dup_lsh,
@@ -731,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fluentd_frames": _q_fluentd_frames,
         "fluentd_pipeline": _q_fluentd_pipeline,
         "clean_redact": _q_clean_redact,
+        "line_dedup": _q_line_dedup,
         "curation_pipeline": _q_curation_pipeline,
         "decontaminate": _q_decontaminate,
         "domain_mix_sample": _q_domain_mix_sample,
@@ -754,6 +790,14 @@ def _fluentd_decoded_path() -> str:
     from go_fluentd_ray import synth
 
     return synth.ensure_fluentd_decoded(synth.turns_for_sf_dir(SF001))
+
+
+def _line_dedup_oracle() -> str:
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.functions import linededup
+
+    return linededup.line_dedup_sql(
+        synth.ensure_multiline_docs(synth.docs_for_sf_dir(SF001)))
 
 
 def _http_ingest_sql() -> str:
@@ -883,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_bpe_tokens FROM documents"),
         "quality_score": (
             f"SELECT doc_id, {T.QUALITY_SQL_EXPRS} FROM documents"),
+        "quality_prune": T.quality_prune_sql(pct=20),
         "repetition_score": T.REPETITION_SQL,
         "dedup_exact": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, "
@@ -926,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "fluentd_pipeline": sql_oracle.flagship_sql(
             _fluentd_decoded_path() + "/part-*.parquet"),
         "clean_redact": _textclean.clean_redact_sql(),
+        "line_dedup": _line_dedup_oracle(),
         "curation_pipeline": _curation.curation_pipeline_sql(),
         "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
         "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),
@@ -943,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.lang_id_sql(),
         "dedup_minhash_lsh": _dedup.minhash_dedup_sql(
             threshold=0.7, min_bands=2),
+        "dedup_jaccard": _dedup.jaccard_join_sql(threshold=0.8),
         "dedup_simhash": _dedup.simhash_dedup_sql(),
         "lm_score": T.lm_score_sql(),
         "near_dedup_rows": f"""

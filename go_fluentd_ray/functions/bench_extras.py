@@ -132,3 +132,32 @@ BENCHES.update({
     "shuffle_shards": bench_shuffle_shards,
     "semantic_dedup": bench_semantic_dedup,
 })
+
+
+def bench_line_dedup(sf_dir: str):
+    from go_fluentd_ray import synth
+
+    from .linededup import line_dedup
+    from ..io_util import sized_read_parquet
+
+    path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(sf_dir))
+    return line_dedup(sized_read_parquet(path)).count()
+
+
+def bench_quality_prune(sf_dir: str):
+    from .text import quality_prune
+
+    return quality_prune(_docs(sf_dir), pct=20).count()
+
+
+def bench_jaccard_join(sf_dir: str):
+    from .dedup import jaccard_join
+
+    return jaccard_join(_docs(sf_dir), threshold=0.8).count()
+
+
+BENCHES.update({
+    "line_dedup": bench_line_dedup,
+    "quality_prune": bench_quality_prune,
+    "dedup_jaccard": bench_jaccard_join,
+})

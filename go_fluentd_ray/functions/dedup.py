@@ -479,6 +479,142 @@ SELECT a, b, round(j, 4) AS jac FROM jac WHERE j >= {threshold}"""
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _prefix_len(ns: np.ndarray, pct: int) -> np.ndarray:
+    """Jaccard prefix length n - ceil(t*n) + 1 in exact integer math
+    (pct = round(100*t)), identical to the SQL twin's expression."""
+    return ns - (pct * ns + 99) // 100 + 1
+
+
+def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None):
+    """EXACT n-gram Jaccard near-dup pairs — the deterministic member
+    of the dedup family (minhash_dedup is the probabilistic scale
+    route): every (a < b, jac) pair with true Jaccard over distinct
+    4-char-shingle hash sets >= threshold, no banding randomness.
+
+    Candidate generation is PPJoin-style prefix filtering (Bayardo et
+    al., WWW'07; Xiao et al., WWW'08): under ANY global token order,
+    two sets with J >= t must share a token within both of their
+    (n - ceil(t*n) + 1)-length prefixes, so only prefix tokens enter
+    the join. Order = ascending shingle hash (np.unique output — the
+    same order the SQL twin's row_number uses). The size filter
+    100*min(na, nb) >= pct*max(na, nb) is exact-integer on both sides.
+
+    Distributed shape: prefix rows (sh, doc_id, n) bucket by
+    hash(sh) % B -> per-bucket vectorized self-merge -> one skinny
+    distinct shuffle on (a, b) -> the same one-corpus-shuffle
+    bucketed_attach + fused true-Jaccard verify minhash uses. The
+    corpus crosses the wire once; the driver never sees it.
+
+    Skew note: a shingle shared by m docs' prefixes yields O(m^2)
+    candidates — exactness forbids the MAX_BUCKET anchor cap here, so
+    on heavily templated corpora (boilerplate shingles with tiny hash
+    values land in every prefix) prefer minhash_dedup; threshold also
+    shortens prefixes as it rises."""
+    from .shuffle import add_bucket_col, bucketed_attach, \
+        bucketed_distinct, default_buckets
+
+    B = num_buckets or default_buckets()
+    pct = round(threshold * 100)
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sh_list = [_shingle_hashes(t) for t in batch["text"].to_pylist()]
+        ns = np.array([len(s) for s in sh_list], dtype=np.int64)
+        ps = _prefix_len(ns, pct)
+        sh = (np.concatenate([s[:p] for s, p in zip(sh_list, ps)])
+              if sh_list else np.zeros(0, dtype=np.uint64))
+        return pa.table({
+            "sh": pa.array(sh, type=pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, ps), type=pa.int64()),
+            "n": pa.array(np.repeat(ns, ps), type=pa.int64()),
+        })
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["sh", "doc_id"])
+        m = d.merge(d, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m = m[100 * np.minimum(m["n_x"], m["n_y"])
+              >= pct * np.maximum(m["n_x"], m["n_y"])]
+        m = m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        return m[["a", "b"]].drop_duplicates()
+
+    pre = ds.select_columns(["doc_id", "text"]).map_batches(
+        prefix_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pre = pre.map_batches(lambda t: add_bucket_col(t, ["sh"], B),
+                          batch_format="pyarrow")
+    cands = pre.groupby("__bkt").map_groups(bucket_pairs,
+                                            batch_format="pandas")
+    cands = bucketed_distinct(cands, ["a", "b"], num_buckets=B)
+
+    import uuid
+
+    nonce = uuid.uuid4().hex
+
+    def verify_df(df: pd.DataFrame) -> pd.DataFrame:
+        v = _verify_cached(threshold, nonce)
+        return v(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+
+    return bucketed_attach(
+        cands, ds, left_keys=("a", "b"), corpus_key="doc_id",
+        value_col="text", out_cols=("text_a", "text_b"), num_buckets=B,
+        dedup_sides=True, finalize=verify_df)
+
+
+def jaccard_join_sql(threshold: float = 0.8,
+                     table: str = "documents") -> str:
+    """DuckDB twin generated from the same constants: identical shingle
+    rolling hash (HUGEINT % 2^64 == numpy uint64 wrap), identical
+    ascending-hash prefix, identical integer size filter, identical
+    double-precision Jaccard. Same ASCII / length>=4 caveat as
+    minhash_dedup_sql."""
+    m64 = 1 << 64
+    bconst = 1000003
+    k = 4
+    pct = round(threshold * 100)
+    hexpr = "(" + " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {bconst ** j}"
+        for j in range(k)) + f") % {m64}"
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {hexpr} AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {k - 1})) AS i
+        FROM {table} WHERE length(text) >= {k})
+),
+shn AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pre AS (
+  SELECT doc_id, h, n FROM (
+    SELECT s.doc_id, s.h, t.n,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY s.h) AS rk
+    FROM sh s JOIN shn t USING (doc_id))
+  WHERE rk <= n - (({pct} * n + 99) // 100) + 1
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM pre x JOIN pre y ON x.h = y.h AND x.doc_id < y.doc_id
+  WHERE 100 * least(x.n, y.n) >= {pct} * greatest(x.n, y.n)
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+  GROUP BY c.a, c.b
+),
+jac AS (
+  SELECT c.a, c.b,
+         coalesce(i.ni, 0)::DOUBLE / (na.n + nb.n - coalesce(i.ni, 0))
+         AS j
+  FROM cand c LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+       JOIN shn na ON na.doc_id = c.a
+       JOIN shn nb ON nb.doc_id = c.b
+)
+SELECT a, b, round(j, 4) AS jac FROM jac WHERE j >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

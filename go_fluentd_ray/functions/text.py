@@ -83,6 +83,45 @@ QUALITY_SQL_EXPRS = """
 """
 
 
+def quality_prune(ds, pct: int = 20):
+    """Percentile quality pruning (the DCLM / FineWeb 'keep the top p%
+    by classifier score' pass), EXACT: score every doc with the
+    deterministic quality formula, then global sort by
+    (quality DESC, doc_id ASC) + streaming limit K = ceil(n * p / 100).
+
+    Scale notes: the sort is Ray's range-partition shuffle over a
+    SKINNY (doc_id, quality) projection — the text never enters the
+    exchange — and `limit` streams only the leading blocks to the
+    consumer. n comes from parquet metadata (no data pass). For a
+    zero-shuffle approximate route at extreme scale, take the threshold
+    from sketches.approx_quantiles and filter map-side; this exact path
+    is the oracle-checked contract."""
+    import math
+
+    n = ds.count()
+    k = max(1, math.ceil(n * pct / 100))
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return (scored.select_columns(["doc_id", "quality"])
+            .sort(["quality", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
+def quality_prune_sql(pct: int = 20, table: str = "documents") -> str:
+    """DuckDB twin: identical score expression (QUALITY_SQL_EXPRS ==
+    the pyarrow kernel chain op-for-op, so float64 results are
+    bit-comparable), identical (quality DESC, doc_id) selection."""
+    return f"""
+WITH q AS (
+  SELECT doc_id, {QUALITY_SQL_EXPRS} FROM {table}
+), c AS (
+  SELECT count(*) AS n FROM {table}
+)
+SELECT doc_id, quality FROM q, c
+QUALIFY row_number() OVER (ORDER BY quality DESC, doc_id)
+        <= CAST(ceil(n * {pct} / 100.0) AS BIGINT)"""
+
+
 class LangId:
     """Actor-pool heuristic language ID: per-language stopword/char-gram
     profiles compiled once per actor (__init__), vectorized scoring per

@@ -649,3 +649,97 @@ def ensure_fluentd_decoded(n_turns: int, seed: int = DEFAULT_SEED) -> str:
             json.dump({"version": FLUENTD_TRANSCRIPT_VERSION,
                        "n_turns": n_turns, "seed": seed}, f)
     return d
+
+
+MULTILINE_DOCS_VERSION = 1
+
+# Boilerplate pool: lines a crawled-web corpus repeats across pages
+# (cookie banners, footers, share bars) — the target of the C4/CCNet
+# repeated-line removal pass. All synthetic.
+_BOILERPLATE_LINES = [
+    "subscribe to our newsletter for weekly updates",
+    "all rights reserved copyright notice",
+    "click here to read the full article",
+    "share this page on social media",
+    "accept cookies to continue browsing",
+    "sign in to leave a comment",
+    "related articles you may have missed",
+    "back to top of page",
+]
+
+_LINE_VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "stream",
+    "query", "data", "column", "join", "small", "big", "filter", "group",
+    "order", "vector", "customer", "the", "a",
+]
+
+
+def docs_for_sf_dir(sf_dir: str) -> int:
+    """50k multiline docs at sf=1 (matches the documents-table scaling:
+    500 docs at sf0.01)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return max(50, int(50_000 * sf))
+
+
+def multiline_doc_table(n_docs: int, seed: int = DEFAULT_SEED) -> pa.Table:
+    """Deterministic multi-line documents: 4-9 unique-ish content lines
+    (random vocab words) interleaved with 0-3 boilerplate lines drawn
+    from the shared pool (so boilerplate crosses the min_count bar while
+    content lines stay below it), plus occasional empty lines (which the
+    dedup contract always preserves)."""
+    rng = np.random.default_rng(seed + 7_001)
+    vocab = np.array(_LINE_VOCAB)
+    bp = _BOILERPLATE_LINES
+    texts = []
+    for i in range(n_docs):
+        n_content = int(rng.integers(4, 10))
+        lines = [" ".join(vocab[rng.integers(0, len(vocab), size=rng.integers(4, 9))])
+                 for _ in range(n_content)]
+        for _ in range(int(rng.integers(0, 4))):
+            pos = int(rng.integers(0, len(lines) + 1))
+            lines.insert(pos, bp[int(rng.integers(0, len(bp)))])
+        if rng.random() < 0.15:  # occasional blank separator line
+            lines.insert(int(rng.integers(0, len(lines) + 1)), "")
+        texts.append("\n".join(lines))
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+def ensure_multiline_docs(n_docs: int, seed: int = DEFAULT_SEED) -> str:
+    """Cached parquet DIRECTORY of the multiline doc corpus (several
+    parts so reads parallelize), written atomically like ensure_corpus.
+    The line_dedup SQL twin reads the same path."""
+    key = f"mldocs-v{MULTILINE_DOCS_VERSION}-d{n_docs}-s{seed}"
+    d = os.path.join(CACHE_ROOT, key)
+    meta = os.path.join(CACHE_ROOT, key + ".meta.json")
+    if os.path.exists(meta) and os.path.isdir(d):
+        return d
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
+    tbl = multiline_doc_table(n_docs, seed)
+    n_parts = min(8, max(1, n_docs // 500))
+    step = -(-n_docs // n_parts)
+    for i in range(n_parts):
+        pq.write_table(tbl.slice(i * step, step),
+                       os.path.join(tmp, f"part-{i:05d}.parquet"),
+                       compression="snappy")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.isdir(d):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(meta):
+        with open(meta, "w") as f:
+            json.dump({"version": MULTILINE_DOCS_VERSION, "n_docs": n_docs,
+                       "seed": seed}, f)
+    return d

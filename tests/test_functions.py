@@ -1019,3 +1019,147 @@ def test_deterministic_sample_order_free():
         key=lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:8],
                            16), i))[:64]
     assert list(a["vec_id"]) == ref
+
+
+class TestLineDedup:
+    """Corpus-level repeated-line removal (C4/CCNet boilerplate pass)."""
+
+    def _docs(self):
+        return pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "unique alpha\nSHARED FOOTER\nunique beta",
+                "SHARED FOOTER\nunique gamma",
+                "unique delta\n\nSHARED FOOTER",   # empty line preserved
+                "unique epsilon only",
+                "SHARED FOOTER",                    # doc fully removed
+                "unique zeta\nSHARED FOOTER\nSHARED FOOTER",
+            ],
+        })
+
+    def test_repeated_lines_removed_empties_kept(self):
+        from go_fluentd_ray.functions import linededup
+
+        out = linededup.line_dedup(
+            rd.from_pandas(self._docs()), min_count=3,
+            num_buckets=4).to_pandas().sort_values("doc_id")
+        assert list(out["clean_text"]) == [
+            "unique alpha\nunique beta",
+            "unique gamma",
+            "unique delta\n",       # the empty line survives
+            "unique epsilon only",
+            "",                     # all lines removed -> empty doc
+            "unique zeta",
+        ]
+        assert list(out["n_removed"]) == [1, 1, 1, 0, 1, 2]
+
+    def test_below_threshold_untouched(self):
+        from go_fluentd_ray.functions import linededup
+
+        out = linededup.line_dedup(
+            rd.from_pandas(self._docs()), min_count=7,
+            num_buckets=4).to_pandas().sort_values("doc_id")
+        assert list(out["clean_text"]) == list(self._docs()["text"])
+        assert out["n_removed"].sum() == 0
+
+    def test_matches_sql_twin_on_synth_corpus(self, tmp_path):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import linededup
+
+        path = synth.ensure_multiline_docs(300)
+        got = linededup.line_dedup(
+            rd.read_parquet(path), num_buckets=8).select_columns(
+            ["doc_id", "clean_text", "n_removed"]).to_pandas()
+        want = duckdb.connect().execute(
+            linededup.line_dedup_sql(path)).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        want["n_removed"] = want["n_removed"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        assert got["n_removed"].sum() > 0  # the pass actually fired
+
+
+class TestQualityPrune:
+    """Percentile quality pruning (top-p% by score, exact)."""
+
+    def test_top_pct_selected(self):
+        from go_fluentd_ray.functions import text as T
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(10, dtype=np.int64),
+            # quality rises with stopword share and word count
+            "text": ["the " * (i + 1) + "zz!" * (10 - i) for i in range(10)],
+        })
+        out = T.quality_prune(rd.from_pandas(df), pct=30).to_pandas()
+        assert len(out) == 3
+        # verify against the driver-side reference computation
+        import pyarrow as pa
+
+        scored = T.quality_batch(pa.Table.from_pandas(df)).to_pandas()
+        ref = scored.sort_values(["quality", "doc_id"],
+                                 ascending=[False, True]).head(3)
+        assert list(out["doc_id"]) == list(ref["doc_id"])
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import text as T
+
+        path = "/root/testdata/sf0.001/documents.parquet"
+        out = T.quality_prune(rd.read_parquet(path), pct=20).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        want = con.execute(T.quality_prune_sql(20)).df()
+        assert list(out["doc_id"]) == list(want["doc_id"])
+        assert np.array_equal(out["quality"].to_numpy(),
+                              want["quality"].to_numpy())
+
+
+class TestJaccardJoin:
+    """Exact n-gram Jaccard self-join with prefix filtering."""
+
+    def test_matches_bruteforce(self):
+        import itertools
+
+        from go_fluentd_ray.functions import dedup
+
+        rng = np.random.default_rng(11)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        texts = []
+        for i in range(40):
+            words = base.split()
+            for _ in range(rng.integers(0, 4)):  # light mutations
+                words[rng.integers(0, len(words))] = f"w{rng.integers(0, 9)}"
+            texts.append(" ".join(words))
+        texts += [f"completely unrelated document number {i} with its own "
+                  f"content payload {i * 7}" for i in range(20)]
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": texts})
+        got = dedup.jaccard_join(rd.from_pandas(df), threshold=0.8,
+                                 num_buckets=8).to_pandas()
+        got_pairs = set(map(tuple, got[["a", "b"]].to_numpy()))
+        bf = set()
+        shs = {i: dedup._shingle_hashes(t) for i, t in enumerate(texts)}
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            s1, s2 = shs[a], shs[b]
+            inter = len(np.intersect1d(s1, s2, assume_unique=True))
+            if inter / (len(s1) + len(s2) - inter) >= 0.8:
+                bf.add((a, b))
+        assert got_pairs == bf  # prefix filter loses NOTHING
+        assert len(bf) > 10    # the corpus actually contains near-dups
+
+    def test_identical_docs_pair(self):
+        from go_fluentd_ray.functions import dedup
+
+        df = pd.DataFrame({
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["same text here entirely"] * 2 + ["other content"],
+        })
+        got = dedup.jaccard_join(rd.from_pandas(df), threshold=0.8,
+                                 num_buckets=4).to_pandas()
+        assert set(map(tuple, got[["a", "b"]].to_numpy())) == {(1, 2)}
+        assert float(got["jac"].iloc[0]) == 1.0
