@@ -455,6 +455,14 @@ def _q_dim_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type", "c_name"])
 
 
+def _q_corpus_stats(sf_dir: str):
+    """Corpus profiling report per (source, lang): docs, char/word
+    totals, mean quality — partial-aggregate combiner + tiny groupby."""
+    from go_fluentd_ray.functions import aggregates
+
+    return aggregates.corpus_stats(_docs(sf_dir))
+
+
 def _q_pricing_summary(sf_dir: str):
     import ray.data as rd
 
@@ -779,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_topk_sketch": _q_word_topk_sketch,
         "approx_quantiles": _q_approx_quantiles,
         "distinct_users": _q_distinct_users,
+        "corpus_stats": _q_corpus_stats,
         "approx_distinct_users": _q_approx_distinct_users,
         "asof_signup_lag": _q_asof,
         "broadcast_dim_join": _q_dim_join,
@@ -982,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sampling.pack_documents_sql(),
         "word_topk": _agg.WORD_TOPK_SQL,
         "distinct_users": _agg.DISTINCT_USERS_SQL,
+        "corpus_stats": _agg.CORPUS_STATS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,

@@ -173,3 +173,74 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def corpus_stats(ds):
+    """Corpus profiling report per (source, lang) — the summary table a
+    training-data pipeline publishes after each curation run: document
+    count, char/word totals, and mean quality score. Pre-aggregation
+    pattern: one vectorized partial per batch (quality via the same
+    pyarrow kernel chain the quality operator uses), then a tiny
+    groupby over (source, lang) partials — the shuffle moves a few
+    rows per batch, never documents. Mean rounds to 6 dp (float sums
+    are order-dependent in the last ulp; the contract is 6-dp stable,
+    matching the oracle comparison's own rounding)."""
+    from ray.data.aggregate import Sum
+
+    from .text import TOKEN_RE, quality_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = quality_batch(batch)
+        df = pa.table({
+            "source": batch["source"],
+            "lang": batch["lang"],
+            "chars": pc.utf8_length(batch["text"]),
+            "words": pc.count_substring_regex(batch["text"], TOKEN_RE),
+            "q": scored["quality"],
+        }).to_pandas()
+        g = (df.groupby(["source", "lang"], sort=False)
+             .agg(docs=("q", "size"), chars=("chars", "sum"),
+                  words=("words", "sum"), sum_q=("q", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "lang"])
+           .aggregate(Sum("docs", alias_name="docs"),
+                      Sum("chars", alias_name="chars"),
+                      Sum("words", alias_name="words"),
+                      Sum("sum_q", alias_name="sum_q")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean_q = pc.round(pc.divide(batch["sum_q"],
+                                    pc.cast(batch["docs"], pa.float64())),
+                          ndigits=6)
+        out = pa.table({
+            "source": batch["source"],
+            "lang": batch["lang"],
+            "docs": pc.cast(batch["docs"], pa.int64()),
+            "chars": pc.cast(batch["chars"], pa.int64()),
+            "words": pc.cast(batch["words"], pa.int64()),
+            "mean_quality": mean_q,
+        })
+        return out
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+CORPUS_STATS_SQL = r"""
+SELECT source, lang, count(*)::BIGINT AS docs,
+       sum(length(text))::BIGINT AS chars,
+       sum(length(regexp_extract_all(text, '\w+')))::BIGINT AS words,
+       round(avg((length(regexp_extract_all(text,
+                 '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+           / greatest(length(regexp_extract_all(text, '\w+'))::DOUBLE, 1.0))
+           * 2.0
+         + least(length(regexp_extract_all(text, '\w+'))::DOUBLE / 100.0,
+                 1.0)
+         - (length(regexp_extract_all(text, '[^\w\s]'))::DOUBLE
+            / greatest(length(text)::DOUBLE, 1.0)) * 3.0), 6)
+       AS mean_quality
+FROM documents GROUP BY source, lang
+"""

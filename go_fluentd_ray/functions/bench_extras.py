@@ -161,3 +161,12 @@ BENCHES.update({
     "quality_prune": bench_quality_prune,
     "dedup_jaccard": bench_jaccard_join,
 })
+
+
+def bench_corpus_stats(sf_dir: str):
+    from .aggregates import corpus_stats
+
+    return corpus_stats(_docs(sf_dir)).count()
+
+
+BENCHES.update({"corpus_stats": bench_corpus_stats})

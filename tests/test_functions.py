@@ -1163,3 +1163,31 @@ class TestJaccardJoin:
                                  num_buckets=4).to_pandas()
         assert set(map(tuple, got[["a", "b"]].to_numpy())) == {(1, 2)}
         assert float(got["jac"].iloc[0]) == 1.0
+
+
+def test_corpus_stats_reference():
+    """corpus_stats equals a driver-side pandas reference on small data."""
+    from go_fluentd_ray.functions import aggregates as A
+    from go_fluentd_ray.functions import text as T
+    import pyarrow as pa
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [f"the quick doc {i} with words!" * (i + 1) for i in range(8)],
+        "lang": ["en", "en", "de", "de", "en", "fr", "fr", "fr"],
+        "source": ["s1", "s2", "s1", "s1", "s1", "s2", "s2", "s1"],
+    })
+    out = A.corpus_stats(rd.from_pandas(df)).to_pandas()
+    out = out.sort_values(["source", "lang"]).reset_index(drop=True)
+    scored = T.quality_batch(pa.Table.from_pandas(df)).to_pandas()
+    scored["chars"] = scored["text"].str.len()
+    scored["words"] = scored["text"].str.count(r"\w+")
+    ref = (scored.groupby(["source", "lang"])
+           .agg(docs=("doc_id", "size"), chars=("chars", "sum"),
+                words=("words", "sum"), mean_quality=("quality", "mean"))
+           .reset_index().sort_values(["source", "lang"])
+           .reset_index(drop=True))
+    assert list(out["docs"]) == list(ref["docs"])
+    assert list(out["chars"]) == list(ref["chars"])
+    assert list(out["words"]) == list(ref["words"])
+    assert np.allclose(out["mean_quality"], ref["mean_quality"], atol=1e-6)
