@@ -217,6 +217,14 @@ def _q_quality(sf_dir: str):
                       "stop_ratio", "mean_word_len", "quality"])
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-5 tf-idf keywords per doc: skinny df shuffle + df>=2 vocab
+    broadcast + map-side scoring (the jaccard_join df pattern)."""
+    from go_fluentd_ray.functions import text as T
+
+    return T.tfidf_keywords(_docs(sf_dir), k=5)
+
+
 def _q_quality_prune(sf_dir: str):
     """Percentile quality pruning: keep the top 20% of docs by the
     deterministic quality score — skinny-projection global sort +
@@ -744,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "quality_prune": _q_quality_prune,
+        "tfidf_keywords": _q_tfidf_keywords,
         "lang_id": _q_lang_id,
         "lm_score": _q_lm_score,
         "repetition_score": _q_repetition,
@@ -937,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": (
             f"SELECT doc_id, {T.QUALITY_SQL_EXPRS} FROM documents"),
         "quality_prune": T.quality_prune_sql(pct=20),
+        "tfidf_keywords": T.tfidf_keywords_sql(k=5),
         "repetition_score": T.REPETITION_SQL,
         "dedup_exact": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, "

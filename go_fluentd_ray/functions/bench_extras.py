@@ -170,3 +170,12 @@ def bench_corpus_stats(sf_dir: str):
 
 
 BENCHES.update({"corpus_stats": bench_corpus_stats})
+
+
+def bench_tfidf(sf_dir: str):
+    from .text import tfidf_keywords
+
+    return tfidf_keywords(_docs(sf_dir), k=5).count()
+
+
+BENCHES.update({"tfidf_keywords": bench_tfidf})

@@ -10,6 +10,7 @@ pyarrow-vectorized map_batches; language-ID is an actor-pool stage
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -463,3 +464,123 @@ def lm_score(docs_ds, ref_sample_n: int = 256):
         batch_format="pyarrow", concurrency=max(2, cpus // 4),
         zero_copy_batch=True).select_columns(["doc_id",
                                               "lm_bits_per_char"])
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_CACHE: dict = {}
+
+
+def tfidf_keywords(ds, k: int = 5, table_count: int | None = None):
+    """Top-k keywords per document by tf-idf — the classic corpus-level
+    text-analysis pass (idf = ln(N / df), ranked by rounded tfidf DESC
+    then word ASC; ties and the 6-dp rounding are part of the contract
+    so the SQL twin agrees exactly).
+
+    Distributed shape (the jaccard_join df pattern): document
+    frequencies come from one SKINNY shuffle of per-batch
+    distinct-docs-per-word partials; only the df>=2 vocabulary
+    broadcasts (a word absent from it has df=1 by definition), so the
+    corpus text never moves and scoring is map-side only. Per-batch
+    work is one flatten + one vectorized pandas groupby — no per-row
+    Python."""
+    import ray
+
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = default_buckets()
+    N = table_count if table_count is not None else ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"[^\w]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        d = pd.DataFrame({"doc": parent.to_numpy(zero_copy_only=False),
+                          "word": flat.to_pylist()})
+        d = d[d["word"] != ""].drop_duplicates()
+        g = d.groupby("word", sort=False).size().rename("df").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def df_reduce(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("word").aggregate([("df", "sum")])
+        g = g.filter(pc.greater_equal(g["df_sum"], 2))
+        return pa.table({"word": g["word"],
+                         "df": pc.cast(g["df_sum"], pa.int64())})
+
+    dfp = ds.select_columns(["text"]).map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True)
+    dfp = dfp.map_batches(lambda t: add_bucket_col(t, ["word"], B),
+                          batch_format="pyarrow")
+    rows = dfp.groupby("__bkt").map_groups(
+        df_reduce, batch_format="pyarrow").take_all()  # df>=2 vocabulary
+    # only — the broadcast side (df=1 words need no entry)
+    vocab = np.array(sorted(r["word"] for r in rows))
+    vdf = np.empty(len(vocab), dtype=np.int64)
+    lookup = {r["word"]: r["df"] for r in rows}
+    for i, w in enumerate(vocab):
+        vdf[i] = lookup[str(w)]
+    ref = ray.put((vocab, vdf))
+    key = ref.hex()
+
+    def score(batch: pa.Table) -> pa.Table:
+        vv = _TFIDF_DF_CACHE.get(key)
+        if vv is None:
+            if len(_TFIDF_DF_CACHE) > 4:
+                _TFIDF_DF_CACHE.clear()
+            vv = _TFIDF_DF_CACHE[key] = ray.get(ref)
+        voc, voc_df = vv
+        ids = batch["doc_id"].to_numpy()
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"[^\w]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        d = pd.DataFrame({"doc": parent.to_numpy(zero_copy_only=False),
+                          "word": flat.to_pylist()})
+        d = d[d["word"] != ""]
+        tf = (d.groupby(["doc", "word"], sort=False).size()
+              .rename("tf").reset_index())
+        words = tf["word"].to_numpy()
+        dfv = np.ones(len(tf), dtype=np.int64)
+        if len(voc):
+            pos = np.searchsorted(voc, words)
+            pos[pos >= len(voc)] = len(voc) - 1
+            hit = voc[pos] == words
+            dfv[hit] = voc_df[pos[hit]]
+        tfidf = np.round(tf["tf"].to_numpy() * np.log(N / dfv), 6)
+        tf["tfidf"] = tfidf
+        tf = tf.sort_values(["doc", "tfidf", "word"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby("doc", sort=False).head(k)
+        return pa.table({
+            "doc_id": pa.array(ids[top["doc"].to_numpy()], pa.int64()),
+            "word": pa.array(top["word"], pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(), pa.int64()),
+            "tfidf": pa.array(top["tfidf"].to_numpy(), pa.float64()),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_keywords_sql(k: int = 5, table: str = "documents") -> str:
+    """DuckDB twin: identical tokenization, identical idf = ln(N/df),
+    identical 6-dp rounding BEFORE the (tfidf DESC, word ASC) rank."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS word
+  FROM {table}
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+wdf AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n FROM {table}),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf,
+         round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS tfidf
+  FROM tf t JOIN wdf d USING (word), n
+)
+SELECT doc_id, word, tf::BIGINT AS tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word) AS rk
+  FROM scored)
+WHERE rk <= {k}"""

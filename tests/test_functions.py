@@ -1191,3 +1191,44 @@ def test_corpus_stats_reference():
     assert list(out["chars"]) == list(ref["chars"])
     assert list(out["words"]) == list(ref["words"])
     assert np.allclose(out["mean_quality"], ref["mean_quality"], atol=1e-6)
+
+
+def test_tfidf_keywords_reference():
+    """tfidf_keywords equals a driver-side reference (incl. df=1 words
+    absent from the broadcast vocabulary)."""
+    import math
+
+    from go_fluentd_ray.functions import text as T
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "apple banana apple cherry",
+            "apple banana durian",
+            "unique singleton words only",
+            "banana banana banana apple",
+        ],
+    })
+    out = T.tfidf_keywords(rd.from_pandas(df), k=2).to_pandas()
+    out = out.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    # reference
+    import collections
+    docs = [t.split() for t in df["text"]]
+    N = len(docs)
+    dfreq = collections.Counter()
+    for d in docs:
+        dfreq.update(set(d))
+    rows = []
+    for i, d in enumerate(docs):
+        tf = collections.Counter(d)
+        scored = sorted(
+            ((round(c * math.log(N / dfreq[w]), 6), w, c)
+             for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        for s, w, c in scored:
+            rows.append((i, w, c, s))
+    ref = pd.DataFrame(rows, columns=["doc_id", "word", "tf", "tfidf"])
+    ref = ref.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    assert list(out["word"]) == list(ref["word"])
+    assert list(out["tf"]) == list(ref["tf"])
+    assert np.allclose(out["tfidf"], ref["tfidf"])
