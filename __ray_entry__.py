@@ -518,6 +518,30 @@ def _q_line_dedup(sf_dir: str):
         ["doc_id", "clean_text", "n_removed"])
 
 
+def _q_dedup_lines_within(sf_dir: str):
+    """INTRA-document exact line dedup (the within-page half of the C4
+    line pass; `line_dedup` is the cross-corpus half): keep only the
+    first occurrence of each line inside a document. Pure map-side —
+    zero shuffles. Runs over the deterministic multiline corpus."""
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.functions import linededup
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(sf_dir))
+    return linededup.dedup_lines_within_doc(
+        sized_read_parquet(path)).select_columns(
+        ["doc_id", "dedup_text", "n_dup_lines"])
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment keyed on
+    md5(doc_id) — resume-stable, order-free, cluster-size-free."""
+    from go_fluentd_ray.functions import sampling
+
+    return sampling.split_assign(_docs(sf_dir)).select_columns(
+        ["doc_id", "split"])
+
+
 def _q_curation_pipeline(sf_dir: str):
     """COMPOSED curation: clean/redact -> token count -> quality gate
     -> exact dedup rows, value-checked end to end by a CTE-chained SQL
@@ -784,6 +808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fluentd_pipeline": _q_fluentd_pipeline,
         "clean_redact": _q_clean_redact,
         "line_dedup": _q_line_dedup,
+        "dedup_lines_within": _q_dedup_lines_within,
+        "split_assign": _q_split_assign,
         "curation_pipeline": _q_curation_pipeline,
         "decontaminate": _q_decontaminate,
         "domain_mix_sample": _q_domain_mix_sample,
@@ -815,6 +841,14 @@ def _line_dedup_oracle() -> str:
     from go_fluentd_ray.functions import linededup
 
     return linededup.line_dedup_sql(
+        synth.ensure_multiline_docs(synth.docs_for_sf_dir(SF001)))
+
+
+def _dedup_lines_within_oracle() -> str:
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.functions import linededup
+
+    return linededup.dedup_lines_within_doc_sql(
         synth.ensure_multiline_docs(synth.docs_for_sf_dir(SF001)))
 
 
@@ -991,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
             _fluentd_decoded_path() + "/part-*.parquet"),
         "clean_redact": _textclean.clean_redact_sql(),
         "line_dedup": _line_dedup_oracle(),
+        "dedup_lines_within": _dedup_lines_within_oracle(),
+        "split_assign": ("SELECT doc_id, split FROM ("
+                         + _sampling.split_assign_sql() + ")"),
         "curation_pipeline": _curation.curation_pipeline_sql(),
         "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
         "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),

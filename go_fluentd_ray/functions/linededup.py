@@ -151,3 +151,60 @@ WITH d AS (
 SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
        (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_removed
 FROM tot t LEFT JOIN agg a USING (doc_id)"""
+
+
+def dedup_lines_within_doc(ds, col: str = "text"):
+    """INTRA-document exact line dedup (the within-page half of the C4
+    line pass; line_dedup above is the cross-corpus half): keep only
+    the FIRST occurrence of each exact line inside a document. Pure
+    map-side — no shuffle, no broadcast — one pandas drop_duplicates
+    over (parent, line) per batch plus the same vectorized ListArray
+    rebuild as LineDedup."""
+    import pandas as pd
+
+    def f(batch: pa.Table) -> pa.Table:
+        lines = _lines(batch[col])
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({"p": parent, "ln": flat.to_pylist()})
+        keep = (~d.duplicated(["p", "ln"])).to_numpy()
+        totals = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kept_counts = (np.bincount(parent[keep], minlength=len(batch))
+                       if len(d) else np.zeros(len(batch), np.int64))
+        offsets = np.zeros(len(batch) + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        new_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), flat.filter(pa.array(keep)))
+        clean = pc.binary_join(new_list, "\n")
+        out = batch.append_column("dedup_text", clean)
+        return out.append_column(
+            "n_dup_lines", pa.array(totals - kept_counts, type=pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_lines_within_doc_sql(path: str) -> str:
+    """DuckDB twin: first occurrence per (doc_id, line), original order
+    preserved via min(i)."""
+    src = f"read_parquet('{path}/*.parquet')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM {src}
+), ex AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM d
+), el AS (
+  SELECT doc_id, i, ls[i] AS ln FROM ex
+), firsts AS (
+  SELECT doc_id, min(i) AS i, ln FROM el GROUP BY doc_id, ln
+), agg AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS dedup_text,
+         count(*)::BIGINT AS n_kept
+  FROM firsts GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_total FROM el GROUP BY doc_id
+)
+SELECT t.doc_id, a.dedup_text,
+       (t.n_total - a.n_kept)::BIGINT AS n_dup_lines
+FROM tot t JOIN agg a USING (doc_id)"""

@@ -311,3 +311,34 @@ pack(bucket, rn, doc_id, n_tokens, seq, acc) AS (
   FROM pack p JOIN numbered n ON n.bucket = p.bucket AND n.rn = p.rn + 1
 )
 SELECT doc_id, bucket, seq AS seq_idx, n_tokens FROM pack"""
+
+
+def split_assign(ds, test_pct: int = 10, val_pct: int = 10,
+                 key: str = "doc_id"):
+    """Deterministic stratified train/val/test assignment: the md5
+    bucket of the row key (the hash_sample hash — resume-stable,
+    order-free, cluster-size-free) maps to
+    test [0, test_pct) -> val [test_pct, test_pct+val_pct) -> train.
+    Map-side only, zero shuffles; a row's split never changes when the
+    corpus grows, which is the property leakage audits rely on."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = _md5_mod100(batch[key].to_pylist())
+        split = np.where(h < test_pct, "test",
+                         np.where(h < test_pct + val_pct, "val", "train"))
+        return batch.append_column(
+            "split", pa.array(split, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign_sql(test_pct: int = 10, val_pct: int = 10,
+                     key: str = "doc_id",
+                     table: str = "documents") -> str:
+    h = (f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::UBIGINT"
+         f" % 100")
+    return f"""
+SELECT *, CASE WHEN {h} < {test_pct} THEN 'test'
+               WHEN {h} < {test_pct + val_pct} THEN 'val'
+               ELSE 'train' END AS split
+FROM {table}"""

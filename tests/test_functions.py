@@ -464,6 +464,40 @@ class TestSampling:
                 .groupby("lang", sort=False).head(2))
         assert sorted(out["doc_id"]) == sorted(want["doc_id"])
 
+    def test_split_assign_deterministic_partition(self):
+        from go_fluentd_ray.functions import sampling
+
+        df = pd.DataFrame({"doc_id": np.arange(3000, dtype=np.int64)})
+        a = sampling.split_assign(rd.from_pandas(df)).to_pandas()
+        b = sampling.split_assign(rd.from_pandas(df)).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)      # run-to-run stable
+        assert len(a) == 3000                    # a partition, not a sample
+        frac = a["split"].value_counts(normalize=True)
+        assert 0.06 < frac["test"] < 0.14
+        assert 0.06 < frac["val"] < 0.14
+        assert frac["train"] > 0.72
+        # growing the corpus never reassigns an existing row's split
+        big = pd.DataFrame({"doc_id": np.arange(6000, dtype=np.int64)})
+        c = (sampling.split_assign(rd.from_pandas(big)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(c.iloc[:3000].reset_index(drop=True), a)
+
+    def test_split_assign_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import sampling
+
+        df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+        got = (sampling.split_assign(rd.from_pandas(df)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = (con.execute(sampling.split_assign_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
     def test_chunk_documents_windows(self):
         from go_fluentd_ray.functions import sampling
 
@@ -1079,6 +1113,58 @@ class TestLineDedup:
         want["n_removed"] = want["n_removed"].astype("int64")
         pd.testing.assert_frame_equal(got, want)
         assert got["n_removed"].sum() > 0  # the pass actually fired
+
+
+class TestWithinDocLineDedup:
+    """Intra-document exact line dedup (first occurrence kept)."""
+
+    def test_first_occurrence_kept_order_preserved(self):
+        from go_fluentd_ray.functions import linededup
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "a\nb\na\nc\nb\na",      # dups of a and b removed
+                "only one line",
+                "x\nx\nx",               # collapses to one line
+            ],
+        })
+        out = (linededup.dedup_lines_within_doc(rd.from_pandas(df))
+               .to_pandas().sort_values("doc_id"))
+        assert list(out["dedup_text"]) == ["a\nb\nc", "only one line", "x"]
+        assert list(out["n_dup_lines"]) == [3, 0, 2]
+
+    def test_cross_doc_lines_untouched(self):
+        """Unlike the corpus pass, a line shared ACROSS documents but
+        unique within each survives everywhere."""
+        from go_fluentd_ray.functions import linededup
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["SHARED\nu1", "SHARED\nu2", "SHARED\nu3", "SHARED"],
+        })
+        out = (linededup.dedup_lines_within_doc(rd.from_pandas(df))
+               .to_pandas().sort_values("doc_id"))
+        assert list(out["dedup_text"]) == list(df["text"])
+        assert out["n_dup_lines"].sum() == 0
+
+    def test_matches_sql_twin_on_synth_corpus(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import linededup
+
+        path = synth.ensure_multiline_docs(300)
+        got = (linededup.dedup_lines_within_doc(rd.read_parquet(path))
+               .select_columns(["doc_id", "dedup_text", "n_dup_lines"])
+               .to_pandas())
+        want = duckdb.connect().execute(
+            linededup.dedup_lines_within_doc_sql(path)).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        want["n_dup_lines"] = want["n_dup_lines"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        assert got["n_dup_lines"].sum() > 0  # corpus has intra-doc dups
 
 
 class TestQualityPrune:
