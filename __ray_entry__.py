@@ -542,6 +542,33 @@ def _q_split_assign(sf_dir: str):
         ["doc_id", "split"])
 
 
+def _q_dedup_spans(sf_dir: str):
+    """Exact duplicated n-gram SPAN removal (ExactSubstr, Lee et al.
+    2022): corpus-global span counts via the skinny bucketed-partials
+    shuffle, one broadcast, vectorized map-side coverage removal."""
+    from go_fluentd_ray.functions import spandedup
+
+    return spandedup.span_dedup(_docs(sf_dir)).select_columns(
+        ["doc_id", "clean_text", "n_removed_tokens"])
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 lexical top-k retrieval (the keyword twin of knn_*): one
+    skinny stats pre-pass restricted to the query vocabulary, then
+    map-side scoring with per-batch top-k partials."""
+    from go_fluentd_ray.functions import bm25
+
+    return bm25.bm25_topk(_docs(sf_dir))
+
+
+def _q_badwords_filter(sf_dir: str):
+    """C4-style blocklist document filter: token-level case-insensitive
+    membership, pure map-side."""
+    from go_fluentd_ray.functions import textclean
+
+    return textclean.badwords_filter(_docs(sf_dir))
+
+
 def _q_curation_pipeline(sf_dir: str):
     """COMPOSED curation: clean/redact -> token count -> quality gate
     -> exact dedup rows, value-checked end to end by a CTE-chained SQL
@@ -809,6 +836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_redact": _q_clean_redact,
         "line_dedup": _q_line_dedup,
         "dedup_lines_within": _q_dedup_lines_within,
+        "dedup_spans": _q_dedup_spans,
+        "bm25_topk": _q_bm25_topk,
+        "badwords_filter": _q_badwords_filter,
         "split_assign": _q_split_assign,
         "curation_pipeline": _q_curation_pipeline,
         "decontaminate": _q_decontaminate,
@@ -942,6 +972,8 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import decontam as _decontam
     from go_fluentd_ray.functions import dedup as _dedup
     from go_fluentd_ray.functions import sampling as _sampling
+    from go_fluentd_ray.functions import bm25 as _bm25
+    from go_fluentd_ray.functions import spandedup as _spandedup
     from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.pipelines import curation as _curation
     from go_fluentd_ray.config import DEFAULT_CONFIG as _dcfg
@@ -1026,6 +1058,9 @@ def oracle_sql() -> dict[str, str]:
         "clean_redact": _textclean.clean_redact_sql(),
         "line_dedup": _line_dedup_oracle(),
         "dedup_lines_within": _dedup_lines_within_oracle(),
+        "dedup_spans": _spandedup.span_dedup_sql(),
+        "bm25_topk": _bm25.bm25_topk_sql(),
+        "badwords_filter": _textclean.badwords_filter_sql(),
         "split_assign": ("SELECT doc_id, split FROM ("
                          + _sampling.split_assign_sql() + ")"),
         "curation_pipeline": _curation.curation_pipeline_sql(),

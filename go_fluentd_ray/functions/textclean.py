@@ -13,6 +13,7 @@ quality filters can threshold on PII density without re-scanning.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -78,3 +79,43 @@ SELECT doc_id,
     '{ip}'))::BIGINT AS n_ips
 FROM {table}
 """
+
+
+# C4-style blocklist document filter (Raffel et al. 2020 §2.2: drop
+# any page containing a word from a blocklist). The list here is a
+# stand-in config constant over the synthetic vocabulary; a real
+# deployment passes its own. Token-level, case-insensitive — NOT a
+# substring match, so "scanner" never trips a "scan" entry.
+BLOCKLIST = ("spark", "tungsten", "unsafe")
+
+
+def badwords_filter(ds, blocklist=BLOCKLIST, col: str = "text"):
+    """Keep only documents containing NO blocklisted token. Pure
+    map-side filter (the blocklist is config, not data): one token
+    flatten + lower + is_in probe + per-doc any() per batch, zero
+    shuffles — identical cost shape to hash_sample."""
+    bl = pa.array(sorted({w.lower() for w in blocklist}), type=pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .bm25 import _flat_tokens_arrow
+
+        flat, parent = _flat_tokens_arrow(batch[col])
+        bad = pc.is_in(pc.utf8_lower(flat), value_set=bl).to_numpy(
+            zero_copy_only=False)
+        hits = (np.bincount(parent[bad], minlength=len(batch))
+                if len(parent) else np.zeros(len(batch), np.int64))
+        return batch.filter(pa.array(hits == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def badwords_filter_sql(blocklist=BLOCKLIST, table: str = "documents",
+                        col: str = "text") -> str:
+    """DuckDB twin: identical \\S+ tokenization + lowercase token
+    membership test."""
+    lst = ", ".join(f"'{w.lower()}'" for w in sorted(set(blocklist)))
+    return rf"""
+SELECT * FROM {table}
+WHERE NOT list_has_any(
+  list_transform(regexp_extract_all({col}, '\S+'), t -> lower(t)),
+  [{lst}])"""

@@ -1167,6 +1167,118 @@ class TestWithinDocLineDedup:
         assert got["n_dup_lines"].sum() > 0  # corpus has intra-doc dups
 
 
+class TestSpanDedup:
+    """Exact duplicated n-gram span removal (ExactSubstr pass)."""
+
+    def test_planted_span_removed_everywhere(self):
+        from go_fluentd_ray.functions import spandedup
+
+        span = "the exact same eight token boilerplate span here"  # 8 toks
+        df = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                f"alpha beta {span} gamma delta",
+                f"{span} epsilon zeta eta theta",
+                "iota kappa lambda mu nu xi omicron pi rho",  # untouched
+            ],
+        })
+        out = (spandedup.span_dedup(rd.from_pandas(df), n=8, min_count=2,
+                                    num_buckets=4)
+               .to_pandas().sort_values("doc_id"))
+        assert list(out["clean_text"]) == [
+            "alpha beta gamma delta",
+            "epsilon zeta eta theta",
+            "iota kappa lambda mu nu xi omicron pi rho",
+        ]
+        assert list(out["n_removed_tokens"]) == [8, 8, 0]
+
+    def test_overlapping_spans_compose(self):
+        """Two duplicated 3-gram occurrences overlapping by one token
+        must remove the union of their coverage, not double-count."""
+        from go_fluentd_ray.functions import spandedup
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "a b c d e tail1 x1 y1",   # 'a b c' and 'c d e' both dup
+                "a b c one1 two1 three1",
+                "c d e four1 five1 six1",
+            ],
+        })
+        out = (spandedup.span_dedup(rd.from_pandas(df), n=3, min_count=2,
+                                    num_buckets=4)
+               .to_pandas().sort_values("doc_id"))
+        assert out.iloc[0]["clean_text"] == "tail1 x1 y1"
+        assert out.iloc[0]["n_removed_tokens"] == 5  # union a..e
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import spandedup
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = (spandedup.span_dedup(rd.from_pandas(docs), num_buckets=8)
+               .select_columns(["doc_id", "clean_text", "n_removed_tokens"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.execute(spandedup.span_dedup_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        want["n_removed_tokens"] = want["n_removed_tokens"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestBm25:
+    """BM25 lexical top-k retrieval."""
+
+    def test_ranking_prefers_term_density(self):
+        from go_fluentd_ray.functions import bm25
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "needle needle needle pad pad",   # highest tf
+                "needle pad pad pad pad",
+                "pad pad pad pad pad",            # no match -> unranked
+                "needle needle pad pad pad",
+            ],
+        })
+        out = bm25.bm25_topk(rd.from_pandas(df), queries=("needle",), k=4)
+        assert list(out["doc_id"]) == [0, 3, 1]   # density order, no doc 2
+        assert list(out["rank"]) == [0, 1, 2]
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import bm25
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = bm25.bm25_topk(rd.from_pandas(docs)).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.execute(bm25.bm25_topk_sql()).df()
+                .sort_values(["qid", "rank"]).reset_index(drop=True))
+        for c in ("qid", "rank", "doc_id"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+class TestBadwordsFilter:
+    def test_token_not_substring(self):
+        from go_fluentd_ray.functions import textclean
+
+        df = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["clean text here", "has SPARK inside",
+                     "sparkly is not spark-the-token but sparkly"],
+        })
+        out = (textclean.badwords_filter(rd.from_pandas(df))
+               .to_pandas().sort_values("doc_id"))
+        # doc 1 dropped (case-insensitive token hit); doc 2 kept
+        # ("sparkly"/"spark-the-token" are different tokens)
+        assert list(out["doc_id"]) == [0, 2]
+
+
 class TestQualityPrune:
     """Percentile quality pruning (top-p% by score, exact)."""
 
