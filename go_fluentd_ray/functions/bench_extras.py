@@ -179,3 +179,18 @@ def bench_tfidf(sf_dir: str):
 
 
 BENCHES.update({"tfidf_keywords": bench_tfidf})
+
+
+def bench_span_dedup(sf_dir: str):
+    from .spandedup import span_dedup
+
+    return span_dedup(_docs(sf_dir)).count()
+
+
+def bench_bm25(sf_dir: str):
+    from .bm25 import bm25_topk
+
+    return len(bm25_topk(_docs(sf_dir)))
+
+
+BENCHES.update({"dedup_spans": bench_span_dedup, "bm25_topk": bench_bm25})
