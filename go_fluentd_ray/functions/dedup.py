@@ -489,9 +489,17 @@ def _prefix_len(ns: np.ndarray, pct: int) -> np.ndarray:
 
 
 _DF_CACHE: dict = {}
+_BCAST_TEXT_CACHE: dict = {}
+
+# verify-path crossover: the broadcast verify ships the corpus once per
+# worker instead of attaching text to every pair row, so it wins when
+# pairs outnumber docs — but only while the corpus fits a broadcast
+# (the embedding_dup_exact regime). Beyond this, always attach.
+JACCARD_BROADCAST_MAX_DOCS = 200_000
 
 
-def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None):
+def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
+                 verify_mode: str = "auto"):
     """EXACT n-gram Jaccard near-dup pairs — the deterministic member
     of the dedup family (minhash_dedup is the probabilistic scale
     route): every (a < b, jac) pair with true Jaccard over distinct
@@ -518,6 +526,25 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None):
     one-corpus-shuffle bucketed_attach + fused true-Jaccard verify
     minhash uses. The corpus text crosses the wire once; the driver
     never sees it.
+
+    Candidates additionally pass the PPJoin POSITIONAL filter (Xiao et
+    al. §3.2): for a shared prefix token at sorted-order positions
+    (ix, iy), overlap <= 1 + min(nx-ix-1, ny-iy-1) — sound because the
+    pair's FIRST shared token (whose row the merge always contains)
+    has every other common token sorting after it in both docs. Pairs
+    whose every shared-prefix row fails ub >= alpha =
+    ceil(pct*(nx+ny)/(100+pct)) are pruned exactly (measured 1.8x
+    fewer verify pairs / 3.7x fewer candidate rows on the templated
+    worst-case corpus).
+
+    Verify is cost-based (``verify_mode="auto"``): attaching text to
+    pair rows (bucketed_attach) moves O(pairs * text) bytes, while
+    broadcasting the doc->text map moves O(corpus) per worker — when
+    pairs >= docs AND the corpus is broadcast-sized
+    (JACCARD_BROADCAST_MAX_DOCS), the broadcast path wins and the
+    per-worker shingle cache amortizes across every pair a doc is in.
+    Unbounded corpora always take the attach path ("attach" /
+    "broadcast" force a path, for tests).
 
     Skew note: exactness forbids the MAX_BUCKET anchor cap here, so a
     pathological corpus where even RARE-shingle groups are huge (mass
@@ -589,10 +616,14 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None):
         take = np.concatenate([order[s:s + p]
                                for s, p in zip(starts, ps)]) if len(ns) \
             else np.zeros(0, dtype=np.int64)
+        ranks = (np.concatenate([np.arange(p) for p in ps]) if len(ns)
+                 else np.zeros(0, dtype=np.int64))  # 0-based position in
+        # the doc's (df, hash)-sorted order — the positional-filter input
         return pa.table({
             "sh": pa.array(allsh[take], type=pa.uint64()),
             "doc_id": pa.array(ids[doc_idx[take]], type=pa.int64()),
             "n": pa.array(ns[doc_idx[take]], type=pa.int64()),
+            "i": pa.array(ranks, type=pa.int64()),
         })
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -601,6 +632,14 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None):
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         m = m[100 * np.minimum(m["n_x"], m["n_y"])
               >= pct * np.maximum(m["n_x"], m["n_y"])]
+        # positional filter: overlap <= 1 + min(remaining after the
+        # shared token on each side); required overlap alpha from
+        # 100*ni >= pct*(nx+ny-ni), exact integer math
+        alpha = (pct * (m["n_x"] + m["n_y"]) + 100 + pct - 1) \
+            // (100 + pct)
+        ub = 1 + np.minimum(m["n_x"] - m["i_x"] - 1,
+                            m["n_y"] - m["i_y"] - 1)
+        m = m[ub >= alpha]
         m = m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
         return m[["a", "b"]].drop_duplicates()
 
@@ -615,6 +654,40 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None):
     import uuid
 
     nonce = uuid.uuid4().hex
+
+    if verify_mode == "auto":
+        cands = cands.materialize()   # pairs only (2 int64 cols)
+        n_pairs = cands.count()
+        n_docs = ds.count()
+        verify_mode = ("broadcast" if n_pairs >= n_docs
+                       and n_docs <= JACCARD_BROADCAST_MAX_DOCS
+                       else "attach")
+
+    if verify_mode == "broadcast":
+        rows = ds.select_columns(["doc_id", "text"]).take_all()
+        # small side by the gate above (<= JACCARD_BROADCAST_MAX_DOCS)
+        text_ref = ray.put({r["doc_id"]: r["text"] for r in rows})
+        tkey = text_ref.hex()
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            texts = _BCAST_TEXT_CACHE.get(tkey)
+            if texts is None:
+                if len(_BCAST_TEXT_CACHE) > 2:
+                    _BCAST_TEXT_CACHE.clear()
+                texts = _BCAST_TEXT_CACHE[tkey] = ray.get(text_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            v = _verify_cached(threshold, nonce)
+            return v(pa.table({
+                "a": batch["a"], "b": batch["b"],
+                "text_a": pa.array([texts[x] for x in a],
+                                   type=pa.string()),
+                "text_b": pa.array([texts[x] for x in b],
+                                   type=pa.string()),
+            }))
+
+        return cands.map_batches(verify_bcast, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     def verify_df(df: pd.DataFrame) -> pd.DataFrame:
         v = _verify_cached(threshold, nonce)

@@ -1362,6 +1362,25 @@ class TestJaccardJoin:
         assert set(map(tuple, got[["a", "b"]].to_numpy())) == {(1, 2)}
         assert float(got["jac"].iloc[0]) == 1.0
 
+    def test_verify_paths_agree(self):
+        """The cost-based verify choice must be output-invisible: the
+        broadcast path (pairs >> docs) and the attach path (unbounded
+        corpus) produce identical (a, b, jac) sets."""
+        from go_fluentd_ray.functions import dedup
+
+        texts = [f"shared near duplicate content block variant {i % 3} "
+                 "padding words common to all docs here" for i in range(30)]
+        df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                           "text": texts})
+        outs = {}
+        for mode in ("attach", "broadcast"):
+            got = dedup.jaccard_join(rd.from_pandas(df), threshold=0.7,
+                                     num_buckets=4,
+                                     verify_mode=mode).to_pandas()
+            outs[mode] = set(map(tuple, got[["a", "b", "jac"]].to_numpy()))
+        assert outs["attach"] == outs["broadcast"]
+        assert len(outs["attach"]) >= 3 * (10 * 9) // 2  # dups found
+
 
 def test_corpus_stats_reference():
     """corpus_stats equals a driver-side pandas reference on small data."""
