@@ -578,6 +578,16 @@ def _q_curation_pipeline(sf_dir: str):
     return curation.curation_pipeline(_docs(sf_dir))
 
 
+def _q_pretrain_pipeline(sf_dir: str):
+    """SECOND composed curation pipeline over the corpus-global passes:
+    blocklist filter -> exact span dedup (counts on the filtered
+    corpus) -> token-count gate -> deterministic split assignment,
+    value-checked end to end by a CTE-chained SQL twin."""
+    from go_fluentd_ray.pipelines import curation
+
+    return curation.pretrain_pipeline(_docs(sf_dir))
+
+
 def _q_decontaminate(sf_dir: str):
     """Drop training docs sharing any word 3-gram with the benchmark
     side (here: the deterministic 2% hash sample standing in for an
@@ -841,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "badwords_filter": _q_badwords_filter,
         "split_assign": _q_split_assign,
         "curation_pipeline": _q_curation_pipeline,
+        "pretrain_pipeline": _q_pretrain_pipeline,
         "decontaminate": _q_decontaminate,
         "domain_mix_sample": _q_domain_mix_sample,
         "shuffle_shards": _q_shuffle_shards,
@@ -1064,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": ("SELECT doc_id, split FROM ("
                          + _sampling.split_assign_sql() + ")"),
         "curation_pipeline": _curation.curation_pipeline_sql(),
+        "pretrain_pipeline": _curation.pretrain_pipeline_sql(),
         "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
         "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),
         "shuffle_shards": _sampling.shuffle_shards_sql(num_shards=16),

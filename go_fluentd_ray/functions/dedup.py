@@ -577,14 +577,20 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
         df_partial, batch_format="pyarrow", zero_copy_batch=True)
     dfp = dfp.map_batches(lambda t: add_bucket_col(t, ["sh"], B),
                           batch_format="pyarrow")
-    df_rows = dfp.groupby("__bkt").map_groups(
-        df_reduce, batch_format="pyarrow").take_all()  # repeated-shingle
-    # vocabulary only (df>=2) — the broadcast side
-    df_sh = np.array(sorted(r["sh"] for r in df_rows), dtype=np.uint64)
-    df_n = np.empty(len(df_sh), dtype=np.int64)
-    lookup = {r["sh"]: r["df"] for r in df_rows}
-    for i, s in enumerate(df_sh):
-        df_n[i] = lookup[int(s)]
+    dfres = dfp.groupby("__bkt").map_groups(df_reduce,
+                                            batch_format="pyarrow")
+    # repeated-shingle vocabulary only (df>=2) — the broadcast side.
+    # Gathered Arrow-native: take_all + a Python dict loop is a serial
+    # driver cost linear in the vocabulary (multi-second at millions
+    # of shingles); concat + argsort stay in C.
+    dftbls = [t for t in ray.get(dfres.to_arrow_refs()) if t.num_columns]
+    dft = (pa.concat_tables(dftbls) if dftbls
+           else pa.table({"sh": pa.array([], pa.uint64()),
+                          "df": pa.array([], pa.int64())}))
+    sh_np = dft["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    n_np = dft["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sh_np, kind="stable")
+    df_sh, df_n = sh_np[order], n_np[order]
     df_ref = ray.put((df_sh, df_n))
     dkey = df_ref.hex()
 

@@ -63,10 +63,21 @@ def duplicated_lines(ds, col: str = "text", min_count: int = LINE_MIN_COUNT,
         partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = agg.map_batches(lambda t: add_bucket_col(t, ["ln"], B),
                           batch_format="pyarrow")
-    rows = agg.groupby("__bkt").map_groups(
-        bucket_sum, batch_format="pyarrow").take_all()  # small side only:
-    # distinct lines repeated >= min_count times (web boilerplate set)
-    return pa.array(sorted(r["ln"] for r in rows), type=pa.string())
+    res = agg.groupby("__bkt").map_groups(bucket_sum,
+                                          batch_format="pyarrow")
+    # small side only: distinct lines repeated >= min_count times (web
+    # boilerplate set). Arrow-native gather + C sort (the spandedup
+    # pattern) — take_all's per-row dicts are a serial driver cost.
+    import ray as _ray
+
+    # empty buckets yield zero-column blocks — drop before concat
+    tbls = [t for t in _ray.get(res.to_arrow_refs()) if t.num_columns]
+    if not tbls:
+        return pa.array([], type=pa.string())
+    ln = pa.concat_tables(tbls)["ln"]
+    ln = pc.take(ln, pc.sort_indices(ln))
+    return (pa.concat_arrays(ln.chunks) if ln.chunks
+            else pa.array([], type=pa.string()))
 
 
 _DUP_CACHE: dict = {}

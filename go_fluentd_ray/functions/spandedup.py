@@ -103,10 +103,21 @@ def duplicated_spans(ds, col: str = "text", n: int = SPAN_N,
         partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = agg.map_batches(lambda t: add_bucket_col(t, ["g"], B),
                           batch_format="pyarrow")
-    rows = agg.groupby("__bkt").map_groups(
-        bucket_sum, batch_format="pyarrow").take_all()  # small side only:
-    # distinct spans repeated >= min_count times across the corpus
-    return pa.array(sorted(r["g"] for r in rows), type=pa.string())
+    res = agg.groupby("__bkt").map_groups(bucket_sum,
+                                          batch_format="pyarrow")
+    # gather the (small) duplicated-span side Arrow-native: take_all()
+    # builds one Python dict per row, which at millions of spans was a
+    # measured multi-second serial driver cost; concat+sort stays in C
+    import ray as _ray
+
+    # empty buckets yield zero-column blocks — drop before concat
+    tbls = [t for t in _ray.get(res.to_arrow_refs()) if t.num_columns]
+    if not tbls:
+        return pa.array([], type=pa.string())
+    g = pa.concat_tables(tbls)["g"]
+    g = pc.take(g, pc.sort_indices(g))  # sorted for determinism
+    return (pa.concat_arrays(g.chunks) if g.chunks
+            else pa.array([], type=pa.string()))
 
 
 _DUP_CACHE: dict = {}
@@ -197,14 +208,14 @@ WITH d AS (
   SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)
 ), tok AS (
   SELECT doc_id, unnest(ls) AS tok, generate_subscripts(ls, 1) AS j FROM d
-), kept AS (
+), tok_kept AS (
   SELECT t.doc_id, t.j, t.tok FROM tok t
   WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id
                     AND t.j BETWEEN c.i AND c.i + {n - 1})
 ), agg AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
          count(*)::BIGINT AS n_kept
-  FROM kept GROUP BY doc_id
+  FROM tok_kept GROUP BY doc_id
 ), tot AS (
   SELECT doc_id, len(ls)::BIGINT AS n_total FROM d
 )

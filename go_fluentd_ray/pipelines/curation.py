@@ -44,6 +44,62 @@ def curation_pipeline(docs_ds, min_tokens: int = MIN_TOKENS,
     return ds.select_columns(["doc_id", "clean_text", "n_tokens"])
 
 
+PRETRAIN_MIN_TOKENS = 20  # post-span-removal floor; drops a real tail
+
+
+def pretrain_pipeline(docs_ds, min_tokens: int = PRETRAIN_MIN_TOKENS):
+    """Second composed pipeline, chaining the corpus-GLOBAL passes the
+    way a pretraining dataset build runs them:
+
+        blocklist filter -> exact duplicated-span removal (counts
+        computed on the FILTERED corpus — order matters and is part of
+        the checked semantics) -> token-count quality gate on the
+        span-cleaned text -> deterministic train/val/test split
+
+    One skinny gram-count shuffle (inside span_dedup) is the only
+    exchange; everything else is map-side. The SQL twin chains the
+    SAME steps as CTEs so the composition itself is value-checked."""
+    import pyarrow.compute as _pc
+
+    from ..functions import sampling, spandedup, textclean
+    from ..functions import text as T
+
+    ds = textclean.badwords_filter(docs_ds)
+    ds = spandedup.span_dedup(ds)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        batch = T.token_count_batch(batch, col="clean_text")
+        return batch.filter(
+            _pc.greater_equal(batch["n_tokens"], min_tokens))
+
+    ds = ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    ds = sampling.split_assign(ds)
+    return ds.select_columns(
+        ["doc_id", "clean_text", "n_tokens", "split"])
+
+
+def pretrain_pipeline_sql(table: str = "documents",
+                          min_tokens: int = PRETRAIN_MIN_TOKENS) -> str:
+    from ..functions.sampling import split_assign_sql
+    from ..functions.spandedup import span_dedup_sql
+    from ..functions.textclean import badwords_filter_sql
+
+    return rf"""
+WITH kept AS ({badwords_filter_sql(table=table)}),
+spanned AS ({span_dedup_sql(table="kept")}),
+gated AS (
+  SELECT * FROM (
+    SELECT doc_id, clean_text,
+           length(regexp_extract_all(clean_text, '\w+'))::BIGINT
+               AS n_tokens
+    FROM spanned)
+  WHERE n_tokens >= {min_tokens}
+)
+SELECT doc_id, clean_text, n_tokens, split
+FROM ({split_assign_sql(table="gated")})
+"""
+
+
 def curation_pipeline_sql(table: str = "documents",
                           min_tokens: int = MIN_TOKENS,
                           max_pii: int = MAX_PII) -> str:

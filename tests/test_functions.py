@@ -895,6 +895,53 @@ class TestCurationPipeline:
         assert "<EMAIL>" in r4["clean_text"] and "x@y.zz" not in r4["clean_text"]
 
 
+class TestPretrainPipeline:
+    """Composed blocklist -> span dedup -> token gate -> split pipeline."""
+
+    def test_semantics(self):
+        from go_fluentd_ray.pipelines import curation
+
+        span = ("common boilerplate sentence repeated verbatim across "
+                "many many documents")
+        filler_a = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                    "india juliett kilo lima mike november oscar papa")
+        filler_b = ("quebec romeo sierra tango uniform victor whiskey "
+                    "xray yankee zulu apple banana cherry date elder fig")
+        df = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                f"{span} {filler_a} first",
+                f"{span} {filler_b} second",   # span removed in both
+                "has spark so it is dropped before span counting "
+                + filler_a.replace("alpha", "omega"),
+                "short tail doc",              # fails token gate
+            ],
+        })
+        out = (curation.pretrain_pipeline(rd.from_pandas(df), min_tokens=10)
+               .to_pandas().sort_values("doc_id"))
+        assert list(out["doc_id"]) == [0, 1]
+        # the blocked doc never contributed to span counts, and the
+        # shared span was removed from the survivors
+        assert all(span not in t for t in out["clean_text"])
+        assert set(out["split"]) <= {"train", "val", "test"}
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.pipelines import curation
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = (curation.pretrain_pipeline(rd.from_pandas(docs))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.execute(curation.pretrain_pipeline_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        want["n_tokens"] = want["n_tokens"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        assert 0 < len(got) < len(docs)  # every stage actually fired
+
+
 class TestDecontaminate:
     """n-gram benchmark decontamination (GPT-3-style overlap filter)."""
 
