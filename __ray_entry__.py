@@ -533,6 +533,20 @@ def _q_dedup_lines_within(sf_dir: str):
         ["doc_id", "dedup_text", "n_dup_lines"])
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Full Gopher §A1.1 per-document quality-signal suite (word stats,
+    line repetition, top/duplicated n-gram character fractions with
+    coverage semantics, and the combined pass flag) — pure map-side,
+    zero shuffles. Runs over the deterministic multiline corpus so the
+    line signals are exercised; the SQL twin reads the same parquet."""
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.functions import gopherquality
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(sf_dir))
+    return gopherquality.gopher_signals(sized_read_parquet(path))
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment keyed on
     md5(doc_id) — resume-stable, order-free, cluster-size-free."""
@@ -849,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "bm25_topk": _q_bm25_topk,
         "badwords_filter": _q_badwords_filter,
+        "gopher_quality": _q_gopher_quality,
         "split_assign": _q_split_assign,
         "curation_pipeline": _q_curation_pipeline,
         "pretrain_pipeline": _q_pretrain_pipeline,
@@ -875,6 +890,15 @@ def _fluentd_decoded_path() -> str:
     from go_fluentd_ray import synth
 
     return synth.ensure_fluentd_decoded(synth.turns_for_sf_dir(SF001))
+
+
+def _gopher_quality_oracle() -> str:
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.functions import gopherquality
+
+    path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(SF001))
+    return gopherquality.gopher_signals_sql(
+        table=f"read_parquet('{path}/*.parquet')")
 
 
 def _line_dedup_oracle() -> str:
@@ -1068,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
             _fluentd_decoded_path() + "/part-*.parquet"),
         "clean_redact": _textclean.clean_redact_sql(),
         "line_dedup": _line_dedup_oracle(),
+        "gopher_quality": _gopher_quality_oracle(),
         "dedup_lines_within": _dedup_lines_within_oracle(),
         "dedup_spans": _spandedup.span_dedup_sql(),
         "bm25_topk": _bm25.bm25_topk_sql(),

@@ -1102,6 +1102,73 @@ def test_deterministic_sample_order_free():
     assert list(a["vec_id"]) == ref
 
 
+class TestGopherQuality:
+    """Gopher §A1.1 per-doc quality signals (word/line/gram repetition)."""
+
+    def _run(self, texts):
+        from go_fluentd_ray.functions import gopherquality as G
+
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                           "text": texts})
+        return (G.gopher_signals(rd.from_pandas(df)).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    def test_word_and_line_signals(self):
+        out = self._run([
+            "one two three four five",               # clean, short
+            "dup line\ndup line\nunique line",       # 1 of 3 lines dup
+            "- b1\n- b2\nplain",                     # 2/3 bullet lines
+            "",                                      # empty doc
+        ])
+        r0, r1, r2, r3 = (out.iloc[i] for i in range(4))
+        assert r0["n_words"] == 5 and r0["frac_dup_lines"] == 0.0
+        assert r1["frac_dup_lines"] == pytest.approx(1 / 3)
+        # dup line chars: one extra "dup line" (8 chars) of 8+8+11 total
+        assert r1["frac_dup_line_chars"] == pytest.approx(8 / 27)
+        assert r2["frac_bullet_lines"] == pytest.approx(2 / 3)
+        assert r3["n_words"] == 0 and not r3["gopher_pass"]
+
+    def test_gram_signals(self):
+        # "a b" occurs 3x in 6 words => top-2gram chars = 3*3 of 11 chars
+        out = self._run(["a b a b a b",
+                         # 5-gram "v w x y z" repeated: all 10 tokens covered
+                         "v w x y z v w x y z",
+                         "all distinct words here now ok"])
+        assert out.iloc[0]["top_2gram_char_frac"] == pytest.approx(9 / 11)
+        assert out.iloc[1]["dup_5gram_char_frac"] == 1.0
+        assert out.iloc[2]["top_2gram_char_frac"] < 0.5
+        assert out.iloc[2]["dup_5gram_char_frac"] == 0.0
+
+    def test_stopwords_and_symbols(self):
+        out = self._run(["the cat sat with that dog and others",
+                         "# # # lots of hash tags here ...",
+                         "The THE the to TO"])  # case-insensitive, distinct
+        assert out.iloc[0]["n_stop_hits"] == 4   # the, with, that, and
+        # 4 symbol hits (3 '#' + 1 '...') over 9 \S+ tokens
+        assert out.iloc[1]["symbol_word_ratio"] == pytest.approx(4 / 9)
+        assert out.iloc[2]["n_stop_hits"] == 2   # {the, to}
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import gopherquality as G
+
+        path = synth.ensure_multiline_docs(300)
+        got = (G.gopher_signals(rd.read_parquet(path)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        want = (con.execute(G.gopher_signals_sql(
+            table=f"read_parquet('{path}/*.parquet')")).df()
+            .sort_values("doc_id").reset_index(drop=True))
+        for c in ("n_words", "n_stop_hits"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                      want[sorted(want.columns)])
+        # signals have real spread and the gate fires both ways
+        assert 0 < got["gopher_pass"].mean() < 1
+
+
 class TestLineDedup:
     """Corpus-level repeated-line removal (C4/CCNet boilerplate pass)."""
 
