@@ -533,6 +533,17 @@ def _q_dedup_lines_within(sf_dir: str):
         ["doc_id", "dedup_text", "n_dup_lines"])
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR importance-resampling scores (Xie et al. 2023): per-doc
+    log p_target/p_raw under hashed unigram+bigram multinomials. The
+    target stand-in is the deterministic 2% hash sample; model fits
+    move only skinny (bucket, count) partials, scoring is map-side."""
+    from go_fluentd_ray.functions import dsir
+
+    return dsir.dsir_scores(_docs(sf_dir)).select_columns(
+        ["doc_id", "dsir_logratio"])
+
+
 def _q_gopher_quality(sf_dir: str):
     """Full Gopher §A1.1 per-document quality-signal suite (word stats,
     line repetition, top/duplicated n-gram character fractions with
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "badwords_filter": _q_badwords_filter,
         "gopher_quality": _q_gopher_quality,
+        "dsir_scores": _q_dsir_scores,
         "split_assign": _q_split_assign,
         "curation_pipeline": _q_curation_pipeline,
         "pretrain_pipeline": _q_pretrain_pipeline,
@@ -1008,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import dedup as _dedup
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import bm25 as _bm25
+    from go_fluentd_ray.functions import dsir as _dsir
     from go_fluentd_ray.functions import spandedup as _spandedup
     from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.pipelines import curation as _curation
@@ -1093,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_redact": _textclean.clean_redact_sql(),
         "line_dedup": _line_dedup_oracle(),
         "gopher_quality": _gopher_quality_oracle(),
+        "dsir_scores": _dsir.dsir_scores_sql(),
         "dedup_lines_within": _dedup_lines_within_oracle(),
         "dedup_spans": _spandedup.span_dedup_sql(),
         "bm25_topk": _bm25.bm25_topk_sql(),

@@ -194,3 +194,32 @@ def bench_bm25(sf_dir: str):
 
 
 BENCHES.update({"dedup_spans": bench_span_dedup, "bm25_topk": bench_bm25})
+
+
+def bench_gopher_quality(sf_dir: str):
+    import ray.data as rd
+
+    from .. import synth
+    from .gopherquality import gopher_signals
+
+    path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(sf_dir))
+    return gopher_signals(rd.read_parquet(path)).count()
+
+
+def bench_pretrain_pipeline(sf_dir: str):
+    from ..pipelines.curation import pretrain_pipeline
+
+    return pretrain_pipeline(_docs(sf_dir)).count()
+
+
+BENCHES.update({"gopher_quality": bench_gopher_quality,
+                "pretrain_pipeline": bench_pretrain_pipeline})
+
+
+def bench_dsir(sf_dir: str):
+    from .dsir import dsir_scores
+
+    return dsir_scores(_docs(sf_dir)).count()
+
+
+BENCHES.update({"dsir_scores": bench_dsir})

@@ -1102,6 +1102,50 @@ def test_deterministic_sample_order_free():
     assert list(a["vec_id"]) == ref
 
 
+class TestDsir:
+    """DSIR importance-resampling scores (hashed n-gram log-ratio)."""
+
+    def test_target_like_docs_score_higher(self):
+        from go_fluentd_ray.functions import dsir
+
+        # doc_ids where md5 % 100 < 2 form the target sample; give those
+        # docs a distinct vocabulary and check lookalikes outrank others
+        import hashlib
+
+        ids = np.arange(400, dtype=np.int64)
+        in_tgt = np.array([
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 2
+            for i in ids])
+        assert in_tgt.sum() >= 2  # the sample exists at this size
+        tgt_text = "quantum flux capacitor resonance harmonics stabilizer"
+        raw_text = "mundane ordinary boring plain generic common filler"
+        texts = np.where(in_tgt, tgt_text, raw_text).astype(object)
+        # two held-out probes, one per vocabulary, NOT in the target
+        probe_ids = ids[~in_tgt][:2]
+        texts[probe_ids[0]] = tgt_text      # target-like probe
+        texts[probe_ids[1]] = raw_text      # raw-like probe
+        df = pd.DataFrame({"doc_id": ids, "text": texts})
+        out = (dsir.dsir_scores(rd.from_pandas(df)).to_pandas()
+               .set_index("doc_id")["dsir_logratio"])
+        assert out[probe_ids[0]] > out[probe_ids[1]]
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import dsir
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = (dsir.dsir_scores(rd.from_pandas(docs)).to_pandas()
+               [["doc_id", "dsir_logratio"]]
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.execute(dsir.dsir_scores_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.round(6), want.round(6))
+        assert got["dsir_logratio"].std() > 0  # real signal spread
+
+
 class TestGopherQuality:
     """Gopher §A1.1 per-doc quality signals (word/line/gram repetition)."""
 
