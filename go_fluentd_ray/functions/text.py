@@ -513,14 +513,22 @@ def tfidf_keywords(ds, k: int = 5, table_count: int | None = None):
         df_partial, batch_format="pyarrow", zero_copy_batch=True)
     dfp = dfp.map_batches(lambda t: add_bucket_col(t, ["word"], B),
                           batch_format="pyarrow")
-    rows = dfp.groupby("__bkt").map_groups(
-        df_reduce, batch_format="pyarrow").take_all()  # df>=2 vocabulary
-    # only — the broadcast side (df=1 words need no entry)
-    vocab = np.array(sorted(r["word"] for r in rows))
-    vdf = np.empty(len(vocab), dtype=np.int64)
-    lookup = {r["word"]: r["df"] for r in rows}
-    for i, w in enumerate(vocab):
-        vdf[i] = lookup[str(w)]
+    dfres = dfp.groupby("__bkt").map_groups(df_reduce,
+                                            batch_format="pyarrow")
+    # df>=2 vocabulary only — the broadcast side (df=1 words need no
+    # entry). Gathered Arrow-native: take_all + a Python dict loop is a
+    # serial driver cost linear in the vocabulary; concat+argsort stay
+    # in C. Empty buckets yield zero-column blocks — drop before concat.
+    vtbls = [t for t in ray.get(dfres.to_arrow_refs()) if t.num_columns]
+    if vtbls:
+        vt = pa.concat_tables(vtbls)
+        vocab = vt["word"].to_numpy(zero_copy_only=False)
+        vdf = vt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vocab, kind="stable")
+        vocab, vdf = vocab[order], vdf[order]
+    else:
+        vocab = np.empty(0, dtype=object)
+        vdf = np.empty(0, dtype=np.int64)
     ref = ray.put((vocab, vdf))
     key = ref.hex()
 
