@@ -613,6 +613,15 @@ def _q_pretrain_pipeline(sf_dir: str):
     return curation.pretrain_pipeline(_docs(sf_dir))
 
 
+def _q_selection_pipeline(sf_dir: str):
+    """THIRD composed pipeline — target-conditioned data selection:
+    blocklist filter -> DSIR scores (models fit on the FILTERED
+    corpus) -> exact top-p% by score -> split assignment."""
+    from go_fluentd_ray.pipelines import curation
+
+    return curation.selection_pipeline(_docs(sf_dir))
+
+
 def _q_decontaminate(sf_dir: str):
     """Drop training docs sharing any word 3-gram with the benchmark
     side (here: the deterministic 2% hash sample standing in for an
@@ -879,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "curation_pipeline": _q_curation_pipeline,
         "pretrain_pipeline": _q_pretrain_pipeline,
+        "selection_pipeline": _q_selection_pipeline,
         "decontaminate": _q_decontaminate,
         "domain_mix_sample": _q_domain_mix_sample,
         "shuffle_shards": _q_shuffle_shards,
@@ -1115,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
                          + _sampling.split_assign_sql() + ")"),
         "curation_pipeline": _curation.curation_pipeline_sql(),
         "pretrain_pipeline": _curation.pretrain_pipeline_sql(),
+        "selection_pipeline": _curation.selection_pipeline_sql(),
         "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
         "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),
         "shuffle_shards": _sampling.shuffle_shards_sql(num_shards=16),

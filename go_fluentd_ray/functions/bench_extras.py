@@ -223,3 +223,12 @@ def bench_dsir(sf_dir: str):
 
 
 BENCHES.update({"dsir_scores": bench_dsir})
+
+
+def bench_selection_pipeline(sf_dir: str):
+    from ..pipelines.curation import selection_pipeline
+
+    return selection_pipeline(_docs(sf_dir)).count()
+
+
+BENCHES.update({"selection_pipeline": bench_selection_pipeline})

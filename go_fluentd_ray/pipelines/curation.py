@@ -100,6 +100,59 @@ FROM ({split_assign_sql(table="gated")})
 """
 
 
+SELECT_TOP_PCT = 25
+
+
+def selection_pipeline(docs_ds, top_pct: int = SELECT_TOP_PCT):
+    """Third composed pipeline — target-conditioned DATA SELECTION the
+    way a DSIR-style pretraining build runs it:
+
+        blocklist filter -> DSIR importance scores (both multinomial
+        models fit on the FILTERED corpus — ordering is part of the
+        checked semantics) -> keep the exact top p% by
+        (dsir_logratio DESC, doc_id) -> train/val/test split
+
+    The score fits move only skinny (bucket, count) partials; the
+    selection is Ray's range-partition sort over the skinny
+    (doc_id, score) projection + a streaming limit (the quality_prune
+    pattern); split assignment is map-side. Selection determinism note:
+    Ray and SQL scores agree to ~1e-13, so the p%-boundary doc is
+    stable unless two docs' scores collide at that precision."""
+    import math
+
+    from ..functions import dsir, sampling, textclean
+
+    ds = textclean.badwords_filter(docs_ds)
+    n = ds.count()
+    k = max(1, math.ceil(n * top_pct / 100))
+    scored = dsir.dsir_scores(ds).select_columns(
+        ["doc_id", "dsir_logratio"])
+    sel = scored.sort(["dsir_logratio", "doc_id"],
+                      descending=[True, False]).limit(k)
+    return sampling.split_assign(sel).select_columns(
+        ["doc_id", "dsir_logratio", "split"])
+
+
+def selection_pipeline_sql(table: str = "documents",
+                           top_pct: int = SELECT_TOP_PCT) -> str:
+    from ..functions.dsir import dsir_scores_sql
+    from ..functions.sampling import split_assign_sql
+    from ..functions.textclean import badwords_filter_sql
+
+    return rf"""
+WITH kept AS ({badwords_filter_sql(table=table)}),
+scored AS ({dsir_scores_sql(table="kept")}),
+c AS (SELECT count(*) AS n FROM kept),
+sel AS (
+  SELECT doc_id, dsir_logratio FROM scored, c
+  QUALIFY row_number() OVER (ORDER BY dsir_logratio DESC, doc_id)
+          <= CAST(ceil(n * {top_pct} / 100.0) AS BIGINT)
+)
+SELECT doc_id, dsir_logratio, split
+FROM ({split_assign_sql(table="sel")})
+"""
+
+
 def curation_pipeline_sql(table: str = "documents",
                           min_tokens: int = MIN_TOKENS,
                           max_pii: int = MAX_PII) -> str:

@@ -942,6 +942,34 @@ class TestPretrainPipeline:
         assert 0 < len(got) < len(docs)  # every stage actually fired
 
 
+class TestSelectionPipeline:
+    """Composed blocklist -> DSIR score -> top-p% -> split pipeline."""
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.pipelines import curation
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = (curation.selection_pipeline(rd.from_pandas(docs))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = (con.execute(curation.selection_pipeline_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.round(6), want.round(6))
+        # exactly ceil(25%) of the blocklist survivors selected
+        import math
+
+        n_kept = con.execute(
+            "SELECT count(*) FROM (" +
+            __import__("go_fluentd_ray.functions.textclean",
+                       fromlist=["textclean"]).badwords_filter_sql() + ")"
+        ).fetchone()[0]
+        assert len(got) == max(1, math.ceil(n_kept * 25 / 100))
+        assert set(got["split"]) <= {"train", "val", "test"}
+
+
 class TestDecontaminate:
     """n-gram benchmark decontamination (GPT-3-style overlap filter)."""
 
