@@ -613,6 +613,15 @@ def _q_pretrain_pipeline(sf_dir: str):
     return curation.pretrain_pipeline(_docs(sf_dir))
 
 
+def _q_leakage_audit(sf_dir: str):
+    """Split-leakage audit: distinct word 3-grams shared between every
+    pair of train/val/test splits. Only deduplicated (gram, split)
+    partials shuffle; output is 3 rows at any corpus scale."""
+    from go_fluentd_ray.functions import leakage
+
+    return leakage.leakage_audit(_docs(sf_dir))
+
+
 def _q_selection_pipeline(sf_dir: str):
     """THIRD composed pipeline — target-conditioned data selection:
     blocklist filter -> DSIR scores (models fit on the FILTERED
@@ -889,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "pretrain_pipeline": _q_pretrain_pipeline,
         "selection_pipeline": _q_selection_pipeline,
+        "leakage_audit": _q_leakage_audit,
         "decontaminate": _q_decontaminate,
         "domain_mix_sample": _q_domain_mix_sample,
         "shuffle_shards": _q_shuffle_shards,
@@ -1031,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import bm25 as _bm25
     from go_fluentd_ray.functions import dsir as _dsir
+    from go_fluentd_ray.functions import leakage as _leakage
     from go_fluentd_ray.functions import spandedup as _spandedup
     from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.pipelines import curation as _curation
@@ -1126,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation.curation_pipeline_sql(),
         "pretrain_pipeline": _curation.pretrain_pipeline_sql(),
         "selection_pipeline": _curation.selection_pipeline_sql(),
+        "leakage_audit": _leakage.leakage_audit_sql(),
         "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
         "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),
         "shuffle_shards": _sampling.shuffle_shards_sql(num_shards=16),

@@ -942,6 +942,52 @@ class TestPretrainPipeline:
         assert 0 < len(got) < len(docs)  # every stage actually fired
 
 
+class TestLeakageAudit:
+    """Shared distinct n-grams across train/val/test splits."""
+
+    def test_planted_leak(self):
+        import hashlib
+
+        from go_fluentd_ray.functions import leakage
+
+        # find one id per split under the md5 % 100 assignment
+        by_split = {}
+        for i in range(500):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+            s = "test" if h < 10 else ("val" if h < 20 else "train")
+            by_split.setdefault(s, i)
+            if len(by_split) == 3:
+                break
+        leak = "alpha beta gamma"                 # one shared 3-gram
+        df = pd.DataFrame({
+            "doc_id": np.array([by_split["train"], by_split["val"],
+                                by_split["test"]], dtype=np.int64),
+            "text": [f"{leak} trainwords here", f"{leak} valwords here",
+                     "totally different test words"],
+        })
+        out = (leakage.leakage_audit(rd.from_pandas(df)).to_pandas()
+               .set_index("pair")["shared_grams"])
+        assert out["train|val"] >= 1          # the planted gram
+        assert out["train|test"] == 0
+        # "words here" suffix shares no 3-gram ("trainwords here" ends)
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import leakage
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = leakage.leakage_audit(rd.from_pandas(docs)).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.execute(leakage.leakage_audit_sql()).df()
+        want["shared_grams"] = want["shared_grams"].astype("int64")
+        pd.testing.assert_frame_equal(
+            got.sort_values("pair").reset_index(drop=True),
+            want.sort_values("pair").reset_index(drop=True))
+        assert (got["shared_grams"] > 0).any()  # real overlap measured
+
+
 class TestSelectionPipeline:
     """Composed blocklist -> DSIR score -> top-p% -> split pipeline."""
 
