@@ -443,6 +443,19 @@ def _http_n(sf_dir: str) -> int:
     return max(500, synth.turns_for_sf_dir(sf_dir) // 10)
 
 
+def _q_range_join(sf_dir: str):
+    """Distributed range (interval) join — the non-equi join the
+    Dataset API lacks natively: per purchase event, the count of
+    signup events within ±1 h, via time-bucket co-partitioning with
+    ±1-bucket replication of the skinny right side."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import rangejoin
+
+    return rangejoin.range_join_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_asof(sf_dir: str):
     import ray.data as rd
 
@@ -913,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _q_corpus_stats,
         "approx_distinct_users": _q_approx_distinct_users,
         "asof_signup_lag": _q_asof,
+        "range_join_signups": _q_range_join,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1042,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import bm25 as _bm25
     from go_fluentd_ray.functions import dsir as _dsir
     from go_fluentd_ray.functions import leakage as _leakage
+    from go_fluentd_ray.functions import rangejoin as _rangejoin
     from go_fluentd_ray.functions import spandedup as _spandedup
     from go_fluentd_ray.functions import textclean as _textclean
     from go_fluentd_ray.pipelines import curation as _curation
@@ -1149,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": _agg.DISTINCT_USERS_SQL,
         "corpus_stats": _agg.CORPUS_STATS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,
+        "range_join_signups": _rangejoin.range_join_counts_sql(),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

@@ -232,3 +232,15 @@ def bench_selection_pipeline(sf_dir: str):
 
 
 BENCHES.update({"selection_pipeline": bench_selection_pipeline})
+
+
+def bench_range_join(sf_dir: str):
+    import ray.data as rd
+
+    from .rangejoin import range_join_counts
+
+    return range_join_counts(
+        rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+
+
+BENCHES.update({"range_join_signups": bench_range_join})

@@ -942,6 +942,45 @@ class TestPretrainPipeline:
         assert 0 < len(got) < len(docs)  # every stage actually fired
 
 
+class TestRangeJoin:
+    """Time-bucketed interval join (count rights within ±window)."""
+
+    def test_hand_case_incl_bucket_boundaries(self):
+        from go_fluentd_ray.functions import rangejoin
+
+        W = rangejoin.WINDOW_US
+        base = 10 * W  # a bucket boundary
+        rows = []
+        # left purchase exactly at a boundary; rights straddle it
+        rows.append(dict(event_id=1, ts=base, event_type="purchase"))
+        for i, off in enumerate([-W, -W - 1, -1, 0, W, W + 1]):
+            rows.append(dict(event_id=100 + i, ts=base + off,
+                             event_type="signup"))
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        out = (rangejoin.range_join_counts(rd.from_pandas(df))
+               .to_pandas().set_index("event_id"))
+        # inclusive [ts-W, ts+W]: offsets -W, -1, 0, W count; ±(W+1) don't
+        assert out.loc[1, "n_nearby"] == 4
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import rangejoin
+
+        ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        got = (rangejoin.range_join_counts(rd.from_pandas(ev))
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", ev)
+        want = (con.execute(rangejoin.range_join_counts_sql()).df()
+                .sort_values("event_id").reset_index(drop=True))
+        want["n_nearby"] = want["n_nearby"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        assert (got["n_nearby"] > 0).any()
+
+
 class TestLeakageAudit:
     """Shared distinct n-grams across train/val/test splits."""
 
