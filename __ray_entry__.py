@@ -443,6 +443,18 @@ def _http_n(sf_dir: str) -> int:
     return max(500, synth.turns_for_sf_dir(sf_dir) // 10)
 
 
+def _q_conversation_stats(sf_dir: str):
+    """Per-conversation stats + quality gate over the transcript
+    corpus (the transcript-native Gopher analogue): one skinny
+    bucketed exchange keyed hash(conv_id) — text never moves, dup
+    detection rides an 8-byte text hash."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convstats
+
+    return convstats.conversation_stats(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_range_join(sf_dir: str):
     """Distributed range (interval) join — the non-equi join the
     Dataset API lacks natively: per purchase event, the count of
@@ -927,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "asof_signup_lag": _q_asof,
         "range_join_signups": _q_range_join,
+        "conversation_stats": _q_conversation_stats,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1055,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import bm25 as _bm25
     from go_fluentd_ray.functions import dsir as _dsir
+    from go_fluentd_ray.functions import convstats as _convstats
     from go_fluentd_ray.functions import leakage as _leakage
     from go_fluentd_ray.functions import rangejoin as _rangejoin
     from go_fluentd_ray.functions import spandedup as _spandedup
@@ -1165,6 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _agg.CORPUS_STATS_SQL,
         "asof_signup_lag": _joins.ASOF_SQL,
         "range_join_signups": _rangejoin.range_join_counts_sql(),
+        "conversation_stats": _convstats.conversation_stats_sql(
+            _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

@@ -244,3 +244,16 @@ def bench_range_join(sf_dir: str):
 
 
 BENCHES.update({"range_join_signups": bench_range_join})
+
+
+def bench_conversation_stats(sf_dir: str):
+    import ray.data as rd
+
+    from .. import synth
+    from .convstats import conversation_stats
+
+    path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
+    return conversation_stats(rd.read_parquet(path)).count()
+
+
+BENCHES.update({"conversation_stats": bench_conversation_stats})

@@ -1,0 +1,148 @@
+"""Per-conversation statistics and quality gating over the transcript
+corpus — the transcript-native analogue of the per-document Gopher
+suite: a dialogue/agent-trace curation pass computes these before
+admitting a conversation to a training mix.
+
+Per conv_id:
+    n_turns, n_roles (distinct), frac_tool_turns (tool != ''),
+    mean_turn_chars, dup_turn_frac (1 - distinct turn texts / turns —
+    the assistant-loop / repeated-message smell), duration_sec
+    (last ts - first ts), and conv_pass (>= 2 turns, >= 2 roles,
+    dup_turn_frac <= 0.5).
+
+Scale design (10^12-turn corpus):
+- ONE bucketed exchange of a SKINNY per-turn projection: (conv_id,
+  role, tool-nonempty bit, n_chars, ts_us, md5_64(text)) — the text
+  itself never moves; dup detection rides on the 8-byte text hash.
+- Buckets key hash(conv_id) % B so a conversation is whole in one
+  task (the concat/flagship partitioning key — the same key reused
+  across stages, per the one-partitioning-key rule); inside a bucket
+  everything is one vectorized pandas groupby, never per-key
+  map_groups.
+
+The SQL twin reads the SAME transcript parquet (the flagship-oracle
+convention) and reproduces the md5-based distinct-turn counting
+exactly, so dup_turn_frac is value-comparable.
+
+Reference semantics source: the per-tag counters the reference's
+monitor surface exposes (internal/monitor.go) generalized to
+per-conversation content statistics; no counterpart file exists in
+the Go reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CONV_MIN_TURNS = 2
+CONV_MIN_ROLES = 2
+CONV_MAX_DUP_TURN_FRAC = 0.5
+
+
+def _md5_64(texts) -> np.ndarray:
+    """First 16 md5 hex chars as uint64 — one C call per turn (the
+    established md5_batch pattern)."""
+    return np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+         for t in texts), dtype=np.uint64, count=len(texts))
+
+
+def conversation_stats(transcripts_ds, num_buckets: int | None = None):
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64())
+        tool = batch["tool"]
+        tool_bit = pc.cast(
+            pc.and_(tool.is_valid() if isinstance(tool, pa.Array)
+                    else pc.is_valid(tool),
+                    pc.not_equal(pc.fill_null(tool, ""), "")),
+            pa.int64())
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "h": pa.array(_md5_64(batch["text"].to_pylist()),
+                          type=pa.uint64()),
+            "role": batch["role"],
+            "tool_bit": tool_bit,
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "ts_us": ts,
+        })
+
+    def bucket_stats(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(
+            n_turns=("h", "size"),
+            n_distinct_turns=("h", "nunique"),
+            n_roles=("role", "nunique"),
+            n_tool=("tool_bit", "sum"),
+            sum_chars=("n_chars", "sum"),
+            ts_min=("ts_us", "min"),
+            ts_max=("ts_us", "max"),
+        ).reset_index()
+        n = out["n_turns"].to_numpy(dtype=np.float64)
+        out["frac_tool_turns"] = out["n_tool"].to_numpy() / n
+        out["mean_turn_chars"] = out["sum_chars"].to_numpy() / n
+        out["dup_turn_frac"] = 1.0 - out["n_distinct_turns"].to_numpy() / n
+        out["duration_sec"] = ((out["ts_max"] - out["ts_min"])
+                               .to_numpy() / 1_000_000.0)
+        out["conv_pass"] = ((out["n_turns"] >= CONV_MIN_TURNS)
+                            & (out["n_roles"] >= CONV_MIN_ROLES)
+                            & (out["dup_turn_frac"]
+                               <= CONV_MAX_DUP_TURN_FRAC))
+        out = out[["conv_id", "n_turns", "n_roles", "frac_tool_turns",
+                   "mean_turn_chars", "dup_turn_frac", "duration_sec",
+                   "conv_pass"]]
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["n_roles"] = out["n_roles"].astype("int64")
+        # drop the pandas schema metadata (an unhashable dict that the
+        # executor's schema-dedup warns about on every block)
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_stats,
+                                            batch_format="pyarrow")
+
+
+def conversation_stats_sql(path: str) -> str:
+    """DuckDB twin over the same transcript parquet: identical md5_64
+    distinct-turn counting, identical int/int divisions."""
+    h = "('0x' || substr(md5(text), 1, 16))::UBIGINT"
+    return rf"""
+WITH t AS (
+  SELECT conv_id, role, text, tool, epoch_us(ts) AS ts_us, {h} AS h
+  FROM read_parquet('{path}/*.parquet')
+),
+agg AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS n_turns,
+         count(DISTINCT h)::BIGINT AS n_distinct,
+         count(DISTINCT role)::BIGINT AS n_roles,
+         sum(CASE WHEN tool IS NOT NULL AND tool <> ''
+                  THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+         sum(length(text))::BIGINT AS sum_chars,
+         min(ts_us) AS ts_min, max(ts_us) AS ts_max
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_roles,
+       n_tool::DOUBLE / n_turns AS frac_tool_turns,
+       sum_chars::DOUBLE / n_turns AS mean_turn_chars,
+       1.0 - n_distinct::DOUBLE / n_turns AS dup_turn_frac,
+       (ts_max - ts_min)::DOUBLE / 1000000.0 AS duration_sec,
+       (n_turns >= {CONV_MIN_TURNS} AND n_roles >= {CONV_MIN_ROLES}
+        AND 1.0 - n_distinct::DOUBLE / n_turns
+            <= {CONV_MAX_DUP_TURN_FRAC}) AS conv_pass
+FROM agg"""

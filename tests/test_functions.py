@@ -942,6 +942,55 @@ class TestPretrainPipeline:
         assert 0 < len(got) < len(docs)  # every stage actually fired
 
 
+class TestConversationStats:
+    """Per-conversation transcript stats + quality gate."""
+
+    def test_hand_case(self):
+        from go_fluentd_ray.functions import convstats
+
+        df = pd.DataFrame({
+            "conv_id": ["a", "a", "a", "b", "c", "c"],
+            "turn_idx": np.array([0, 1, 2, 0, 0, 1], dtype=np.int32),
+            "role": ["user", "assistant", "assistant", "user",
+                     "user", "user"],
+            "text": ["hi", "hello", "hello", "solo", "loop", "loop"],
+            "tool": ["", "search", "", "", None, ""],
+            "ts": pd.to_datetime([0, 5_000_000, 10_000_000, 0, 0, 0],
+                                 unit="us"),
+        })
+        out = (convstats.conversation_stats(rd.from_pandas(df))
+               .to_pandas().set_index("conv_id"))
+        a = out.loc["a"]
+        assert a["n_turns"] == 3 and a["n_roles"] == 2
+        assert a["dup_turn_frac"] == pytest.approx(1 / 3)
+        assert a["frac_tool_turns"] == pytest.approx(1 / 3)
+        assert a["duration_sec"] == pytest.approx(10.0)
+        assert bool(a["conv_pass"])
+        assert not bool(out.loc["b", "conv_pass"])   # 1 turn, 1 role
+        c = out.loc["c"]                             # all-dup, one role
+        assert c["dup_turn_frac"] == pytest.approx(0.5)
+        assert not bool(c["conv_pass"])
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import convstats
+
+        path = synth.ensure_corpus(60000)
+        got = (convstats.conversation_stats(rd.read_parquet(path))
+               .to_pandas().sort_values("conv_id")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        want = (con.execute(convstats.conversation_stats_sql(path)).df()
+                .sort_values("conv_id").reset_index(drop=True))
+        for c in ("n_turns", "n_roles"):
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got.round(6),
+                                      want[got.columns.tolist()].round(6))
+        assert 0 < got["conv_pass"].mean() < 1
+
+
 class TestRangeJoin:
     """Time-bucketed interval join (count rights within ±window)."""
 
