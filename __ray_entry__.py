@@ -455,6 +455,17 @@ def _q_conversation_stats(sf_dir: str):
     return convstats.conversation_stats(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_conversation_dedup(sf_dir: str):
+    """Exact-duplicate CONVERSATION detection: signature = md5 over the
+    turn-ordered per-turn md5 digests; keep min conv_id per signature
+    with its copy count. Two skinny exchanges, text never moves."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convstats
+
+    return convstats.conversation_dedup(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_range_join(sf_dir: str):
     """Distributed range (interval) join — the non-equi join the
     Dataset API lacks natively: per purchase event, the count of
@@ -940,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_signup_lag": _q_asof,
         "range_join_signups": _q_range_join,
         "conversation_stats": _q_conversation_stats,
+        "conversation_dedup": _q_conversation_dedup,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1180,6 +1192,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_signup_lag": _joins.ASOF_SQL,
         "range_join_signups": _rangejoin.range_join_counts_sql(),
         "conversation_stats": _convstats.conversation_stats_sql(
+            _corpus(SF001)),
+        "conversation_dedup": _convstats.conversation_dedup_sql(
             _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,

@@ -146,3 +146,80 @@ SELECT conv_id, n_turns, n_roles,
         AND 1.0 - n_distinct::DOUBLE / n_turns
             <= {CONV_MAX_DUP_TURN_FRAC}) AS conv_pass
 FROM agg"""
+
+
+def conversation_dedup(transcripts_ds, num_buckets: int | None = None):
+    """Exact-duplicate CONVERSATION detection (the transcript analogue
+    of dedup.exact_dedup_rows): two skinny exchanges, never the text.
+
+    1. bucket by hash(conv_id) so each conversation is whole in one
+       task; its signature is md5 over the turn-ordered concatenation
+       of per-turn md5(text) hex digests (order-sensitive: the same
+       turns in a different order are a different conversation);
+    2. bucket the one-row-per-conversation signatures by hash(sig);
+       keep the min conv_id per signature with its copy count.
+
+    Output: (conv_id, n_copies) — one row per distinct conversation.
+    """
+    import hashlib as _hl
+
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "hhex": pa.array(
+                [_hl.md5(t.encode()).hexdigest()
+                 for t in batch["text"].to_pylist()],
+                type=pa.string()),
+        })
+
+    def conv_sig(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"],
+                                         kind="mergesort")
+        sig = (df.groupby("conv_id", sort=False)["hhex"]
+               .agg("".join)
+               .map(lambda s: _hl.md5(s.encode()).hexdigest())
+               .reset_index(name="sig"))
+        return pa.Table.from_pandas(
+            sig, preserve_index=False).replace_schema_metadata(None)
+
+    def keep_min(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = (df.sort_values("conv_id", kind="mergesort")
+             .groupby("sig", sort=False)
+             .agg(conv_id=("conv_id", "first"),
+                  n_copies=("conv_id", "size")).reset_index())
+        out = g[["conv_id", "n_copies"]].copy()
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "text"]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    sigs = proj.groupby("__bkt").map_groups(conv_sig,
+                                            batch_format="pyarrow")
+    sigs = sigs.map_batches(lambda t: add_bucket_col(t, ["sig"], B),
+                            batch_format="pyarrow")
+    return sigs.groupby("__bkt").map_groups(keep_min,
+                                            batch_format="pyarrow")
+
+
+def conversation_dedup_sql(path: str) -> str:
+    """DuckDB twin: identical per-turn md5, identical turn-ordered
+    concatenation, identical min-conv_id keeper rule."""
+    return rf"""
+WITH sig AS (
+  SELECT conv_id,
+         md5(string_agg(md5(text), '' ORDER BY turn_idx)) AS sig
+  FROM read_parquet('{path}/*.parquet')
+  GROUP BY conv_id
+)
+SELECT min(conv_id) AS conv_id, count(*)::BIGINT AS n_copies
+FROM sig GROUP BY sig"""

@@ -991,6 +991,46 @@ class TestConversationStats:
         assert 0 < got["conv_pass"].mean() < 1
 
 
+class TestConversationDedup:
+    """Exact-dup conversation detection by turn-ordered signature."""
+
+    def test_planted_dup_and_order_sensitivity(self):
+        from go_fluentd_ray.functions import convstats
+
+        rows = []
+        for cid, texts in [("a", ["hi", "there"]),
+                           ("b", ["hi", "there"]),    # dup of a
+                           ("c", ["there", "hi"]),    # reversed != dup
+                           ("d", ["solo"])]:
+            for i, t in enumerate(texts):
+                rows.append(dict(conv_id=cid,
+                                 turn_idx=np.int32(i), text=t))
+        df = pd.DataFrame(rows)
+        out = (convstats.conversation_dedup(rd.from_pandas(df))
+               .to_pandas().sort_values("conv_id")
+               .reset_index(drop=True))
+        assert list(out["conv_id"]) == ["a", "c", "d"]
+        assert out.set_index("conv_id")["n_copies"].to_dict() == \
+            {"a": 2, "c": 1, "d": 1}
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import convstats
+
+        path = synth.ensure_corpus(60000)
+        got = (convstats.conversation_dedup(rd.read_parquet(path))
+               .to_pandas().sort_values("conv_id")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        want = (con.execute(convstats.conversation_dedup_sql(path)).df()
+                .sort_values("conv_id").reset_index(drop=True))
+        want["n_copies"] = want["n_copies"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        assert (got["n_copies"] > 1).any()  # the corpus has real dups
+
+
 class TestRangeJoin:
     """Time-bucketed interval join (count rights within ±window)."""
 
