@@ -466,6 +466,40 @@ def _q_conversation_dedup(sf_dir: str):
     return convstats.conversation_dedup(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_tool_latency(sf_dir: str):
+    """Per-tool call→observation latency over the transcript corpus:
+    earliest following role='tool' turn per call turn, one skinny
+    bucketed exchange keyed hash(conv_id) — text never moves; integer
+    microsecond sums keep the mean bit-comparable with SQL."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import turnflow
+
+    return turnflow.tool_latency(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_role_transitions(sf_dir: str):
+    """Corpus-wide consecutive (from_role → to_role) turn-pair counts —
+    the dialogue-structure Markov table. Per-bucket cython shift +
+    count partials, final groupby moves B × |roles|² rows."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import turnflow
+
+    return turnflow.role_transitions(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_context_truncate(sf_dir: str):
+    """Context-window trim: per conversation the maximal turn SUFFIX
+    whose \\w+ token total fits the budget (most recent turns win).
+    Only (conv_id, turn_idx, n_tokens) crosses the exchange."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import turnflow
+
+    return turnflow.context_truncate(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_range_join(sf_dir: str):
     """Distributed range (interval) join — the non-equi join the
     Dataset API lacks natively: per purchase event, the count of
@@ -952,6 +986,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_signups": _q_range_join,
         "conversation_stats": _q_conversation_stats,
         "conversation_dedup": _q_conversation_dedup,
+        "tool_latency": _q_tool_latency,
+        "role_transitions": _q_role_transitions,
+        "context_truncate": _q_context_truncate,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1081,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import bm25 as _bm25
     from go_fluentd_ray.functions import dsir as _dsir
     from go_fluentd_ray.functions import convstats as _convstats
+    from go_fluentd_ray.functions import turnflow as _turnflow
     from go_fluentd_ray.functions import leakage as _leakage
     from go_fluentd_ray.functions import rangejoin as _rangejoin
     from go_fluentd_ray.functions import spandedup as _spandedup
@@ -1194,6 +1232,11 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": _convstats.conversation_stats_sql(
             _corpus(SF001)),
         "conversation_dedup": _convstats.conversation_dedup_sql(
+            _corpus(SF001)),
+        "tool_latency": _turnflow.tool_latency_sql(_corpus(SF001)),
+        "role_transitions": _turnflow.role_transitions_sql(
+            _corpus(SF001)),
+        "context_truncate": _turnflow.context_truncate_sql(
             _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,

@@ -1809,3 +1809,104 @@ def test_tfidf_keywords_reference():
     assert list(out["word"]) == list(ref["word"])
     assert list(out["tf"]) == list(ref["tf"])
     assert np.allclose(out["tfidf"], ref["tfidf"])
+
+
+class TestTurnFlow:
+    """Consecutive-turn operators (tool latency / role transitions /
+    context truncation) over the transcript corpus."""
+
+    @staticmethod
+    def _hand_corpus() -> pd.DataFrame:
+        # conv a: call at t=0 (bash), noise, result at t=3s; second
+        #         call (search) at t=4s with NO following result.
+        # conv b: result turn BEFORE the call — must not pair backwards.
+        rows = [
+            ("a", 0, "assistant", "bash",   0),
+            ("a", 1, "user",      "",       1_000_000),
+            ("a", 2, "tool",      "bash",   3_000_000),
+            ("a", 3, "assistant", "search", 4_000_000),
+            ("b", 0, "tool",      "python", 0),
+            ("b", 1, "assistant", "python", 5_000_000),
+        ]
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                         "role", "tool", "ts"])
+        df["turn_idx"] = df["turn_idx"].astype(np.int32)
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df["text"] = "x y z"
+        return df
+
+    def test_tool_latency_hand_case(self):
+        from go_fluentd_ray.functions import turnflow
+
+        out = (turnflow.tool_latency(rd.from_pandas(self._hand_corpus()))
+               .to_pandas().set_index("tool"))
+        # only conv a's bash call pairs (3 s); a's search call has no
+        # following result; b's python call precedes its result turn
+        assert list(out.index) == ["bash"]
+        assert out.loc["bash", "n_calls"] == 1
+        assert out.loc["bash", "mean_latency_sec"] == pytest.approx(3.0)
+        assert out.loc["bash", "max_latency_sec"] == pytest.approx(3.0)
+
+    def test_role_transitions_hand_case(self):
+        from go_fluentd_ray.functions import turnflow
+
+        out = (turnflow.role_transitions(
+            rd.from_pandas(self._hand_corpus()))
+               .to_pandas().set_index(["from_role", "to_role"])["n"])
+        assert out.to_dict() == {
+            ("assistant", "user"): 1, ("user", "tool"): 1,
+            ("tool", "assistant"): 2}
+
+    def test_context_truncate_hand_case(self):
+        from go_fluentd_ray.functions import turnflow
+
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 3 + ["b"],
+            "turn_idx": np.array([0, 1, 2, 0], dtype=np.int32),
+            "text": ["one two three", "four five", "six",
+                     "way over budget " * 10],
+        })
+        out = (turnflow.context_truncate(rd.from_pandas(df),
+                                         budget_tokens=3)
+               .to_pandas().sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        # a: suffix sums are 6/3/1 -> keep turns 1,2 is over (3+1=4>3)?
+        # tokens: t0=3, t1=2, t2=1; suffixes: 6, 3, 1 -> keep t1,t2.
+        # b single over-budget turn -> dropped entirely.
+        assert [tuple(r) for r in
+                out[["conv_id", "turn_idx"]].itertuples(index=False)] \
+            == [("a", 1), ("a", 2)]
+        assert list(out["n_tokens"]) == [2, 1]
+
+    def test_all_match_sql_twins(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import turnflow
+
+        path = synth.ensure_corpus(60000)
+        con = duckdb.connect()
+        for fn, sql, keys in [
+                (turnflow.tool_latency,
+                 turnflow.tool_latency_sql(path), ["tool"]),
+                (turnflow.role_transitions,
+                 turnflow.role_transitions_sql(path),
+                 ["from_role", "to_role"]),
+                (turnflow.context_truncate,
+                 turnflow.context_truncate_sql(path),
+                 ["conv_id", "turn_idx"])]:
+            got = (fn(rd.read_parquet(path)).to_pandas()
+                   .sort_values(keys).reset_index(drop=True))
+            want = (con.execute(sql).df()
+                    .sort_values(keys).reset_index(drop=True))
+            for c in want.columns:
+                if want[c].dtype != got[c].dtype \
+                        and got[c].dtype == "int64":
+                    want[c] = want[c].astype("int64")
+            pd.testing.assert_frame_equal(
+                got, want[got.columns.tolist()])
+            assert len(got) > 0
+        # the corpus's planted out-of-order timestamps must be visible
+        lat = (turnflow.tool_latency(rd.read_parquet(path))
+               .to_pandas())
+        assert (lat["n_calls"] > 50).all()
