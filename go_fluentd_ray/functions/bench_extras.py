@@ -257,3 +257,21 @@ def bench_conversation_stats(sf_dir: str):
 
 
 BENCHES.update({"conversation_stats": bench_conversation_stats})
+
+
+def bench_turnflow(sf_dir: str):
+    """Times the whole turn-flow window family over one corpus read
+    each — all three share the one hash(conv_id) bucketed exchange."""
+    import ray.data as rd
+
+    from .. import synth
+    from .turnflow import context_truncate, role_transitions, tool_latency
+
+    path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
+    n = tool_latency(rd.read_parquet(path)).count()
+    n += role_transitions(rd.read_parquet(path)).count()
+    n += context_truncate(rd.read_parquet(path)).count()
+    return n
+
+
+BENCHES.update({"turnflow": bench_turnflow})
