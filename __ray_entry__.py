@@ -500,6 +500,40 @@ def _q_context_truncate(sf_dir: str):
     return turnflow.context_truncate(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_sft_examples(sf_dir: str):
+    """SFT pair extraction: for every assistant turn, context = the
+    last 8 preceding turns rendered 'role: text' joined by newlines,
+    response = the turn text. One hash(conv_id) bucketed exchange;
+    the context fold is 8 vectorized group-shift concats per bucket."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convmine
+
+    return convmine.sft_examples(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_loop_detect(sf_dir: str):
+    """Agent-loop smell per conversation: longest run of consecutive
+    identical (role, text) turns via vectorized gaps-and-islands.
+    Only md5 digests cross the exchange — text never moves."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convmine
+
+    return convmine.loop_detect(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_prefix_forks(sf_dir: str):
+    """Shared-prefix fork mining: conversations with an identical
+    first-2-turn digest prefix but divergent full signatures — the
+    preference-pair candidate generator. Two skinny digest exchanges."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convmine
+
+    return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_range_join(sf_dir: str):
     """Distributed range (interval) join — the non-equi join the
     Dataset API lacks natively: per purchase event, the count of
@@ -989,6 +1023,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_latency": _q_tool_latency,
         "role_transitions": _q_role_transitions,
         "context_truncate": _q_context_truncate,
+        "sft_examples": _q_sft_examples,
+        "loop_detect": _q_loop_detect,
+        "prefix_forks": _q_prefix_forks,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1119,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import dsir as _dsir
     from go_fluentd_ray.functions import convstats as _convstats
     from go_fluentd_ray.functions import turnflow as _turnflow
+    from go_fluentd_ray.functions import convmine as _convmine
     from go_fluentd_ray.functions import leakage as _leakage
     from go_fluentd_ray.functions import rangejoin as _rangejoin
     from go_fluentd_ray.functions import spandedup as _spandedup
@@ -1238,6 +1276,9 @@ def oracle_sql() -> dict[str, str]:
             _corpus(SF001)),
         "context_truncate": _turnflow.context_truncate_sql(
             _corpus(SF001)),
+        "sft_examples": _convmine.sft_examples_sql(_corpus(SF001)),
+        "loop_detect": _convmine.loop_detect_sql(_corpus(SF001)),
+        "prefix_forks": _convmine.prefix_forks_sql(_corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

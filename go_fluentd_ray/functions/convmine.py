@@ -1,0 +1,368 @@
+"""Conversation-mining operators over the transcript corpus — the
+training-example side of the transcript family (convstats covers the
+quality side, turnflow the window side):
+
+- ``sft_examples``: SFT pair extraction — for every assistant turn,
+  emit (context = the last K preceding turns rendered ``role: text``
+  joined by newlines, response = the turn's text). The standard
+  "flatten a multi-turn transcript into supervised examples" pass of
+  a chat-model data pipeline.
+- ``loop_detect``: agent-loop smell — per conversation, the longest
+  run of CONSECUTIVE identical (role, text) turns (gaps-and-islands),
+  flagging conversations where an agent got stuck repeating itself.
+- ``prefix_forks``: shared-prefix fork mining — groups of
+  conversations that share an identical first-K-turn prefix but
+  diverge afterwards (distinct full signatures). The candidate
+  generator for preference-pair construction: same prompt prefix,
+  different continuations.
+
+Scale design (10^12-turn corpus): every operator keys its ONE
+bucketed exchange on hash(conv_id) % B — the flagship partitioning
+key reused — so a conversation is whole in one task, and every
+per-bucket kernel is one vectorized pandas/numpy pass (cython groupby
+shift / cumsum / cumcount), never per-key map_groups, never per-row
+Python in the hot path. loop_detect and prefix_forks ship only
+md5 digests of text (32-byte lines), never the text; sft_examples is
+the one operator whose OUTPUT is text, so text crossing the exchange
+is inherent to its semantics — the projection still drops every
+other column. prefix_forks' second exchange moves one row per
+conversation (three digests), keyed hash(prefix_sig).
+
+Reference semantics source: no counterpart exists in the Go reference
+(its only cross-row state is the concatenator,
+recvs/fluentd.go:399-544); these extend its per-tag stream semantics
+to ordered per-conversation mining with exact DuckDB window/groupby
+twins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SFT_CONTEXT_TURNS = 8
+LOOP_MIN_RUN = 3
+FORK_PREFIX_TURNS = 2
+
+
+def _sorted_bucket_df(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                          ignore_index=True)
+
+
+def _from_pandas(df: pd.DataFrame,
+                 schema: pa.Schema | None = None) -> pa.Table:
+    return pa.Table.from_pandas(
+        df, schema=schema,
+        preserve_index=False).replace_schema_metadata(None)
+
+
+def _md5_hex(texts) -> pa.Array:
+    """md5 hexdigest per element — one C call per value (the
+    established convstats pattern)."""
+    return pa.array([hashlib.md5(t.encode()).hexdigest()
+                     for t in texts], type=pa.string())
+
+
+# ------------------------------------------------------------- SFT extraction
+
+def sft_examples(transcripts_ds, k_context: int = SFT_CONTEXT_TURNS,
+                 num_buckets: int | None = None):
+    """For each assistant turn: (conv_id, turn_idx, n_context_turns,
+    context, response) where context is the last ``k_context``
+    preceding turns of the SAME conversation rendered ``role: text``
+    and joined with '\\n' (oldest first; '' when the assistant turn
+    opens the conversation).
+
+    The context window is built with k_context vectorized group-shift
+    string concatenations — O(K) columnar passes per bucket, no
+    per-row Python.
+    """
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+    K = k_context
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "text": batch["text"],
+        })
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("n_context_turns", pa.int64()),
+        ("context", pa.string()), ("response", pa.string())])
+
+    def bucket_examples(tbl: pa.Table) -> pa.Table:
+        df = _sorted_bucket_df(tbl)
+        if not len(df):
+            return schema.empty_table()
+        line = df["role"] + ": " + df["text"]
+        g = line.groupby(df["conv_id"], sort=False)
+        ctx = pd.Series("", index=df.index, dtype=object)
+        # oldest-first: fold shift(K) .. shift(1) into the context
+        for k in range(K, 0, -1):
+            prev = g.shift(k)
+            has = prev.notna().to_numpy()
+            sep = np.where((ctx.to_numpy() != "") & has, "\n", "")
+            ctx = ctx + sep + prev.fillna("").to_numpy()
+        n_ctx = (df.groupby("conv_id", sort=False).cumcount()
+                 .clip(upper=K).astype("int64"))
+        keep = df["role"].to_numpy() == "assistant"
+        out = pd.DataFrame({
+            "conv_id": df["conv_id"][keep],
+            "turn_idx": df["turn_idx"][keep].astype("int64"),
+            "n_context_turns": n_ctx[keep],
+            "context": ctx[keep],
+            "response": df["text"][keep],
+        })
+        return _from_pandas(out, schema)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_examples,
+                                            batch_format="pyarrow")
+
+
+def sft_examples_sql(path: str,
+                     k_context: int = SFT_CONTEXT_TURNS) -> str:
+    """DuckDB twin: windowed string_agg concatenates in frame order
+    (oldest row of the K-PRECEDING frame first — verified), matching
+    the shift(K)..shift(1) fold exactly."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, text,
+         role || ': ' || text AS line
+  FROM read_parquet('{path}/*.parquet')
+),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         coalesce(string_agg(line, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN {k_context} PRECEDING AND 1 PRECEDING),
+           '') AS context,
+         least(row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) - 1,
+           {k_context})::BIGINT AS n_context_turns
+  FROM t
+)
+SELECT conv_id, turn_idx, n_context_turns, context,
+       text AS response
+FROM w WHERE role = 'assistant'"""
+
+
+# -------------------------------------------------------------- loop detection
+
+def loop_detect(transcripts_ds, min_run: int = LOOP_MIN_RUN,
+                num_buckets: int | None = None):
+    """Per conversation: n_turns, max_run (longest run of consecutive
+    turns with identical (role, text)), is_looping = max_run >=
+    min_run. Only (conv_id, turn_idx, role, md5(text)) crosses the
+    exchange — text never moves.
+
+    Gaps-and-islands, fully vectorized: a run break is any row whose
+    (role, hash) differs from the previous row of the same
+    conversation; cumsum of breaks is the run id; run lengths come
+    from one value_counts map.
+    """
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "hhex": _md5_hex(batch["text"].to_pylist()),
+        })
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("n_turns", pa.int64()),
+        ("max_run", pa.int64()), ("is_looping", pa.bool_())])
+
+    def bucket_runs(tbl: pa.Table) -> pa.Table:
+        df = _sorted_bucket_df(tbl)
+        if not len(df):
+            return schema.empty_table()
+        g = df.groupby("conv_id", sort=False)
+        same = ((g["role"].shift() == df["role"])
+                & (g["hhex"].shift() == df["hhex"]))
+        run_id = (~same).cumsum()  # NaN-shift rows start a new run
+        rl = run_id.map(run_id.value_counts())
+        out = (pd.DataFrame({"conv_id": df["conv_id"], "rl": rl})
+               .groupby("conv_id", sort=False)["rl"]
+               .agg(n_runsum="size", max_run="max").reset_index())
+        out = out.rename(columns={"n_runsum": "n_turns"})
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["max_run"] = out["max_run"].astype("int64")
+        out["is_looping"] = out["max_run"] >= min_run
+        return _from_pandas(out, schema)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_runs,
+                                            batch_format="pyarrow")
+
+
+def loop_detect_sql(path: str, min_run: int = LOOP_MIN_RUN) -> str:
+    """DuckDB twin: identical md5 run-break predicate and
+    gaps-and-islands run ids."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, md5(text) AS h
+  FROM read_parquet('{path}/*.parquet')
+),
+m AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lag(role) OVER w = role
+               AND lag(h) OVER w = h THEN 0 ELSE 1 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+  SELECT conv_id,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS run_id
+  FROM m
+),
+runs AS (
+  SELECT conv_id, run_id, count(*)::BIGINT AS rl
+  FROM r GROUP BY conv_id, run_id
+)
+SELECT conv_id, sum(rl)::BIGINT AS n_turns,
+       max(rl)::BIGINT AS max_run,
+       max(rl) >= {min_run} AS is_looping
+FROM runs GROUP BY conv_id"""
+
+
+# ---------------------------------------------------------- prefix fork mining
+
+def prefix_forks(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
+                 num_buckets: int | None = None):
+    """Groups of conversations sharing an identical first-``k_prefix``
+    turn prefix (role-sensitive per-turn md5 chain) whose FULL
+    conversations differ — the candidate pools for preference-pair
+    mining. Conversations with fewer than k_prefix turns are out of
+    scope.
+
+    Output per fork group: (prefix_sig, n_convs, n_variants,
+    example_conv_id = lexicographic min), n_variants >= 2 only (a
+    group of pure exact duplicates is conversation_dedup's business,
+    not a fork).
+
+    Two skinny exchanges: per-turn digests keyed hash(conv_id), then
+    one row per conversation keyed hash(prefix_sig). Text never moves.
+    """
+    import hashlib as _hl
+
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        lines = pc.binary_join_element_wise(
+            batch["role"], batch["text"], ":")
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "hhex": _md5_hex(lines.to_pylist()),
+        })
+
+    sig_schema = pa.schema([
+        ("conv_id", pa.string()), ("prefix_sig", pa.string()),
+        ("full_sig", pa.string())])
+
+    def conv_sigs(tbl: pa.Table) -> pa.Table:
+        df = _sorted_bucket_df(tbl)
+        if not len(df):
+            return sig_schema.empty_table()
+        g = df.groupby("conv_id", sort=False)
+        rn = g.cumcount()
+        n = g["hhex"].transform("size")
+        df = df[n.to_numpy() >= k_prefix]
+        rn = rn[n.to_numpy() >= k_prefix]
+        full = (df.groupby("conv_id", sort=False)["hhex"].agg("".join)
+                .map(lambda s: _hl.md5(s.encode()).hexdigest()))
+        pref = (df[rn.to_numpy() < k_prefix]
+                .groupby("conv_id", sort=False)["hhex"].agg("".join)
+                .map(lambda s: _hl.md5(s.encode()).hexdigest()))
+        out = pd.DataFrame({"conv_id": full.index,
+                            "prefix_sig": pref.reindex(full.index),
+                            "full_sig": full.to_numpy()})
+        return _from_pandas(out.reset_index(drop=True), sig_schema)
+
+    out_schema = pa.schema([
+        ("prefix_sig", pa.string()), ("n_convs", pa.int64()),
+        ("n_variants", pa.int64()), ("example_conv_id", pa.string())])
+
+    def fork_groups(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if not len(df):
+            return out_schema.empty_table()
+        g = (df.sort_values("conv_id", kind="mergesort")
+             .groupby("prefix_sig", sort=False)
+             .agg(n_convs=("conv_id", "size"),
+                  n_variants=("full_sig", "nunique"),
+                  example_conv_id=("conv_id", "first")).reset_index())
+        g = g[g["n_variants"] >= 2]
+        g["n_convs"] = g["n_convs"].astype("int64")
+        g["n_variants"] = g["n_variants"].astype("int64")
+        return _from_pandas(g.reset_index(drop=True), out_schema)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    sigs = proj.groupby("__bkt").map_groups(conv_sigs,
+                                            batch_format="pyarrow")
+    sigs = sigs.map_batches(
+        lambda t: add_bucket_col(t, ["prefix_sig"], B),
+        batch_format="pyarrow")
+    return sigs.groupby("__bkt").map_groups(fork_groups,
+                                            batch_format="pyarrow")
+
+
+def prefix_forks_sql(path: str,
+                     k_prefix: int = FORK_PREFIX_TURNS) -> str:
+    """DuckDB twin: identical role:text per-turn digest, identical
+    turn-ordered digest chains."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, md5(role || ':' || text) AS hhex
+  FROM read_parquet('{path}/*.parquet')
+),
+o AS (
+  SELECT conv_id, hhex,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n_turns
+  FROM t
+),
+sigs AS (
+  SELECT conv_id,
+         md5(string_agg(hhex, '' ORDER BY rn)
+             FILTER (WHERE rn <= {k_prefix})) AS prefix_sig,
+         md5(string_agg(hhex, '' ORDER BY rn)) AS full_sig
+  FROM o WHERE n_turns >= {k_prefix} GROUP BY conv_id
+)
+SELECT prefix_sig, count(*)::BIGINT AS n_convs,
+       count(DISTINCT full_sig)::BIGINT AS n_variants,
+       min(conv_id) AS example_conv_id
+FROM sigs GROUP BY prefix_sig
+HAVING count(DISTINCT full_sig) >= 2"""

@@ -1910,3 +1910,123 @@ class TestTurnFlow:
         lat = (turnflow.tool_latency(rd.read_parquet(path))
                .to_pandas())
         assert (lat["n_calls"] > 50).all()
+
+
+class TestConvMine:
+    """Conversation-mining operators: SFT pair extraction, agent-loop
+    detection, shared-prefix fork mining."""
+
+    def test_sft_examples_hand_case(self):
+        from go_fluentd_ray.functions import convmine
+
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 4 + ["b"],
+            "turn_idx": np.array([0, 1, 2, 3, 0], dtype=np.int32),
+            "role": ["system", "user", "assistant", "assistant",
+                     "assistant"],
+            "text": ["be good", "hi", "hello", "still here", "opener"],
+        })
+        out = (convmine.sft_examples(rd.from_pandas(df), k_context=2)
+               .to_pandas().sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        # a@2: full 2-turn window; a@3: window slides (system drops);
+        # b@0: assistant opens the conversation -> empty context.
+        assert list(out["response"]) == ["hello", "still here",
+                                         "opener"]
+        assert list(out["context"]) == [
+            "system: be good\nuser: hi",
+            "user: hi\nassistant: hello",
+            "",
+        ]
+        assert list(out["n_context_turns"]) == [2, 2, 0]
+
+    def test_loop_detect_hand_case(self):
+        from go_fluentd_ray.functions import convmine
+
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 5 + ["b"] * 3,
+            "turn_idx": np.array([0, 1, 2, 3, 4, 0, 1, 2],
+                                 dtype=np.int32),
+            "role": ["user", "assistant", "assistant", "assistant",
+                     "user", "user", "assistant", "user"],
+            # a: 3 consecutive identical assistant turns = a loop;
+            # b: same text twice but NON-consecutive -> no run.
+            "text": ["q", "same", "same", "same", "q",
+                     "x", "y", "x"],
+        })
+        out = (convmine.loop_detect(rd.from_pandas(df), min_run=3)
+               .to_pandas().set_index("conv_id"))
+        assert out.loc["a", "max_run"] == 3
+        assert bool(out.loc["a", "is_looping"])
+        assert out.loc["b", "max_run"] == 1
+        assert not bool(out.loc["b", "is_looping"])
+        assert out.loc["a", "n_turns"] == 5
+
+    def test_loop_detect_role_sensitive(self):
+        from go_fluentd_ray.functions import convmine
+
+        # identical text but alternating roles must NOT count as a run
+        df = pd.DataFrame({
+            "conv_id": ["c"] * 4,
+            "turn_idx": np.array([0, 1, 2, 3], dtype=np.int32),
+            "role": ["user", "assistant", "user", "assistant"],
+            "text": ["same"] * 4,
+        })
+        out = (convmine.loop_detect(rd.from_pandas(df))
+               .to_pandas().set_index("conv_id"))
+        assert out.loc["c", "max_run"] == 1
+
+    def test_prefix_forks_hand_case(self):
+        from go_fluentd_ray.functions import convmine
+
+        def conv(cid, texts):
+            return pd.DataFrame({
+                "conv_id": [cid] * len(texts),
+                "turn_idx": np.arange(len(texts), dtype=np.int32),
+                "role": ["user", "assistant", "assistant",
+                         "assistant"][:len(texts)],
+                "text": texts,
+            })
+
+        df = pd.concat([
+            conv("f1", ["hi", "a", "left"]),     # fork group: same
+            conv("f2", ["hi", "a", "right"]),    # 2-turn prefix,
+            conv("d1", ["dup", "x", "tail"]),    # exact duplicates:
+            conv("d2", ["dup", "x", "tail"]),    # NOT a fork
+            conv("s1", ["short"]),               # < k_prefix: out
+        ], ignore_index=True)
+        out = (convmine.prefix_forks(rd.from_pandas(df), k_prefix=2)
+               .to_pandas())
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["n_convs"] == 2
+        assert row["n_variants"] == 2
+        assert row["example_conv_id"] == "f1"
+
+    def test_all_match_sql_twins(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import convmine
+
+        path = synth.ensure_corpus(60000)
+        con = duckdb.connect()
+        for fn, sql, keys in [
+                (convmine.sft_examples,
+                 convmine.sft_examples_sql(path),
+                 ["conv_id", "turn_idx"]),
+                (convmine.loop_detect,
+                 convmine.loop_detect_sql(path), ["conv_id"]),
+                (convmine.prefix_forks,
+                 convmine.prefix_forks_sql(path), ["prefix_sig"])]:
+            got = (fn(rd.read_parquet(path)).to_pandas()
+                   .sort_values(keys).reset_index(drop=True))
+            want = (con.execute(sql).df()
+                    .sort_values(keys).reset_index(drop=True))
+            for c in want.columns:
+                if want[c].dtype != got[c].dtype \
+                        and got[c].dtype == "int64":
+                    want[c] = want[c].astype("int64")
+            pd.testing.assert_frame_equal(
+                got, want[got.columns.tolist()])
+            assert len(got) > 0
