@@ -534,6 +534,42 @@ def _q_prefix_forks(sf_dir: str):
     return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_log_templates(sf_dir: str):
+    """Drain-style log-template mining: mask digit runs to <N>, exact
+    corpus-wide top-k (the word_topk bucketed pattern — the driver
+    only ever sees B×k partial rows, never the distinct-template
+    table)."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    return logops.log_templates(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_throttle_tags(sf_dir: str):
+    """The reference Pipeline throttle (SURVEY §2.2) as a
+    DETERMINISTIC operator: per (tag, tumbling window) admit the
+    earliest N turns under the (ts, conv_id, turn_idx) total order.
+    Skinny projection keyed hash(tag, window)."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    return logops.throttle_tags(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_tool_latency_pct(sf_dir: str):
+    """Exact per-tool p50/p95/p99 call→observation latency
+    (quantile_disc semantics, integer microseconds end to end). Two
+    skinny exchanges: pairing in hash(conv_id) buckets, percentiles
+    in hash(tool) buckets."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    return logops.tool_latency_pct(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_range_join(sf_dir: str):
     """Distributed range (interval) join — the non-equi join the
     Dataset API lacks natively: per purchase event, the count of
@@ -1026,6 +1062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_examples": _q_sft_examples,
         "loop_detect": _q_loop_detect,
         "prefix_forks": _q_prefix_forks,
+        "log_templates": _q_log_templates,
+        "throttle_tags": _q_throttle_tags,
+        "tool_latency_pct": _q_tool_latency_pct,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1157,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import convstats as _convstats
     from go_fluentd_ray.functions import turnflow as _turnflow
     from go_fluentd_ray.functions import convmine as _convmine
+    from go_fluentd_ray.functions import logops as _logops
     from go_fluentd_ray.functions import leakage as _leakage
     from go_fluentd_ray.functions import rangejoin as _rangejoin
     from go_fluentd_ray.functions import spandedup as _spandedup
@@ -1279,6 +1319,10 @@ def oracle_sql() -> dict[str, str]:
         "sft_examples": _convmine.sft_examples_sql(_corpus(SF001)),
         "loop_detect": _convmine.loop_detect_sql(_corpus(SF001)),
         "prefix_forks": _convmine.prefix_forks_sql(_corpus(SF001)),
+        "log_templates": _logops.log_templates_sql(_corpus(SF001)),
+        "throttle_tags": _logops.throttle_tags_sql(_corpus(SF001)),
+        "tool_latency_pct": _logops.tool_latency_pct_sql(
+            _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

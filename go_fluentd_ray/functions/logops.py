@@ -1,0 +1,280 @@
+"""Log-analytics operators — the telemetry-native family the reference
+pipeline's users run downstream of parse→route (go-fluentd feeds
+ElasticSearch exactly for these): template mining, deterministic
+throttling, and latency percentiles.
+
+- ``log_templates``: Drain-style log-template mining, the simplest
+  exact form — mask every digit run to ``<N>`` and count templates
+  corpus-wide, exact top-k. Turns millions of distinct log lines into
+  the handful of generating patterns.
+- ``throttle_tags``: the reference Pipeline wrapper's throttle
+  (SURVEY §2.2; go-fluentd drops messages over a per-second budget)
+  re-expressed as a DETERMINISTIC batch operator: per (tag, time
+  window) keep the earliest ``max_per_window`` turns under the total
+  order (ts, conv_id, turn_idx) — same admission semantics, but
+  replayable and independent of arrival order.
+- ``tool_latency_pct``: exact p50/p95/p99 call→observation latency
+  per tool (the SRE percentile dashboard) — quantile_disc semantics
+  (element at ceil(p·n), 1-based), integer microseconds end to end so
+  every value is bit-comparable with SQL.
+
+Scale design (10^12-turn corpus): log_templates is the word_topk
+pattern — per-batch value_counts partials, hash(template) % B
+bucketed exact sum + local top-k, driver merges B×k rows (the
+distinct-template table never materializes anywhere). throttle_tags
+exchanges a SKINNY (ids, tag, ts) projection keyed hash(tag, window)
+— a window is time-bounded so no (tag, window) group can grow without
+bound. tool_latency_pct pairs calls inside hash(conv_id) buckets
+(text never moves), then re-exchanges only (tool, lat_us) pairs keyed
+hash(tool); percentiles need the per-tool latency vector whole, which
+is exactly what the reference's ES percentile aggregations hold too.
+
+Reference semantics source: throttle — internal/pipeline's
+throttling wrapper (SURVEY §2.2, previously covered only by the
+documented backpressure substitution in pipelines/flagship.py:116);
+templates/percentiles — the ES-side analytics go-fluentd exists to
+feed (docs/README.md pipeline diagram), no Go counterpart file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TEMPLATE_TOPK = 30
+THROTTLE_MAX_PER_WINDOW = 50
+THROTTLE_WINDOW_SEC = 60
+LATENCY_PCTS = (50, 95, 99)
+
+
+# -------------------------------------------------------------- template topk
+
+def log_templates(ds, k: int = TEMPLATE_TOPK, col: str = "text",
+                  num_buckets: int | None = None):
+    """Exact top-k log templates by count; template = text with every
+    digit run masked to <N>. Returns a pandas frame (template, n) —
+    B×k partial rows is all the driver ever sees."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tpl = pc.replace_substring_regex(batch[col], pattern=r"\d+",
+                                         replacement="<N>")
+        g = pd.Series(tpl.to_pylist(), dtype=object).value_counts()
+        return pa.table({
+            "template": pa.array(g.index, type=pa.string()),
+            "n": pa.array(g.to_numpy(), type=pa.int64())})
+
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = df.groupby("template", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "template"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "template": pa.array(g["template"], type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = agg.map_batches(lambda t: add_bucket_col(t, ["template"], B),
+                          batch_format="pyarrow")
+    out = agg.groupby("__bkt").map_groups(
+        bucket_topk, batch_format="pyarrow").to_pandas()  # <= B*k rows
+    out = out.sort_values(["n", "template"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return out[["template", "n"]]
+
+
+def log_templates_sql(path: str, k: int = TEMPLATE_TOPK) -> str:
+    """DuckDB twin: RE2 digit-run mask on both sides."""
+    return rf"""
+WITH t AS (
+  SELECT regexp_replace(text, '\d+', '<N>', 'g') AS template
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT template, count(*)::BIGINT AS n
+FROM t GROUP BY template
+ORDER BY n DESC, template LIMIT {k}"""
+
+
+# ------------------------------------------------------------------- throttle
+
+def throttle_tags(transcripts_ds,
+                  max_per_window: int = THROTTLE_MAX_PER_WINDOW,
+                  window_sec: int = THROTTLE_WINDOW_SEC,
+                  tag_col: str = "role",
+                  num_buckets: int | None = None):
+    """Deterministic throttle: per (tag, tumbling window) admit the
+    earliest ``max_per_window`` turns under the total order
+    (ts, conv_id, turn_idx); the rest are the reference's lossy
+    overflow, here simply not emitted. Output: (conv_id, turn_idx,
+    tag, window_us) for admitted turns."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+    win_us = window_sec * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64())
+        win = pc.multiply(pc.divide(ts, win_us), win_us)  # floor: ts>=0
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "tag": batch[tag_col],
+            "ts_us": ts,
+            "window_us": win,
+        })
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("tag", pa.string()), ("window_us", pa.int64())])
+
+    def bucket_admit(tbl: pa.Table) -> pa.Table:
+        df = (tbl.to_pandas()
+              .sort_values(["tag", "window_us", "ts_us", "conv_id",
+                            "turn_idx"], kind="mergesort",
+                           ignore_index=True))
+        if not len(df):
+            return schema.empty_table()
+        rank = df.groupby(["tag", "window_us"], sort=False).cumcount()
+        keep = df[rank.to_numpy() < max_per_window]
+        return pa.Table.from_pandas(
+            keep[["conv_id", "turn_idx", "tag", "window_us"]],
+            schema=schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", tag_col, "ts"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(
+        lambda t: add_bucket_col(t, ["tag", "window_us"], B),
+        batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_admit,
+                                            batch_format="pyarrow")
+
+
+def throttle_tags_sql(path: str,
+                      max_per_window: int = THROTTLE_MAX_PER_WINDOW,
+                      window_sec: int = THROTTLE_WINDOW_SEC,
+                      tag_col: str = "role") -> str:
+    win_us = window_sec * 1_000_000
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, {tag_col} AS tag,
+         epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // {win_us}) * {win_us} AS window_us
+  FROM read_parquet('{path}/*.parquet')
+),
+r AS (
+  SELECT conv_id, turn_idx, tag, window_us,
+         row_number() OVER (PARTITION BY tag, window_us
+                            ORDER BY ts_us, conv_id, turn_idx) AS rn
+  FROM t
+)
+SELECT conv_id, turn_idx, tag, window_us
+FROM r WHERE rn <= {max_per_window}"""
+
+
+# -------------------------------------------------------- latency percentiles
+
+def tool_latency_pct(transcripts_ds, pcts=LATENCY_PCTS,
+                     num_buckets: int | None = None):
+    """Exact per-tool latency percentiles (quantile_disc semantics:
+    sorted latencies, element at ceil(p·n), 1-based). Two exchanges:
+    call→observation pairing inside hash(conv_id) buckets (the shared
+    turnflow.call_latencies kernel), then the skinny (tool, lat_us)
+    pairs keyed hash(tool) so each tool's latency vector is whole in
+    one task. Output: (tool, n_calls, p50_us, p95_us, p99_us) — all
+    int64, bit-comparable with SQL."""
+    from .shuffle import add_bucket_col, default_buckets
+    from .turnflow import _sorted_bucket_df, call_latencies
+
+    B = num_buckets or default_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "tool": pc.fill_null(batch["tool"], ""),
+            "ts_us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    pair_schema = pa.schema([("tool", pa.string()),
+                             ("lat_us", pa.int64())])
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        pairs = call_latencies(_sorted_bucket_df(tbl))
+        if not len(pairs):
+            return pair_schema.empty_table()
+        return pa.Table.from_pandas(
+            pairs, schema=pair_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    out_fields = [("tool", pa.string()), ("n_calls", pa.int64())]
+    out_fields += [(f"p{p}_us", pa.int64()) for p in pcts]
+    out_schema = pa.schema(out_fields)
+
+    def bucket_pct(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(["tool", "lat_us"],
+                                         kind="mergesort",
+                                         ignore_index=True)
+        if not len(df):
+            return out_schema.empty_table()
+        tools, starts = np.unique(df["tool"].to_numpy(),
+                                  return_index=True)
+        counts = np.diff(np.append(starts, len(df)))
+        lat = df["lat_us"].to_numpy()
+        cols = {"tool": tools, "n_calls": counts.astype(np.int64)}
+        for p in pcts:
+            pos = starts + np.ceil(p / 100.0 * counts).astype(
+                np.int64) - 1
+            cols[f"p{p}_us"] = lat[pos]
+        return pa.Table.from_pandas(
+            pd.DataFrame(cols), schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "ts"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    pairs = proj.groupby("__bkt").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
+    pairs = pairs.map_batches(lambda t: add_bucket_col(t, ["tool"], B),
+                              batch_format="pyarrow")
+    return pairs.groupby("__bkt").map_groups(bucket_pct,
+                                             batch_format="pyarrow")
+
+
+def tool_latency_pct_sql(path: str, pcts=LATENCY_PCTS) -> str:
+    """DuckDB twin: identical pairing window as tool_latency_sql;
+    quantile_disc == element at ceil(p·n) (verified)."""
+    qcols = ",\n       ".join(
+        f"quantile_disc(lat_us, {p / 100.0})::BIGINT AS p{p}_us"
+        for p in pcts)
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(tool, '') AS tool, epoch_us(ts) AS ts_us
+  FROM read_parquet('{path}/*.parquet')
+),
+w AS (
+  SELECT conv_id, turn_idx, role, tool, ts_us,
+         min(CASE WHEN role = 'tool' THEN ts_us END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_us
+  FROM t
+),
+calls AS (
+  SELECT tool, nxt_us - ts_us AS lat_us FROM w
+  WHERE tool <> '' AND role <> 'tool' AND nxt_us IS NOT NULL
+)
+SELECT tool, count(*)::BIGINT AS n_calls,
+       {qcols}
+FROM calls GROUP BY tool"""

@@ -62,6 +62,35 @@ def _from_pandas(df: pd.DataFrame,
 
 # ---------------------------------------------------------------- tool latency
 
+def call_latencies(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-call latency pairing shared by tool_latency and
+    logops.tool_latency_pct: for each call turn (tool != '' and
+    role != 'tool'), the microseconds to the earliest FOLLOWING
+    observation turn (role == 'tool') in the same conversation.
+    Input: a (conv_id, turn_idx)-sorted bucket frame with columns
+    conv_id, role, tool, ts_us. Output: (tool, lat_us)."""
+    # non-result rows get +inf so the reversed cummin CARRIES the
+    # min across them (pandas cummin leaves NaN at NaN inputs);
+    # float64 up front or groupby-cummin warns trying to cast inf
+    # back to the int64 input dtype
+    res_ts = (df["ts_us"].astype(np.float64)
+              .where(df["role"].to_numpy() == "tool", np.inf))
+    # min following-result ts: reversed cummin within conversation
+    # (cython), then a strict shift(-1) to exclude the row itself
+    rev_min = (res_ts.iloc[::-1]
+               .groupby(df["conv_id"].iloc[::-1], sort=False)
+               .cummin().iloc[::-1]
+               .replace(np.inf, np.nan))
+    nxt = rev_min.groupby(df["conv_id"], sort=False).shift(-1)
+    keep = ((df["tool"].to_numpy() != "")
+            & (df["role"].to_numpy() != "tool")
+            & nxt.notna().to_numpy())
+    lat = (nxt[keep].to_numpy(dtype=np.int64)
+           - df["ts_us"][keep].to_numpy(dtype=np.int64))
+    return pd.DataFrame({"tool": df["tool"][keep].to_numpy(),
+                         "lat_us": lat})
+
+
 def tool_latency(transcripts_ds, num_buckets: int | None = None):
     """Per tool: n_calls, mean/max seconds from a call turn to the
     earliest following observation turn (role == 'tool', min ts over
@@ -86,30 +115,13 @@ def tool_latency(transcripts_ds, num_buckets: int | None = None):
         })
 
     def bucket_partial(tbl: pa.Table) -> pa.Table:
-        df = _sorted_bucket_df(tbl)
-        # non-result rows get +inf so the reversed cummin CARRIES the
-        # min across them (pandas cummin leaves NaN at NaN inputs)
-        res_ts = df["ts_us"].where(df["role"].to_numpy() == "tool",
-                                   np.inf)
-        # min following-result ts: reversed cummin within conversation
-        # (cython), then a strict shift(-1) to exclude the row itself
-        rev_min = (res_ts.iloc[::-1]
-                   .groupby(df["conv_id"].iloc[::-1], sort=False)
-                   .cummin().iloc[::-1]
-                   .replace(np.inf, np.nan))
-        df["nxt_us"] = rev_min.groupby(df["conv_id"], sort=False).shift(-1)
-        calls = df[(df["tool"].to_numpy() != "")
-                   & (df["role"].to_numpy() != "tool")
-                   & df["nxt_us"].notna()]
+        pairs = call_latencies(_sorted_bucket_df(tbl))
         schema = pa.schema([
             ("tool", pa.string()), ("n_calls", pa.int64()),
             ("sum_us", pa.int64()), ("max_us", pa.int64())])
-        if not len(calls):
+        if not len(pairs):
             return schema.empty_table()
-        lat = (calls["nxt_us"].to_numpy(dtype=np.int64)
-               - calls["ts_us"].to_numpy(dtype=np.int64))
-        out = (pd.DataFrame({"tool": calls["tool"].to_numpy(),
-                             "lat_us": lat})
+        out = (pairs
                .groupby("tool", sort=False)["lat_us"]
                .agg(n_calls="size", sum_us="sum", max_us="max")
                .reset_index())

@@ -2030,3 +2030,112 @@ class TestConvMine:
             pd.testing.assert_frame_equal(
                 got, want[got.columns.tolist()])
             assert len(got) > 0
+
+
+class TestLogOps:
+    """Log-analytics operators: template mining, deterministic
+    throttle, latency percentiles."""
+
+    def test_log_templates_hand_case(self):
+        from go_fluentd_ray.functions import logops
+
+        df = pd.DataFrame({"text": [
+            "conn from 10.0.0.1 port 443",
+            "conn from 10.0.0.99 port 8080",
+            "conn from 192.168.1.5 port 22",
+            "disk full on /dev/sda1",
+        ]})
+        out = logops.log_templates(rd.from_pandas(df), k=5)
+        assert list(out["template"]) == [
+            "conn from <N>.<N>.<N>.<N> port <N>",
+            "disk full on /dev/sda<N>",
+        ]
+        assert list(out["n"]) == [3, 1]
+
+    def test_throttle_hand_case(self):
+        from go_fluentd_ray.functions import logops
+
+        # 4 user turns in one minute window, budget 2 -> earliest two
+        # by ts win; the assistant tag has its own budget.
+        df = pd.DataFrame({
+            "conv_id": ["a", "b", "c", "d", "e"],
+            "turn_idx": np.zeros(5, dtype=np.int32),
+            "role": ["user", "user", "user", "user", "assistant"],
+            "ts": pd.to_datetime(
+                [30_000_000, 10_000_000, 20_000_000, 40_000_000,
+                 50_000_000], unit="us"),
+        })
+        out = (logops.throttle_tags(rd.from_pandas(df),
+                                    max_per_window=2, window_sec=60)
+               .to_pandas().sort_values("conv_id"))
+        assert list(out["conv_id"]) == ["b", "c", "e"]
+
+    def test_throttle_tie_break_is_total_order(self):
+        from go_fluentd_ray.functions import logops
+
+        # identical ts: admission must follow (conv_id, turn_idx)
+        df = pd.DataFrame({
+            "conv_id": ["z", "a", "m"],
+            "turn_idx": np.zeros(3, dtype=np.int32),
+            "role": ["user"] * 3,
+            "ts": pd.to_datetime([7, 7, 7], unit="s"),
+        })
+        out = (logops.throttle_tags(rd.from_pandas(df),
+                                    max_per_window=2, window_sec=60)
+               .to_pandas())
+        assert sorted(out["conv_id"]) == ["a", "m"]
+
+    def test_tool_latency_pct_hand_case(self):
+        from go_fluentd_ray.functions import logops
+
+        # one conversation, three bash calls with latencies 1s, 2s, 4s
+        rows, t = [], 0
+        for lat in (1, 2, 4):
+            rows.append(("c", len(rows) * 2, "assistant", "bash", t))
+            rows.append(("c", len(rows) * 2 + 1, "tool", "bash",
+                         t + lat * 1_000_000))
+            t += 10_000_000
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                         "role", "tool", "ts"])
+        df["turn_idx"] = df["turn_idx"].astype(np.int32)
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df["text"] = "x"
+        out = (logops.tool_latency_pct(rd.from_pandas(df))
+               .to_pandas().set_index("tool"))
+        # quantile_disc over [1s, 2s, 4s]: ceil(.5*3)=2 -> 2s;
+        # ceil(.95*3)=ceil(2.85)=3 -> 4s; ceil(.99*3)=3 -> 4s
+        assert out.loc["bash", "n_calls"] == 3
+        assert out.loc["bash", "p50_us"] == 2_000_000
+        assert out.loc["bash", "p95_us"] == 4_000_000
+        assert out.loc["bash", "p99_us"] == 4_000_000
+
+    def test_all_match_sql_twins(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import logops
+
+        path = synth.ensure_corpus(60000)
+        con = duckdb.connect()
+        got = logops.log_templates(rd.read_parquet(path))
+        want = con.execute(logops.log_templates_sql(path)).df()
+        pd.testing.assert_frame_equal(got, want)
+        assert len(got) == 30
+
+        for fn, sql, keys in [
+                (logops.throttle_tags,
+                 logops.throttle_tags_sql(path),
+                 ["tag", "window_us", "conv_id", "turn_idx"]),
+                (logops.tool_latency_pct,
+                 logops.tool_latency_pct_sql(path), ["tool"])]:
+            got = (fn(rd.read_parquet(path)).to_pandas()
+                   .sort_values(keys).reset_index(drop=True))
+            want = (con.execute(sql).df()
+                    .sort_values(keys).reset_index(drop=True))
+            for c in want.columns:
+                if want[c].dtype != got[c].dtype \
+                        and got[c].dtype == "int64":
+                    want[c] = want[c].astype("int64")
+            pd.testing.assert_frame_equal(
+                got, want[got.columns.tolist()])
+            assert len(got) > 0
