@@ -534,6 +534,18 @@ def _q_prefix_forks(sf_dir: str):
     return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_sft_pipeline(sf_dir: str):
+    """COMPOSED transcript → SFT-dataset pipeline: conversation
+    quality gate ∧ loop gate → exact conversation dedup among
+    survivors → SFT pair extraction → md5(conv_id) split. Three
+    exchanges total; text crosses the wire exactly once."""
+    import ray.data as rd
+
+    from go_fluentd_ray.pipelines import sftbuild
+
+    return sftbuild.sft_pipeline(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_log_templates(sf_dir: str):
     """Drain-style log-template mining: mask digit runs to <N>, exact
     corpus-wide top-k (the word_topk bucketed pattern — the driver
@@ -1065,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": _q_log_templates,
         "throttle_tags": _q_throttle_tags,
         "tool_latency_pct": _q_tool_latency_pct,
+        "sft_pipeline": _q_sft_pipeline,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1197,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import turnflow as _turnflow
     from go_fluentd_ray.functions import convmine as _convmine
     from go_fluentd_ray.functions import logops as _logops
+    from go_fluentd_ray.pipelines import sftbuild as _sftbuild
     from go_fluentd_ray.functions import leakage as _leakage
     from go_fluentd_ray.functions import rangejoin as _rangejoin
     from go_fluentd_ray.functions import spandedup as _spandedup
@@ -1323,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "throttle_tags": _logops.throttle_tags_sql(_corpus(SF001)),
         "tool_latency_pct": _logops.tool_latency_pct_sql(
             _corpus(SF001)),
+        "sft_pipeline": _sftbuild.sft_pipeline_sql(_corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

@@ -71,6 +71,37 @@ def _md5_hex(texts) -> pa.Array:
 
 # ------------------------------------------------------------- SFT extraction
 
+SFT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+    ("n_context_turns", pa.int64()),
+    ("context", pa.string()), ("response", pa.string())])
+
+
+def sft_kernel(df: pd.DataFrame, k_context: int) -> pd.DataFrame:
+    """Per-bucket SFT extraction over a (conv_id, turn_idx)-sorted
+    frame with columns conv_id/turn_idx/role/text — shared by
+    sft_examples and pipelines.sftbuild. k_context vectorized
+    group-shift string folds, oldest turn first."""
+    line = df["role"] + ": " + df["text"]
+    g = line.groupby(df["conv_id"], sort=False)
+    ctx = pd.Series("", index=df.index, dtype=object)
+    for k in range(k_context, 0, -1):
+        prev = g.shift(k)
+        has = prev.notna().to_numpy()
+        sep = np.where((ctx.to_numpy() != "") & has, "\n", "")
+        ctx = ctx + sep + prev.fillna("").to_numpy()
+    n_ctx = (df.groupby("conv_id", sort=False).cumcount()
+             .clip(upper=k_context).astype("int64"))
+    keep = df["role"].to_numpy() == "assistant"
+    return pd.DataFrame({
+        "conv_id": df["conv_id"][keep],
+        "turn_idx": df["turn_idx"][keep].astype("int64"),
+        "n_context_turns": n_ctx[keep],
+        "context": ctx[keep],
+        "response": df["text"][keep],
+    })
+
+
 def sft_examples(transcripts_ds, k_context: int = SFT_CONTEXT_TURNS,
                  num_buckets: int | None = None):
     """For each assistant turn: (conv_id, turn_idx, n_context_turns,
@@ -96,35 +127,11 @@ def sft_examples(transcripts_ds, k_context: int = SFT_CONTEXT_TURNS,
             "text": batch["text"],
         })
 
-    schema = pa.schema([
-        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
-        ("n_context_turns", pa.int64()),
-        ("context", pa.string()), ("response", pa.string())])
-
     def bucket_examples(tbl: pa.Table) -> pa.Table:
         df = _sorted_bucket_df(tbl)
         if not len(df):
-            return schema.empty_table()
-        line = df["role"] + ": " + df["text"]
-        g = line.groupby(df["conv_id"], sort=False)
-        ctx = pd.Series("", index=df.index, dtype=object)
-        # oldest-first: fold shift(K) .. shift(1) into the context
-        for k in range(K, 0, -1):
-            prev = g.shift(k)
-            has = prev.notna().to_numpy()
-            sep = np.where((ctx.to_numpy() != "") & has, "\n", "")
-            ctx = ctx + sep + prev.fillna("").to_numpy()
-        n_ctx = (df.groupby("conv_id", sort=False).cumcount()
-                 .clip(upper=K).astype("int64"))
-        keep = df["role"].to_numpy() == "assistant"
-        out = pd.DataFrame({
-            "conv_id": df["conv_id"][keep],
-            "turn_idx": df["turn_idx"][keep].astype("int64"),
-            "n_context_turns": n_ctx[keep],
-            "context": ctx[keep],
-            "response": df["text"][keep],
-        })
-        return _from_pandas(out, schema)
+            return SFT_SCHEMA.empty_table()
+        return _from_pandas(sft_kernel(df, K), SFT_SCHEMA)
 
     proj = transcripts_ds.select_columns(
         ["conv_id", "turn_idx", "role", "text"]

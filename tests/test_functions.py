@@ -2139,3 +2139,68 @@ class TestLogOps:
             pd.testing.assert_frame_equal(
                 got, want[got.columns.tolist()])
             assert len(got) > 0
+
+
+class TestSftPipeline:
+    """Composed transcript -> SFT-dataset pipeline: every gate must
+    independently shape the output."""
+
+    @staticmethod
+    def _conv(cid, roles, texts, t0=0):
+        return pd.DataFrame({
+            "conv_id": [cid] * len(texts),
+            "turn_idx": np.arange(len(texts), dtype=np.int32),
+            "role": roles,
+            "text": texts,
+            "tool": [""] * len(texts),
+            "ts": pd.to_datetime(
+                np.arange(len(texts)) * 1_000_000 + t0, unit="us"),
+        })
+
+    def test_gates_and_dedup_shape_output(self):
+        from go_fluentd_ray.pipelines import sftbuild
+
+        good = ["hi", "hello", "more", "sure"]
+        df = pd.concat([
+            # A: passes every gate -> its assistant turns are emitted
+            self._conv("a", ["user", "assistant", "user", "assistant"],
+                       good),
+            # B: loop of 3 identical assistant turns -> excluded
+            self._conv("b", ["user", "assistant", "assistant",
+                             "assistant"],
+                       ["q", "same", "same", "same"]),
+            # C: exact duplicate of A, higher conv_id -> dedup drops it
+            self._conv("c", ["user", "assistant", "user", "assistant"],
+                       good),
+            # D: single role -> stats gate drops it
+            self._conv("d", ["user", "user"], ["x", "y"]),
+        ], ignore_index=True)
+        out = (sftbuild.sft_pipeline(rd.from_pandas(df), k_context=2)
+               .to_pandas().sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        assert set(out["conv_id"]) == {"a"}
+        assert list(out["response"]) == ["hello", "sure"]
+        assert list(out["context"]) == [
+            "user: hi", "assistant: hello\nuser: more"]
+        assert set(out["split"]) <= {"train", "val", "test"}
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.pipelines import sftbuild
+
+        path = synth.ensure_corpus(60000)
+        keys = ["conv_id", "turn_idx"]
+        got = (sftbuild.sft_pipeline(rd.read_parquet(path)).to_pandas()
+               .sort_values(keys).reset_index(drop=True))
+        want = (duckdb.connect().execute(sftbuild.sft_pipeline_sql(path))
+                .df().sort_values(keys).reset_index(drop=True))
+        for c in want.columns:
+            if want[c].dtype != got[c].dtype and got[c].dtype == "int64":
+                want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        # the gates must really bite vs ungated extraction
+        from go_fluentd_ray.functions import convmine
+        ungated = convmine.sft_examples(rd.read_parquet(path)).count()
+        assert 0 < len(got) < ungated
