@@ -534,6 +534,18 @@ def _q_prefix_forks(sf_dir: str):
     return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_rate_anomaly(sf_dir: str):
+    """Per-tag event-rate anomaly detection: z-score of each observed
+    (tag, minute-window) count vs the 12 preceding observed windows.
+    Integer trailing sums + one fixed float64 op order — the z values
+    are bit-identical with SQL, not approximately equal."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    return logops.rate_anomaly(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_sft_pipeline(sf_dir: str):
     """COMPOSED transcript → SFT-dataset pipeline: conversation
     quality gate ∧ loop gate → exact conversation dedup among
@@ -1078,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_tags": _q_throttle_tags,
         "tool_latency_pct": _q_tool_latency_pct,
         "sft_pipeline": _q_sft_pipeline,
+        "rate_anomaly": _q_rate_anomaly,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1338,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_latency_pct": _logops.tool_latency_pct_sql(
             _corpus(SF001)),
         "sft_pipeline": _sftbuild.sft_pipeline_sql(_corpus(SF001)),
+        "rate_anomaly": _logops.rate_anomaly_sql(_corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

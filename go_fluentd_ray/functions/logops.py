@@ -278,3 +278,139 @@ calls AS (
 SELECT tool, count(*)::BIGINT AS n_calls,
        {qcols}
 FROM calls GROUP BY tool"""
+
+
+# ------------------------------------------------------------- rate anomalies
+
+ANOMALY_TRAIL_WINDOWS = 12
+ANOMALY_Z = 3.0
+ANOMALY_WINDOW_SEC = 60
+
+
+def rate_anomaly(transcripts_ds,
+                 window_sec: int = ANOMALY_WINDOW_SEC,
+                 trail: int = ANOMALY_TRAIL_WINDOWS,
+                 z_thresh: float = ANOMALY_Z,
+                 tag_col: str = "role",
+                 num_buckets: int | None = None):
+    """Per-tag event-rate anomaly detection (the alerting pass of a
+    log pipeline): for each OBSERVED (tag, tumbling window) count,
+    the z-score against the ``trail`` immediately preceding observed
+    windows of the same tag. Only windows with a full trail and
+    non-zero variance are emitted (the integer guard
+    trail*sumsq > sum² decides, so both engines agree exactly).
+
+    Bit-comparability: the trailing sums are INTEGER (sum, sum-of-
+    squares over int64 counts), and mean/var/z are derived from them
+    with one fixed float64 op order shared with the SQL twin — the
+    floats are bit-identical, not approximately equal.
+
+    Scale design: stage 1 moves per-batch (tag, window, n) count
+    partials — skinny; stage 2 buckets by hash(tag) so a tag's
+    ordered window series is whole in one task (tag cardinality is
+    the routing-tag set, small by construction; windows are rolled
+    with one cython pandas pass per bucket).
+    """
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+    win_us = window_sec * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64())
+        win = pc.multiply(pc.divide(ts, win_us), win_us)
+        df = pd.DataFrame({"tag": batch[tag_col].to_pylist(),
+                           "window_us": win.to_pylist()})
+        g = (df.groupby(["tag", "window_us"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "tag": pa.array(g["tag"], type=pa.string()),
+            "window_us": pa.array(g["window_us"].to_numpy(),
+                                  type=pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64())})
+
+    schema = pa.schema([
+        ("tag", pa.string()), ("window_us", pa.int64()),
+        ("n", pa.int64()), ("mean_prev", pa.float64()),
+        ("z", pa.float64()), ("is_anomaly", pa.bool_())])
+
+    def bucket_score(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if not len(df):
+            return schema.empty_table()
+        df = (df.groupby(["tag", "window_us"], sort=False)["n"].sum()
+              .reset_index()
+              .sort_values(["tag", "window_us"], kind="mergesort",
+                           ignore_index=True))
+        g = df.groupby("tag", sort=False)["n"]
+        s1 = g.transform(
+            lambda s: s.rolling(trail).sum().shift(1))
+        s2 = g.transform(
+            lambda s: (s * s).rolling(trail).sum().shift(1))
+        full = s1.notna().to_numpy()
+        # integer variance guard: trail*sumsq > sum^2 exactly
+        s1i = s1.fillna(0).to_numpy(dtype=np.int64)
+        s2i = s2.fillna(0).to_numpy(dtype=np.int64)
+        ok = full & (trail * s2i > s1i * s1i)
+        d = df[ok]
+        s1f = s1i[ok].astype(np.float64)
+        s2f = s2i[ok].astype(np.float64)
+        nf = d["n"].to_numpy(dtype=np.float64)
+        mean = s1f / float(trail)
+        var = (s2f - s1f * s1f / float(trail)) / float(trail - 1)
+        z = (nf - s1f / float(trail)) / np.sqrt(var)
+        out = pd.DataFrame({
+            "tag": d["tag"].to_numpy(),
+            "window_us": d["window_us"].to_numpy(),
+            "n": d["n"].to_numpy(),
+            "mean_prev": mean, "z": z,
+            "is_anomaly": np.abs(z) >= z_thresh})
+        return pa.Table.from_pandas(
+            out, schema=schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        [tag_col, "ts"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["tag"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_score,
+                                            batch_format="pyarrow")
+
+
+def rate_anomaly_sql(path: str,
+                     window_sec: int = ANOMALY_WINDOW_SEC,
+                     trail: int = ANOMALY_TRAIL_WINDOWS,
+                     z_thresh: float = ANOMALY_Z,
+                     tag_col: str = "role") -> str:
+    """DuckDB twin: identical integer trailing sums and the identical
+    float64 op order, so mean/z are bit-identical."""
+    win_us = window_sec * 1_000_000
+    t = float(trail)
+    return f"""
+WITH w AS (
+  SELECT {tag_col} AS tag,
+         (epoch_us(ts) // {win_us}) * {win_us} AS window_us,
+         count(*)::BIGINT AS n
+  FROM read_parquet('{path}/*.parquet')
+  GROUP BY tag, window_us
+),
+s AS (
+  SELECT tag, window_us, n,
+         sum(n) OVER tw AS s1, sum(n * n) OVER tw AS s2,
+         count(n) OVER tw AS cnt
+  FROM w WINDOW tw AS (
+    PARTITION BY tag ORDER BY window_us
+    ROWS BETWEEN {trail} PRECEDING AND 1 PRECEDING)
+)
+SELECT tag, window_us, n,
+       s1::DOUBLE / {t} AS mean_prev,
+       (n::DOUBLE - s1::DOUBLE / {t})
+         / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / {t})
+                / {t - 1.0}) AS z,
+       abs((n::DOUBLE - s1::DOUBLE / {t})
+           / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / {t})
+                  / {t - 1.0})) >= {z_thresh} AS is_anomaly
+FROM s
+WHERE cnt = {trail} AND {trail} * s2 > s1 * s1"""

@@ -2204,3 +2204,51 @@ class TestSftPipeline:
         from go_fluentd_ray.functions import convmine
         ungated = convmine.sft_examples(rd.read_parquet(path)).count()
         assert 0 < len(got) < ungated
+
+
+class TestRateAnomaly:
+    def test_planted_burst(self):
+        from go_fluentd_ray.functions import logops
+
+        # 13 quiet minutes with varied counts (non-zero variance),
+        # then a burst minute: the burst must flag, the quiet must not
+        rows = []
+        counts = [3, 4, 3, 5, 4, 3, 4, 5, 3, 4, 3, 4, 4, 60]
+        for m, c in enumerate(counts):
+            for i in range(c):
+                rows.append((f"c{m}-{i}", 0, "user",
+                             m * 60_000_000 + i * 1000))
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                         "role", "ts"])
+        df["turn_idx"] = df["turn_idx"].astype(np.int32)
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        out = (logops.rate_anomaly(rd.from_pandas(df))
+               .to_pandas().sort_values("window_us")
+               .reset_index(drop=True))
+        # only windows 12 and 13 have a full 12-window trail
+        assert len(out) == 2
+        assert not bool(out.iloc[0]["is_anomaly"])   # count 4, quiet
+        assert bool(out.iloc[1]["is_anomaly"])       # count 60, burst
+        assert out.iloc[1]["z"] > 10
+
+    def test_matches_sql_twin_bit_exact(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import logops
+
+        path = synth.ensure_corpus(60000)
+        keys = ["tag", "window_us"]
+        got = (logops.rate_anomaly(rd.read_parquet(path)).to_pandas()
+               .sort_values(keys).reset_index(drop=True))
+        want = (duckdb.connect().execute(logops.rate_anomaly_sql(path))
+                .df().sort_values(keys).reset_index(drop=True))
+        for c in want.columns:
+            if want[c].dtype != got[c].dtype and got[c].dtype == "int64":
+                want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        assert len(got) > 0
+        # float z must be BIT-identical (same integer sums, same op
+        # order), not merely approximately equal
+        assert np.array_equal(got["z"].to_numpy().view(np.int64),
+                              want["z"].to_numpy().view(np.int64))
