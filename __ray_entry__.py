@@ -534,6 +534,17 @@ def _q_prefix_forks(sf_dir: str):
     return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_tool_errors(sf_dir: str):
+    """Per-tool error rate over observation turns (RE2 error-pattern
+    match): pure map-side count partials, one tiny final groupby —
+    only (tool, 2 ints) ever moves."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    return logops.tool_errors(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_rate_anomaly(sf_dir: str):
     """Per-tag event-rate anomaly detection: z-score of each observed
     (tag, minute-window) count vs the 12 preceding observed windows.
@@ -1091,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_latency_pct": _q_tool_latency_pct,
         "sft_pipeline": _q_sft_pipeline,
         "rate_anomaly": _q_rate_anomaly,
+        "tool_errors": _q_tool_errors,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1352,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
             _corpus(SF001)),
         "sft_pipeline": _sftbuild.sft_pipeline_sql(_corpus(SF001)),
         "rate_anomaly": _logops.rate_anomaly_sql(_corpus(SF001)),
+        "tool_errors": _logops.tool_errors_sql(_corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

@@ -275,3 +275,33 @@ def bench_turnflow(sf_dir: str):
 
 
 BENCHES.update({"turnflow": bench_turnflow})
+
+
+def bench_sft_pipeline(sf_dir: str):
+    """The composed transcript -> SFT-dataset build (gates -> dedup ->
+    extraction -> split): three bucketed exchanges, text moves once."""
+    import ray.data as rd
+
+    from .. import synth
+    from ..pipelines.sftbuild import sft_pipeline
+
+    path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
+    return sft_pipeline(rd.read_parquet(path)).count()
+
+
+def bench_log_analytics(sf_dir: str):
+    """Template mining + rate anomaly over one corpus read each —
+    both are skinny-partial patterns (counts move, text doesn't)."""
+    import ray.data as rd
+
+    from .. import synth
+    from .logops import log_templates, rate_anomaly
+
+    path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
+    n = len(log_templates(rd.read_parquet(path)))
+    n += rate_anomaly(rd.read_parquet(path)).count()
+    return n
+
+
+BENCHES.update({"sft_pipeline": bench_sft_pipeline,
+                "log_analytics": bench_log_analytics})

@@ -414,3 +414,68 @@ SELECT tag, window_us, n,
                   / {t - 1.0})) >= {z_thresh} AS is_anomaly
 FROM s
 WHERE cnt = {trail} AND {trail} * s2 > s1 * s1"""
+
+
+# ------------------------------------------------------------ tool error rates
+
+TOOL_ERROR_RE = r"(?i)\b(error|failed|exception|timeout)\b"
+
+
+def tool_errors(transcripts_ds, pattern: str = TOOL_ERROR_RE):
+    """Per-tool error rate over observation turns (role == 'tool',
+    tool != ''): n_obs, n_err (text matches the RE2 error pattern),
+    err_rate = n_err::double / n_obs (one division order, shared with
+    SQL). Pure map-side count partials + one tiny final groupby —
+    nothing but (tool, 2 ints) ever moves."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        obs = batch.filter(
+            pc.and_(pc.equal(batch["role"], "tool"),
+                    pc.not_equal(pc.fill_null(batch["tool"], ""), "")))
+        if not obs.num_rows:
+            return pa.schema([("tool", pa.string()),
+                              ("n_obs", pa.int64()),
+                              ("n_err", pa.int64())]).empty_table()
+        err = pc.cast(pc.match_substring_regex(obs["text"], pattern),
+                      pa.int64())
+        g = (pd.DataFrame({"tool": obs["tool"].to_pylist(),
+                           "err": err.to_pylist()})
+             .groupby("tool", sort=False)["err"]
+             .agg(n_obs="size", n_err="sum").reset_index())
+        return pa.table({
+            "tool": pa.array(g["tool"], type=pa.string()),
+            "n_obs": pa.array(g["n_obs"].to_numpy(), type=pa.int64()),
+            "n_err": pa.array(g["n_err"].to_numpy(), type=pa.int64())})
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        df = (tbl.to_pandas().groupby("tool", sort=False)
+              .agg(n_obs=("n_obs", "sum"), n_err=("n_err", "sum"))
+              .reset_index())
+        rate = (df["n_err"].to_numpy(dtype=np.float64)
+                / df["n_obs"].to_numpy(dtype=np.float64))
+        return pa.table({
+            "tool": pa.array(df["tool"], type=pa.string()),
+            "n_obs": pa.array(df["n_obs"].to_numpy(), type=pa.int64()),
+            "n_err": pa.array(df["n_err"].to_numpy(), type=pa.int64()),
+            "err_rate": pa.array(rate, type=pa.float64())})
+
+    agg = transcripts_ds.select_columns(
+        ["role", "tool", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # |tools| x n_batches partial rows — one tiny final task
+    return agg.repartition(1).map_batches(finalize,
+                                          batch_format="pyarrow")
+
+
+def tool_errors_sql(path: str, pattern: str = TOOL_ERROR_RE) -> str:
+    return f"""
+WITH obs AS (
+  SELECT tool,
+         CASE WHEN regexp_matches(text, '{pattern}')
+              THEN 1 ELSE 0 END AS err
+  FROM read_parquet('{path}/*.parquet')
+  WHERE role = 'tool' AND tool IS NOT NULL AND tool <> ''
+)
+SELECT tool, count(*)::BIGINT AS n_obs, sum(err)::BIGINT AS n_err,
+       sum(err)::DOUBLE / count(*)::DOUBLE AS err_rate
+FROM obs GROUP BY tool"""

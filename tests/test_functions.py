@@ -2252,3 +2252,47 @@ class TestRateAnomaly:
         # order), not merely approximately equal
         assert np.array_equal(got["z"].to_numpy().view(np.int64),
                               want["z"].to_numpy().view(np.int64))
+
+
+class TestToolErrors:
+    def test_hand_case_and_word_boundary(self):
+        from go_fluentd_ray.functions import logops
+
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 5,
+            "turn_idx": np.arange(5, dtype=np.int32),
+            "role": ["tool", "tool", "tool", "assistant", "tool"],
+            "tool": ["bash", "bash", "py", "py", ""],
+            "text": ["Error: exit 1",            # counts (bash)
+                     "ok",                       # clean (bash)
+                     "request TIMEOUT reached",  # counts (py), any case
+                     "error",     # role != tool -> not an observation
+                     "failed"],   # tool == '' -> not an observation
+        })
+        out = (logops.tool_errors(rd.from_pandas(df))
+               .to_pandas().set_index("tool"))
+        assert out.loc["bash", "n_obs"] == 2
+        assert out.loc["bash", "n_err"] == 1
+        assert out.loc["bash", "err_rate"] == 0.5
+        assert out.loc["py", "n_obs"] == 1
+        assert out.loc["py", "n_err"] == 1
+        # substrings must NOT match: \b word boundaries
+        df2 = df.assign(text=["terror", "unfailedness", "x", "y", "z"])
+        out2 = (logops.tool_errors(rd.from_pandas(df2))
+                .to_pandas().set_index("tool"))
+        assert out2.loc["bash", "n_err"] == 0
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import logops
+
+        path = synth.ensure_corpus(60000)
+        got = (logops.tool_errors(rd.read_parquet(path)).to_pandas()
+               .sort_values("tool").reset_index(drop=True))
+        want = (duckdb.connect().execute(logops.tool_errors_sql(path))
+                .df().sort_values("tool").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        # the synth corpus plants real tool errors
+        assert got["n_err"].sum() > 0
