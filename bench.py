@@ -126,7 +126,10 @@ def run_scaling() -> dict:
 
     synth.ensure_corpus(n_turns)
 
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # best-of-4: host noise can inflate a single level 1.5-2x (measured
+    # 21.7/15.9/17.6 s vs a true 10.8-12.6 s at 32 cpus on a noisy day;
+    # see BASELINE.md) — 2 repeats is not always enough to recover
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "4"))
 
     def one(ncpu: int) -> dict:
         """Best of N fresh-process runs (wall time has multi-second
