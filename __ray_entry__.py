@@ -534,6 +534,19 @@ def _q_prefix_forks(sf_dir: str):
     return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_preference_pairs(sf_dir: str):
+    """DPO/RLHF candidate pairs from prefix forks: one representative
+    per distinct continuation, all rep pairs with their first point
+    of divergence and both diverging turn texts. Four exchanges — all
+    skinny except the single corpus pass; the pair compute touches
+    only the fork subset."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convmine
+
+    return convmine.preference_pairs(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_tool_errors(sf_dir: str):
     """Per-tool error rate over observation turns (RE2 error-pattern
     match): pure map-side count partials, one tiny final groupby —
@@ -1103,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pipeline": _q_sft_pipeline,
         "rate_anomaly": _q_rate_anomaly,
         "tool_errors": _q_tool_errors,
+        "preference_pairs": _q_preference_pairs,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1365,6 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "sft_pipeline": _sftbuild.sft_pipeline_sql(_corpus(SF001)),
         "rate_anomaly": _logops.rate_anomaly_sql(_corpus(SF001)),
         "tool_errors": _logops.tool_errors_sql(_corpus(SF001)),
+        "preference_pairs": _convmine.preference_pairs_sql(
+            _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
         "doc_fingerprint": T.fingerprint_sql(),

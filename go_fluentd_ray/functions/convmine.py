@@ -373,3 +373,278 @@ SELECT prefix_sig, count(*)::BIGINT AS n_convs,
        min(conv_id) AS example_conv_id
 FROM sigs GROUP BY prefix_sig
 HAVING count(DISTINCT full_sig) >= 2"""
+
+
+# --------------------------------------------------------- preference pairs
+
+def preference_pairs(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
+                     num_buckets: int | None = None):
+    """Materialize preference-pair CANDIDATES from prefix forks (the
+    DPO/RLHF mining step downstream of prefix_forks): for every fork
+    group, one representative conversation per distinct continuation
+    (min conv_id per (prefix_sig, full_sig)), then all rep pairs
+    (conv_a < conv_b) with their first point of divergence:
+
+        (prefix_sig, conv_a, conv_b, div_turn, text_a, text_b)
+
+    div_turn is the 1-based position of the first turn where the
+    digest chains differ (or where the shorter conversation ends);
+    text_a/text_b are the turns at that position ('' when that side
+    already ended — the length-divergence case).
+
+    Scale design: four exchanges, all skinny except the one corpus
+    pass — (1) per-turn digests keyed hash(conv_id) → conversation
+    signatures; (2) signatures keyed hash(prefix_sig) → variant reps
+    and fork groups; (3) corpus ∪ rep keys keyed hash(conv_id) →
+    semi-join emits ONLY rep-conversation turns (the fork subset,
+    a vanishing fraction of the corpus) tagged with their prefix_sig;
+    (4) rep turns keyed hash(prefix_sig) → per-group pair compute.
+    Groups are small by construction (variants of one shared prefix),
+    so the per-pair LCP scan inside a group is bounded work; the
+    divergence point is found on digest arrays, never by re-reading
+    text.
+    """
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    # ---- exchange 1: conversation signatures (skinny digests)
+    def project(batch: pa.Table) -> pa.Table:
+        lines = pc.binary_join_element_wise(
+            batch["role"], batch["text"], ":")
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "hhex": _md5_hex(lines.to_pylist()),
+        })
+
+    sig_schema = pa.schema([
+        ("conv_id", pa.string()), ("prefix_sig", pa.string()),
+        ("full_sig", pa.string())])
+
+    def conv_sigs(tbl: pa.Table) -> pa.Table:
+        df = _sorted_bucket_df(tbl)
+        if not len(df):
+            return sig_schema.empty_table()
+        g = df.groupby("conv_id", sort=False)
+        rn = g.cumcount()
+        n = g["hhex"].transform("size")
+        ok = n.to_numpy() >= k_prefix
+        df, rn = df[ok], rn[ok]
+        full = (df.groupby("conv_id", sort=False)["hhex"].agg("".join)
+                .map(lambda s: hashlib.md5(s.encode()).hexdigest()))
+        pref = (df[rn.to_numpy() < k_prefix]
+                .groupby("conv_id", sort=False)["hhex"].agg("".join)
+                .map(lambda s: hashlib.md5(s.encode()).hexdigest()))
+        out = pd.DataFrame({"conv_id": full.index,
+                            "prefix_sig": pref.reindex(full.index),
+                            "full_sig": full.to_numpy()})
+        return _from_pandas(out.reset_index(drop=True), sig_schema)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    sigs = proj.groupby("__bkt").map_groups(conv_sigs,
+                                            batch_format="pyarrow")
+
+    # ---- exchange 2: variant reps within fork groups
+    rep_schema = pa.schema([("conv_id", pa.string()),
+                            ("prefix_sig", pa.string())])
+
+    def fork_reps(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if not len(df):
+            return rep_schema.empty_table()
+        reps = (df.sort_values("conv_id", kind="mergesort")
+                .groupby(["prefix_sig", "full_sig"], sort=False)
+                .agg(conv_id=("conv_id", "first")).reset_index())
+        nvar = reps.groupby("prefix_sig", sort=False)[
+            "full_sig"].transform("nunique")
+        reps = reps[nvar.to_numpy() >= 2]
+        return _from_pandas(
+            reps[["conv_id", "prefix_sig"]].reset_index(drop=True),
+            rep_schema)
+
+    reps = sigs.map_batches(
+        lambda t: add_bucket_col(t, ["prefix_sig"], B),
+        batch_format="pyarrow")
+    reps = reps.groupby("__bkt").map_groups(fork_reps,
+                                            batch_format="pyarrow")
+
+    # ---- exchange 3: semi-join corpus to rep conversations
+    union_schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("role", pa.string()), ("text", pa.string()),
+        ("prefix_sig", pa.string()), ("__keep", pa.int8())])
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "text": batch["text"],
+            "prefix_sig": pa.nulls(n, pa.string()),
+            "__keep": pa.array(np.zeros(n, dtype=np.int8)),
+        }).cast(union_schema)
+        return add_bucket_col(out, ["conv_id"], B)
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pa.nulls(n, pa.int64()),
+            "role": pa.nulls(n, pa.string()),
+            "text": pa.nulls(n, pa.string()),
+            "prefix_sig": batch["prefix_sig"],
+            "__keep": pa.array(np.ones(n, dtype=np.int8)),
+        }).cast(union_schema)
+        return add_bucket_col(out, ["conv_id"], B)
+
+    left = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(corpus_rows, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    right = reps.map_batches(rep_rows, batch_format="pyarrow")
+
+    turn_schema = pa.schema([
+        ("prefix_sig", pa.string()), ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()), ("hhex", pa.string()),
+        ("text", pa.string())])
+
+    def rep_turns(tbl: pa.Table) -> pa.Table:
+        keys = tbl.filter(pc.equal(tbl["__keep"], 1))
+        corpus = tbl.filter(pc.equal(tbl["__keep"], 0))
+        corpus = corpus.filter(pc.is_in(
+            corpus["conv_id"],
+            value_set=keys["conv_id"].combine_chunks()))
+        if not corpus.num_rows:
+            return turn_schema.empty_table()
+        sig_of = dict(zip(keys["conv_id"].to_pylist(),
+                          keys["prefix_sig"].to_pylist()))
+        lines = pc.binary_join_element_wise(
+            corpus["role"], corpus["text"], ":")
+        cids = corpus["conv_id"].to_pylist()
+        return pa.table({
+            "prefix_sig": pa.array([sig_of[c] for c in cids],
+                                   type=pa.string()),
+            "conv_id": corpus["conv_id"],
+            "turn_idx": corpus["turn_idx"],
+            "hhex": _md5_hex(lines.to_pylist()),
+            "text": corpus["text"],
+        }).cast(turn_schema)
+
+    turns = left.union(right).groupby("__bkt").map_groups(
+        rep_turns, batch_format="pyarrow")
+
+    # ---- exchange 4: per-group pair compute (tiny fork subset)
+    out_schema = pa.schema([
+        ("prefix_sig", pa.string()), ("conv_a", pa.string()),
+        ("conv_b", pa.string()), ("div_turn", pa.int64()),
+        ("text_a", pa.string()), ("text_b", pa.string())])
+
+    def pair_groups(tbl: pa.Table) -> pa.Table:
+        df = _sorted_bucket_df(
+            tbl) if "turn_idx" in tbl.column_names else tbl.to_pandas()
+        if not len(df):
+            return out_schema.empty_table()
+        rows = []
+        for sig, grp in df.groupby("prefix_sig", sort=False):
+            convs = {c: (sub["hhex"].to_numpy(),
+                         sub["text"].to_numpy())
+                     for c, sub in grp.groupby("conv_id", sort=False)}
+            ids = sorted(convs)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ha, ta = convs[ids[i]]
+                    hb, tb = convs[ids[j]]
+                    m = min(len(ha), len(hb))
+                    neq = np.nonzero(ha[:m] != hb[:m])[0]
+                    # first mismatch, else the shorter conv's end
+                    lcp = int(neq[0]) if len(neq) else m
+                    rows.append((
+                        sig, ids[i], ids[j], lcp + 1,
+                        ta[lcp] if lcp < len(ta) else "",
+                        tb[lcp] if lcp < len(tb) else ""))
+        if not rows:
+            return out_schema.empty_table()
+        out = pd.DataFrame(rows, columns=[
+            "prefix_sig", "conv_a", "conv_b", "div_turn",
+            "text_a", "text_b"])
+        out["div_turn"] = out["div_turn"].astype("int64")
+        return _from_pandas(out, out_schema)
+
+    turns = turns.map_batches(
+        lambda t: add_bucket_col(t, ["prefix_sig"], B),
+        batch_format="pyarrow")
+    return turns.groupby("__bkt").map_groups(pair_groups,
+                                             batch_format="pyarrow")
+
+
+def preference_pairs_sql(path: str,
+                         k_prefix: int = FORK_PREFIX_TURNS) -> str:
+    """DuckDB twin. The divergence point rides on CUMULATIVE digest
+    signatures: div_turn = 1 + max rn where both conversations' rn-th
+    cumulative chains are equal (an equi-join on (rn, csig) — no
+    full-outer per-pair join needed); the shared k-turn prefix
+    guarantees the LCP is >= k_prefix, and a pair that diverges only
+    by length joins nothing past the shorter end."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, md5(role || ':' || text) AS hhex, text
+  FROM read_parquet('{path}/*.parquet')
+),
+o AS (
+  SELECT conv_id, hhex, text,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n_turns
+  FROM t
+),
+sigs AS (
+  SELECT conv_id,
+         md5(string_agg(hhex, '' ORDER BY rn)
+             FILTER (WHERE rn <= {k_prefix})) AS prefix_sig,
+         md5(string_agg(hhex, '' ORDER BY rn)) AS full_sig
+  FROM o WHERE n_turns >= {k_prefix} GROUP BY conv_id
+),
+reps AS (
+  SELECT prefix_sig, full_sig, min(conv_id) AS conv_id
+  FROM sigs GROUP BY prefix_sig, full_sig
+),
+forks AS (
+  SELECT prefix_sig FROM reps GROUP BY prefix_sig
+  HAVING count(*) >= 2
+),
+pairs AS (
+  SELECT a.prefix_sig, a.conv_id AS conv_a, b.conv_id AS conv_b
+  FROM reps a
+  JOIN reps b ON a.prefix_sig = b.prefix_sig
+             AND a.conv_id < b.conv_id
+  JOIN forks f ON f.prefix_sig = a.prefix_sig
+),
+c AS (
+  SELECT conv_id, rn, text,
+         md5(string_agg(hhex, '') OVER (
+           PARTITION BY conv_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW)) AS csig
+  FROM o
+),
+lcp AS (
+  SELECT p.prefix_sig, p.conv_a, p.conv_b,
+         max(a.rn)::BIGINT + 1 AS div_turn
+  FROM pairs p
+  JOIN c a ON a.conv_id = p.conv_a
+  JOIN c b ON b.conv_id = p.conv_b
+          AND b.rn = a.rn AND b.csig = a.csig
+  GROUP BY p.prefix_sig, p.conv_a, p.conv_b
+)
+SELECT l.prefix_sig, l.conv_a, l.conv_b, l.div_turn,
+       coalesce(ta.text, '') AS text_a,
+       coalesce(tb.text, '') AS text_b
+FROM lcp l
+LEFT JOIN c ta ON ta.conv_id = l.conv_a AND ta.rn = l.div_turn
+LEFT JOIN c tb ON tb.conv_id = l.conv_b AND tb.rn = l.div_turn"""

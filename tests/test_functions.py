@@ -2296,3 +2296,63 @@ class TestToolErrors:
         pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
         # the synth corpus plants real tool errors
         assert got["n_err"].sum() > 0
+
+
+class TestPreferencePairs:
+    def test_hand_case_divergence_and_length(self):
+        from go_fluentd_ray.functions import convmine
+
+        def conv(cid, texts):
+            return pd.DataFrame({
+                "conv_id": [cid] * len(texts),
+                "turn_idx": np.arange(len(texts), dtype=np.int32),
+                "role": (["user", "assistant"] * len(texts))[:len(texts)],
+                "text": texts,
+            })
+
+        df = pd.concat([
+            # group 1: f1/f2 share 3 turns, diverge at turn 4
+            conv("f1", ["hi", "a", "mid", "left"]),
+            conv("f2", ["hi", "a", "mid", "right"]),
+            # f3: same 2-turn prefix, diverges immediately at turn 3
+            conv("f3", ["hi", "a", "other", "tail"]),
+            # f4: PURE length divergence vs f1's prefix: f4 is a strict
+            # prefix of f1 (first 3 turns) -> div at turn 4, text_b ''
+            conv("f4", ["hi", "a", "mid"]),
+            # exact dup of f1 -> same full_sig, NOT a separate variant
+            conv("f9", ["hi", "a", "mid", "left"]),
+        ], ignore_index=True)
+        out = (convmine.preference_pairs(rd.from_pandas(df),
+                                         k_prefix=2)
+               .to_pandas().sort_values(["conv_a", "conv_b"])
+               .reset_index(drop=True))
+        # reps: f1 (f9 folded in), f2, f3, f4 -> C(4,2) = 6 pairs
+        assert len(out) == 6
+        r = out.set_index(["conv_a", "conv_b"])
+        assert r.loc[("f1", "f2"), "div_turn"] == 4
+        assert r.loc[("f1", "f2"), "text_a"] == "left"
+        assert r.loc[("f1", "f2"), "text_b"] == "right"
+        assert r.loc[("f1", "f3"), "div_turn"] == 3
+        assert r.loc[("f1", "f4"), "div_turn"] == 4
+        assert r.loc[("f1", "f4"), "text_a"] == "left"
+        assert r.loc[("f1", "f4"), "text_b"] == ""  # f4 ended
+        assert "f9" not in set(out["conv_a"]) | set(out["conv_b"])
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import convmine
+
+        path = synth.ensure_corpus(60000)
+        keys = ["prefix_sig", "conv_a", "conv_b"]
+        got = (convmine.preference_pairs(rd.read_parquet(path))
+               .to_pandas().sort_values(keys).reset_index(drop=True))
+        want = (duckdb.connect()
+                .execute(convmine.preference_pairs_sql(path)).df()
+                .sort_values(keys).reset_index(drop=True))
+        for c in want.columns:
+            if want[c].dtype != got[c].dtype and got[c].dtype == "int64":
+                want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        assert len(got) > 0
