@@ -26,13 +26,21 @@ Scale design (10^12 turns): THREE exchanges total —
    context fold. Text crosses the wire exactly once, in the exchange
    whose OUTPUT is text. The split is map-side (md5, zero shuffles).
 
+``run_resumable_sft`` is the checkpointed form: the parquet write is
+FUSED into the exchange-3 map_groups call (one task owns one whole
+partition — the flagship run_resumable invariant), completed buckets
+are filtered out of the exchange-3 inputs BEFORE the text shuffle, and
+partition content is deterministic, so resumed files are byte-identical
+to an uninterrupted run.
+
 The SQL twin chains the SAME steps as CTEs (stats gate, gaps-and-
 islands loop runs, signature dedup, windowed string_agg extraction,
 md5-mod split) so the COMPOSITION is value-checked, not just the
 pieces.
 
 Reference semantics source: composition only — each stage cites its
-own reference lineage (convstats.py, convmine.py, sampling.py).
+own reference lineage (convstats.py, convmine.py, sampling.py);
+resumable layout = stages/sinks.py run_resumable conventions.
 """
 
 from __future__ import annotations
@@ -53,13 +61,15 @@ SPLIT_TEST_PCT = 10
 SPLIT_VAL_PCT = 10
 
 
-def sft_pipeline(transcripts_ds,
-                 k_context: int = SFT_CONTEXT_TURNS,
-                 num_buckets: int | None = None):
-    from ..functions.sampling import split_assign
-    from ..functions.shuffle import add_bucket_col, default_buckets
-
-    B = num_buckets or default_buckets()
+def _build_examples(transcripts_ds, k_context: int, B: int,
+                    corpus_filter, finish, finish_schema: pa.Schema):
+    """The three pipeline exchanges, with a pluggable per-bucket
+    finisher. ``corpus_filter`` (optional, map-side) prunes
+    exchange-3 inputs — the gate/dedup exchanges always see the FULL
+    corpus because keeper selection is a global min per signature.
+    ``finish(sorted_corpus_df, bucket_id) -> pa.Table`` consumes one
+    whole kept-conversation partition inside the shuffle task."""
+    from ..functions.shuffle import add_bucket_col
 
     # ---- exchange 1: per-conversation gates + signature (skinny)
     def project_digest(batch: pa.Table) -> pa.Table:
@@ -138,13 +148,15 @@ def sft_pipeline(transcripts_ds,
     keepers = keepers.groupby("__bkt").map_groups(
         keep_min, batch_format="pyarrow")
 
-    # ---- exchange 3: semi-join + extraction (text moves once)
+    # ---- exchange 3: semi-join + per-bucket finish (text moves once)
     union_schema = pa.schema([
         ("conv_id", pa.string()), ("turn_idx", pa.int64()),
         ("role", pa.string()), ("text", pa.string()),
         ("__keep", pa.int8())])
 
     def corpus_rows(batch: pa.Table) -> pa.Table:
+        if corpus_filter is not None:
+            batch = corpus_filter(batch)
         out = pa.table({
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
@@ -156,6 +168,8 @@ def sft_pipeline(transcripts_ds,
         return add_bucket_col(out, ["conv_id"], B)
 
     def keeper_rows(batch: pa.Table) -> pa.Table:
+        if corpus_filter is not None:
+            batch = corpus_filter(batch)
         n = batch.num_rows
         out = pa.table({
             "conv_id": batch["conv_id"],
@@ -179,18 +193,33 @@ def sft_pipeline(transcripts_ds,
         corpus = corpus.filter(
             pc.is_in(corpus["conv_id"], value_set=kept_ids))
         if not corpus.num_rows:
-            return SFT_SCHEMA.empty_table()
+            return finish_schema.empty_table()
+        b = int(tbl["__bkt"][0].as_py())
         df = (corpus.select(["conv_id", "turn_idx", "role", "text"])
               .to_pandas()
               .sort_values(["conv_id", "turn_idx"], kind="mergesort",
                            ignore_index=True))
+        return finish(df, b)
+
+    return left.union(right).groupby("__bkt").map_groups(
+        extract, batch_format="pyarrow")
+
+
+def sft_pipeline(transcripts_ds,
+                 k_context: int = SFT_CONTEXT_TURNS,
+                 num_buckets: int | None = None):
+    from ..functions.sampling import split_assign
+    from ..functions.shuffle import default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def finish(df: pd.DataFrame, _b: int) -> pa.Table:
         return pa.Table.from_pandas(
             sft_kernel(df, k_context), schema=SFT_SCHEMA,
             preserve_index=False).replace_schema_metadata(None)
 
-    examples = left.union(right).groupby("__bkt").map_groups(
-        extract, batch_format="pyarrow")
-
+    examples = _build_examples(transcripts_ds, k_context, B,
+                               None, finish, SFT_SCHEMA)
     # ---- map-side split on conv_id (a conversation never straddles)
     return split_assign(examples, test_pct=SPLIT_TEST_PCT,
                         val_pct=SPLIT_VAL_PCT, key="conv_id")
@@ -277,3 +306,153 @@ SELECT conv_id, turn_idx, n_context_turns, context,
               THEN 'val'
             ELSE 'train' END AS split
 FROM w2 WHERE role = 'assistant'"""
+
+
+# ------------------------------------------------------------ resumable build
+
+SFT_MANIFEST = "_SFT_MANIFEST.json"
+SFT_PARTITIONING = "_PARTITIONING.json"
+
+SFT_OUT_SCHEMA = pa.schema(list(SFT_SCHEMA)
+                           + [pa.field("split", pa.string())])
+
+
+def _sft_completed(out_root: str) -> set:
+    import os
+
+    done = set()
+    if not os.path.isdir(out_root):
+        return done
+    for name in os.listdir(out_root):
+        if name.startswith("bucket=") and os.path.exists(
+                os.path.join(out_root, name, SFT_MANIFEST)):
+            done.add(int(name.split("=", 1)[1]))
+    return done
+
+
+def _sft_pin_partitioning(out_root: str, requested: int) -> int:
+    """First run records num_buckets; later runs ADOPT it (a different
+    B re-keys rows and corrupts resume) — the sinks.py convention."""
+    import json
+    import os
+    import tempfile
+
+    p = os.path.join(out_root, SFT_PARTITIONING)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["num_buckets"])
+    fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".ptmp")
+    os.close(fd)
+    with open(tmp, "w") as f:
+        json.dump({"num_buckets": requested}, f)
+    os.rename(tmp, p)
+    return requested
+
+
+def run_resumable_sft(corpus_path: str, out_root: str,
+                      k_context: int = SFT_CONTEXT_TURNS,
+                      num_buckets: int | None = None) -> dict:
+    """The SFT build with per-partition checkpointing (the flagship
+    run_resumable pattern applied to this pipeline): the parquet write
+    is FUSED into the extraction exchange's map_groups call, so a
+    partition can never be marked complete while split across tasks;
+    data + manifest land via tmp+rename (atomic); manifest-less dirs
+    from a crashed run are cleaned before resuming.
+
+    Resume semantics: the gate/dedup exchanges (skinny digests) always
+    run — keeper selection is a GLOBAL min per signature and cannot be
+    partitioned away — but completed buckets are filtered out of the
+    exchange-3 inputs map-side, BEFORE the shuffle, so a finished
+    partition's text never crosses the wire again (text dominates the
+    wire cost; the digest exchanges are a few percent of corpus bytes).
+
+    Partition content is deterministic (keeper = min conv_id per sig;
+    examples sorted by (conv_id, turn_idx); md5-mod split), so a
+    resumed run's files are byte-identical to an uninterrupted one.
+    """
+    import hashlib as _hl
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..functions.sampling import _md5_mod100
+    from ..functions.shuffle import default_buckets, hash_bucket
+
+    os.makedirs(out_root, exist_ok=True)
+    B = _sft_pin_partitioning(out_root,
+                              num_buckets or default_buckets())
+    done = _sft_completed(out_root)
+    for name in os.listdir(out_root):
+        p = os.path.join(out_root, name)
+        if (name.startswith("bucket=") and os.path.isdir(p)
+                and not os.path.exists(os.path.join(p, SFT_MANIFEST))):
+            shutil.rmtree(p)
+
+    corpus_filter = None
+    if done:
+        skip = pa.array(sorted(int(b) for b in done), type=pa.int64())
+
+        def corpus_filter(batch: pa.Table) -> pa.Table:
+            bkt = hash_bucket(
+                np.asarray(batch["conv_id"].to_pylist(), dtype=object),
+                num_buckets=B)
+            mask = pc.invert(pc.is_in(
+                pa.array(bkt, type=pa.int64()), value_set=skip))
+            return batch.filter(mask)
+
+    stats_schema = pa.schema([("bucket", pa.int64()),
+                              ("rows", pa.int64())])
+
+    def finish(df: pd.DataFrame, b: int) -> pa.Table:
+        ex = sft_kernel(df, k_context)
+        h = _md5_mod100(ex["conv_id"].tolist())
+        ex["split"] = np.where(
+            h < SPLIT_TEST_PCT, "test",
+            np.where(h < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val",
+                     "train"))
+        ex = ex.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                            ignore_index=True)
+        part = pa.Table.from_pandas(
+            ex, schema=SFT_OUT_SCHEMA,
+            preserve_index=False).replace_schema_metadata(None)
+        d = os.path.join(out_root, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        os.close(fd)
+        _pq.write_table(part, tmp, compression="snappy")
+        with open(tmp, "rb") as f:
+            md5 = _hl.md5(f.read()).hexdigest()
+        os.rename(tmp, os.path.join(d, "data.parquet"))
+        splits = {}
+        for s in pc.unique(part["split"]).to_pylist():
+            splits[s] = pc.sum(pc.cast(
+                pc.equal(part["split"], s), pa.int64())).as_py()
+        manifest = {"bucket": b, "rows": part.num_rows,
+                    "per_split": splits, "md5": md5}
+        mfd, mtmp = tempfile.mkstemp(dir=d, suffix=".mtmp")
+        os.close(mfd)
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(mtmp, os.path.join(d, SFT_MANIFEST))
+        return pa.table({
+            "bucket": pa.array([b], type=pa.int64()),
+            "rows": pa.array([part.num_rows], type=pa.int64())})
+
+    written = _build_examples(
+        rd.read_parquet(corpus_path), k_context, B,
+        corpus_filter, finish, stats_schema).to_pandas()
+    metrics = {
+        "num_buckets": B,
+        "partitions_completed_prior": len(done),
+        "partitions_written_this_run": int(len(written)),
+        "rows_written_this_run": int(written["rows"].sum())
+        if len(written) else 0,
+    }
+    mp = os.path.join(out_root, "_METRICS.json")
+    with open(mp, "w") as f:
+        json.dump(metrics, f)
+    return metrics

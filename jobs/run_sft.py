@@ -1,0 +1,64 @@
+"""ray-job entrypoint for the composed SFT dataset build (the
+transcript-side counterpart of jobs/run_flagship.py):
+
+    ray job submit --working-dir . -- \
+        python jobs/run_sft.py --input <transcripts_dir> \
+            --output /data/sft_out --buckets 512
+
+On the sandbox single node:  python jobs/run_sft.py --demo
+Resumable: re-running with the same --output skips completed
+partitions before the text shuffle (see
+go_fluentd_ray/pipelines/sftbuild.py::run_resumable_sft); resumed
+partition files are byte-identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet dir")
+    ap.add_argument("--output", default="/tmp/sft_out")
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--k-context", type=int, default=None)
+    ap.add_argument("--demo", action="store_true",
+                    help="use the deterministic 600k-turn synthetic corpus")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():  # ray job submit initializes the session
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    from go_fluentd_ray.pipelines import sftbuild
+
+    inp = args.input
+    if args.demo or not inp:
+        from go_fluentd_ray import synth
+
+        inp = synth.ensure_corpus(600_000)
+    kwargs = {}
+    if args.k_context is not None:
+        kwargs["k_context"] = args.k_context
+    t0 = time.time()
+    metrics = sftbuild.run_resumable_sft(inp, args.output,
+                                         num_buckets=args.buckets,
+                                         **kwargs)
+    metrics["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

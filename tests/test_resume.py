@@ -7,6 +7,7 @@ import json
 import os
 import shutil
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -118,3 +119,78 @@ def test_resume_adopts_pinned_num_buckets(corpus, tmp_path):
     assert metrics["partitions"] == B
     exp, _ = oracle.run_oracle(pq.read_table(corpus))
     assert metrics["rows"] == exp.num_rows
+
+
+class TestSftResume:
+    """run_resumable_sft: per-partition checkpointing of the composed
+    SFT build."""
+
+    def test_resume_skips_done_and_is_byte_identical(self, tmp_path):
+        import glob
+        import hashlib
+        import os
+        import shutil
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.pipelines import sftbuild
+
+        p = synth.ensure_corpus(6000)
+        out_a = str(tmp_path / "a")
+        out_b = str(tmp_path / "b")
+        m = sftbuild.run_resumable_sft(p, out_a, num_buckets=8)
+        assert m["partitions_written_this_run"] > 0
+        assert m["rows_written_this_run"] > 0
+
+        # crash simulation: one partition deleted, one left partial
+        parts = sorted(glob.glob(out_a + "/bucket=*"))
+        shutil.rmtree(parts[1])
+        os.remove(os.path.join(parts[2], sftbuild.SFT_MANIFEST))
+        m2 = sftbuild.run_resumable_sft(p, out_a, num_buckets=8)
+        assert m2["partitions_written_this_run"] == 2
+        assert m2["partitions_completed_prior"] == len(parts) - 2
+
+        # byte-identical vs an uninterrupted run
+        sftbuild.run_resumable_sft(p, out_b, num_buckets=8)
+
+        def digests(root):
+            return {
+                os.path.basename(d): hashlib.md5(
+                    open(os.path.join(d, "data.parquet"),
+                         "rb").read()).hexdigest()
+                for d in sorted(glob.glob(root + "/bucket=*"))}
+
+        assert digests(out_a) == digests(out_b)
+
+    def test_partitioning_is_pinned(self, tmp_path):
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.pipelines import sftbuild
+
+        p = synth.ensure_corpus(6000)
+        out = str(tmp_path / "pin")
+        m1 = sftbuild.run_resumable_sft(p, out, num_buckets=8)
+        # asking for a different B later must ADOPT the pinned value
+        m2 = sftbuild.run_resumable_sft(p, out, num_buckets=32)
+        assert m1["num_buckets"] == m2["num_buckets"] == 8
+        assert m2["partitions_written_this_run"] == 0
+
+    def test_output_rows_match_query_path(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.pipelines import sftbuild
+
+        p = synth.ensure_corpus(6000)
+        out = str(tmp_path / "q")
+        sftbuild.run_resumable_sft(p, out, num_buckets=8)
+        files = sorted(glob.glob(out + "/bucket=*/data.parquet"))
+        got = (pa.concat_tables([pq.read_table(f) for f in files])
+               .to_pandas()
+               .sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        want = (sftbuild.sft_pipeline(rd.read_parquet(p)).to_pandas()
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
