@@ -47,6 +47,7 @@ import pyarrow.compute as pc
 SFT_CONTEXT_TURNS = 8
 LOOP_MIN_RUN = 3
 FORK_PREFIX_TURNS = 2
+MAX_REPS_PER_GROUP = 64
 
 
 def _sorted_bucket_df(tbl: pa.Table) -> pd.DataFrame:
@@ -64,9 +65,66 @@ def _from_pandas(df: pd.DataFrame,
 
 def _md5_hex(texts) -> pa.Array:
     """md5 hexdigest per element — one C call per value (the
-    established convstats pattern)."""
-    return pa.array([hashlib.md5(t.encode()).hexdigest()
+    established convstats pattern). None hashes as '' (the SQL twins
+    coalesce(text, '') to match)."""
+    return pa.array([hashlib.md5((t or "").encode()).hexdigest()
                      for t in texts], type=pa.string())
+
+
+def _role_text_digest(batch: pa.Table) -> pa.Array:
+    """Per-turn role-sensitive digest md5('role:text'), null text as ''
+    — the shared projection of prefix_forks and preference_pairs."""
+    lines = pc.binary_join_element_wise(
+        batch["role"], pc.fill_null(batch["text"], ""), ":")
+    return _md5_hex(lines.to_pylist())
+
+
+def _conv_sig_stage(transcripts_ds, k_prefix: int, B: int):
+    """Exchange 1 shared by prefix_forks and preference_pairs: per-turn
+    digests keyed hash(conv_id) → one (conv_id, prefix_sig, full_sig)
+    row per conversation with >= k_prefix turns. Skinny — text never
+    moves."""
+    import hashlib as _hl
+
+    from .shuffle import add_bucket_col
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "hhex": _role_text_digest(batch),
+        })
+
+    sig_schema = pa.schema([
+        ("conv_id", pa.string()), ("prefix_sig", pa.string()),
+        ("full_sig", pa.string())])
+
+    def conv_sigs(tbl: pa.Table) -> pa.Table:
+        df = _sorted_bucket_df(tbl)
+        if not len(df):
+            return sig_schema.empty_table()
+        g = df.groupby("conv_id", sort=False)
+        rn = g.cumcount()
+        n = g["hhex"].transform("size")
+        ok = n.to_numpy() >= k_prefix
+        df, rn = df[ok], rn[ok]
+        full = (df.groupby("conv_id", sort=False)["hhex"].agg("".join)
+                .map(lambda s: _hl.md5(s.encode()).hexdigest()))
+        pref = (df[rn.to_numpy() < k_prefix]
+                .groupby("conv_id", sort=False)["hhex"].agg("".join)
+                .map(lambda s: _hl.md5(s.encode()).hexdigest()))
+        out = pd.DataFrame({"conv_id": full.index,
+                            "prefix_sig": pref.reindex(full.index),
+                            "full_sig": full.to_numpy()})
+        return _from_pandas(out.reset_index(drop=True), sig_schema)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(conv_sigs,
+                                            batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- SFT extraction
@@ -124,7 +182,7 @@ def sft_examples(transcripts_ds, k_context: int = SFT_CONTEXT_TURNS,
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
             "role": batch["role"],
-            "text": batch["text"],
+            "text": pc.fill_null(batch["text"], ""),
         })
 
     def bucket_examples(tbl: pa.Table) -> pa.Table:
@@ -149,8 +207,9 @@ def sft_examples_sql(path: str,
     the shift(K)..shift(1) fold exactly."""
     return f"""
 WITH t AS (
-  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, text,
-         role || ': ' || text AS line
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+         coalesce(text, '') AS text,
+         role || ': ' || coalesce(text, '') AS line
   FROM read_parquet('{path}/*.parquet')
 ),
 w AS (
@@ -231,7 +290,7 @@ def loop_detect_sql(path: str, min_run: int = LOOP_MIN_RUN) -> str:
     gaps-and-islands run ids."""
     return f"""
 WITH t AS (
-  SELECT conv_id, turn_idx, role, md5(text) AS h
+  SELECT conv_id, turn_idx, role, md5(coalesce(text, '')) AS h
   FROM read_parquet('{path}/*.parquet')
 ),
 m AS (
@@ -272,46 +331,13 @@ def prefix_forks(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
     group of pure exact duplicates is conversation_dedup's business,
     not a fork).
 
-    Two skinny exchanges: per-turn digests keyed hash(conv_id), then
-    one row per conversation keyed hash(prefix_sig). Text never moves.
+    Two skinny exchanges: per-turn digests keyed hash(conv_id) (the
+    shared _conv_sig_stage), then one row per conversation keyed
+    hash(prefix_sig). Text never moves.
     """
-    import hashlib as _hl
-
     from .shuffle import add_bucket_col, default_buckets
 
     B = num_buckets or default_buckets()
-
-    def project(batch: pa.Table) -> pa.Table:
-        lines = pc.binary_join_element_wise(
-            batch["role"], batch["text"], ":")
-        return pa.table({
-            "conv_id": batch["conv_id"],
-            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
-            "hhex": _md5_hex(lines.to_pylist()),
-        })
-
-    sig_schema = pa.schema([
-        ("conv_id", pa.string()), ("prefix_sig", pa.string()),
-        ("full_sig", pa.string())])
-
-    def conv_sigs(tbl: pa.Table) -> pa.Table:
-        df = _sorted_bucket_df(tbl)
-        if not len(df):
-            return sig_schema.empty_table()
-        g = df.groupby("conv_id", sort=False)
-        rn = g.cumcount()
-        n = g["hhex"].transform("size")
-        df = df[n.to_numpy() >= k_prefix]
-        rn = rn[n.to_numpy() >= k_prefix]
-        full = (df.groupby("conv_id", sort=False)["hhex"].agg("".join)
-                .map(lambda s: _hl.md5(s.encode()).hexdigest()))
-        pref = (df[rn.to_numpy() < k_prefix]
-                .groupby("conv_id", sort=False)["hhex"].agg("".join)
-                .map(lambda s: _hl.md5(s.encode()).hexdigest()))
-        out = pd.DataFrame({"conv_id": full.index,
-                            "prefix_sig": pref.reindex(full.index),
-                            "full_sig": full.to_numpy()})
-        return _from_pandas(out.reset_index(drop=True), sig_schema)
 
     out_schema = pa.schema([
         ("prefix_sig", pa.string()), ("n_convs", pa.int64()),
@@ -331,13 +357,7 @@ def prefix_forks(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
         g["n_variants"] = g["n_variants"].astype("int64")
         return _from_pandas(g.reset_index(drop=True), out_schema)
 
-    proj = transcripts_ds.select_columns(
-        ["conv_id", "turn_idx", "role", "text"]
-    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
-                            batch_format="pyarrow")
-    sigs = proj.groupby("__bkt").map_groups(conv_sigs,
-                                            batch_format="pyarrow")
+    sigs = _conv_sig_stage(transcripts_ds, k_prefix, B)
     sigs = sigs.map_batches(
         lambda t: add_bucket_col(t, ["prefix_sig"], B),
         batch_format="pyarrow")
@@ -351,7 +371,8 @@ def prefix_forks_sql(path: str,
     turn-ordered digest chains."""
     return f"""
 WITH t AS (
-  SELECT conv_id, turn_idx, md5(role || ':' || text) AS hhex
+  SELECT conv_id, turn_idx,
+         md5(role || ':' || coalesce(text, '')) AS hhex
   FROM read_parquet('{path}/*.parquet')
 ),
 o AS (
@@ -399,57 +420,21 @@ def preference_pairs(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
     semi-join emits ONLY rep-conversation turns (the fork subset,
     a vanishing fraction of the corpus) tagged with their prefix_sig;
     (4) rep turns keyed hash(prefix_sig) → per-group pair compute.
-    Groups are small by construction (variants of one shared prefix),
-    so the per-pair LCP scan inside a group is bounded work; the
-    divergence point is found on digest arrays, never by re-reading
-    text.
+    A group's rep count is CAPPED at MAX_REPS_PER_GROUP (the
+    lexicographically smallest rep conv_ids win, deterministically):
+    a viral shared opener could otherwise put 100k+ variants in one
+    group and C(n,2) pair work in one task. The SQL twin applies the
+    identical cap. The divergence point is found on digest arrays,
+    never by re-reading text.
     """
     from .shuffle import add_bucket_col, default_buckets
 
     B = num_buckets or default_buckets()
 
-    # ---- exchange 1: conversation signatures (skinny digests)
-    def project(batch: pa.Table) -> pa.Table:
-        lines = pc.binary_join_element_wise(
-            batch["role"], batch["text"], ":")
-        return pa.table({
-            "conv_id": batch["conv_id"],
-            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
-            "hhex": _md5_hex(lines.to_pylist()),
-        })
+    # ---- exchange 1: conversation signatures (shared stage)
+    sigs = _conv_sig_stage(transcripts_ds, k_prefix, B)
 
-    sig_schema = pa.schema([
-        ("conv_id", pa.string()), ("prefix_sig", pa.string()),
-        ("full_sig", pa.string())])
-
-    def conv_sigs(tbl: pa.Table) -> pa.Table:
-        df = _sorted_bucket_df(tbl)
-        if not len(df):
-            return sig_schema.empty_table()
-        g = df.groupby("conv_id", sort=False)
-        rn = g.cumcount()
-        n = g["hhex"].transform("size")
-        ok = n.to_numpy() >= k_prefix
-        df, rn = df[ok], rn[ok]
-        full = (df.groupby("conv_id", sort=False)["hhex"].agg("".join)
-                .map(lambda s: hashlib.md5(s.encode()).hexdigest()))
-        pref = (df[rn.to_numpy() < k_prefix]
-                .groupby("conv_id", sort=False)["hhex"].agg("".join)
-                .map(lambda s: hashlib.md5(s.encode()).hexdigest()))
-        out = pd.DataFrame({"conv_id": full.index,
-                            "prefix_sig": pref.reindex(full.index),
-                            "full_sig": full.to_numpy()})
-        return _from_pandas(out.reset_index(drop=True), sig_schema)
-
-    proj = transcripts_ds.select_columns(
-        ["conv_id", "turn_idx", "role", "text"]
-    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
-                            batch_format="pyarrow")
-    sigs = proj.groupby("__bkt").map_groups(conv_sigs,
-                                            batch_format="pyarrow")
-
-    # ---- exchange 2: variant reps within fork groups
+    # ---- exchange 2: variant reps within fork groups (capped)
     rep_schema = pa.schema([("conv_id", pa.string()),
                             ("prefix_sig", pa.string())])
 
@@ -463,6 +448,10 @@ def preference_pairs(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
         nvar = reps.groupby("prefix_sig", sort=False)[
             "full_sig"].transform("nunique")
         reps = reps[nvar.to_numpy() >= 2]
+        # deterministic hot-group cap: smallest rep conv_ids win
+        reps = reps.sort_values("conv_id", kind="mergesort")
+        rank = reps.groupby("prefix_sig", sort=False).cumcount()
+        reps = reps[rank.to_numpy() < MAX_REPS_PER_GROUP]
         return _from_pandas(
             reps[["conv_id", "prefix_sig"]].reset_index(drop=True),
             rep_schema)
@@ -485,7 +474,7 @@ def preference_pairs(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
             "role": batch["role"],
-            "text": batch["text"],
+            "text": pc.fill_null(batch["text"], ""),
             "prefix_sig": pa.nulls(n, pa.string()),
             "__keep": pa.array(np.zeros(n, dtype=np.int8)),
         }).cast(union_schema)
@@ -525,7 +514,7 @@ def preference_pairs(transcripts_ds, k_prefix: int = FORK_PREFIX_TURNS,
         sig_of = dict(zip(keys["conv_id"].to_pylist(),
                           keys["prefix_sig"].to_pylist()))
         lines = pc.binary_join_element_wise(
-            corpus["role"], corpus["text"], ":")
+            corpus["role"], pc.fill_null(corpus["text"], ""), ":")
         cids = corpus["conv_id"].to_pylist()
         return pa.table({
             "prefix_sig": pa.array([sig_of[c] for c in cids],
@@ -590,10 +579,14 @@ def preference_pairs_sql(path: str,
     cumulative chains are equal (an equi-join on (rn, csig) — no
     full-outer per-pair join needed); the shared k-turn prefix
     guarantees the LCP is >= k_prefix, and a pair that diverges only
-    by length joins nothing past the shorter end."""
+    by length joins nothing past the shorter end. Applies the same
+    MAX_REPS_PER_GROUP hot-group cap as the Ray path."""
+    cap = MAX_REPS_PER_GROUP
     return f"""
 WITH t AS (
-  SELECT conv_id, turn_idx, md5(role || ':' || text) AS hhex, text
+  SELECT conv_id, turn_idx,
+         md5(role || ':' || coalesce(text, '')) AS hhex,
+         coalesce(text, '') AS text
   FROM read_parquet('{path}/*.parquet')
 ),
 o AS (
@@ -618,12 +611,18 @@ forks AS (
   SELECT prefix_sig FROM reps GROUP BY prefix_sig
   HAVING count(*) >= 2
 ),
+capped AS (
+  SELECT conv_id, prefix_sig,
+         row_number() OVER (PARTITION BY prefix_sig
+                            ORDER BY conv_id) AS rk
+  FROM reps JOIN forks USING (prefix_sig)
+),
 pairs AS (
   SELECT a.prefix_sig, a.conv_id AS conv_a, b.conv_id AS conv_b
-  FROM reps a
-  JOIN reps b ON a.prefix_sig = b.prefix_sig
-             AND a.conv_id < b.conv_id
-  JOIN forks f ON f.prefix_sig = a.prefix_sig
+  FROM capped a
+  JOIN capped b ON a.prefix_sig = b.prefix_sig
+              AND a.conv_id < b.conv_id
+  WHERE a.rk <= {cap} AND b.rk <= {cap}
 ),
 c AS (
   SELECT conv_id, rn, text,

@@ -61,8 +61,9 @@ def log_templates(ds, k: int = TEMPLATE_TOPK, col: str = "text",
     B = num_buckets or default_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
-        tpl = pc.replace_substring_regex(batch[col], pattern=r"\d+",
-                                         replacement="<N>")
+        tpl = pc.replace_substring_regex(
+            pc.fill_null(batch[col], ""), pattern=r"\d+",
+            replacement="<N>")
         g = pd.Series(tpl.to_pylist(), dtype=object).value_counts()
         return pa.table({
             "template": pa.array(g.index, type=pa.string()),
@@ -92,7 +93,8 @@ def log_templates_sql(path: str, k: int = TEMPLATE_TOPK) -> str:
     """DuckDB twin: RE2 digit-run mask on both sides."""
     return rf"""
 WITH t AS (
-  SELECT regexp_replace(text, '\d+', '<N>', 'g') AS template
+  SELECT regexp_replace(coalesce(text, ''), '\d+', '<N>', 'g')
+         AS template
   FROM read_parquet('{path}/*.parquet')
 )
 SELECT template, count(*)::BIGINT AS n
@@ -436,8 +438,8 @@ def tool_errors(transcripts_ds, pattern: str = TOOL_ERROR_RE):
             return pa.schema([("tool", pa.string()),
                               ("n_obs", pa.int64()),
                               ("n_err", pa.int64())]).empty_table()
-        err = pc.cast(pc.match_substring_regex(obs["text"], pattern),
-                      pa.int64())
+        err = pc.cast(pc.match_substring_regex(
+            pc.fill_null(obs["text"], ""), pattern), pa.int64())
         g = (pd.DataFrame({"tool": obs["tool"].to_pylist(),
                            "err": err.to_pylist()})
              .groupby("tool", sort=False)["err"]
@@ -447,7 +449,15 @@ def tool_errors(transcripts_ds, pattern: str = TOOL_ERROR_RE):
             "n_obs": pa.array(g["n_obs"].to_numpy(), type=pa.int64()),
             "n_err": pa.array(g["n_err"].to_numpy(), type=pa.int64())})
 
+    out_schema = pa.schema([
+        ("tool", pa.string()), ("n_obs", pa.int64()),
+        ("n_err", pa.int64()), ("err_rate", pa.float64())])
+
     def finalize(tbl: pa.Table) -> pa.Table:
+        # a corpus with zero observation turns yields empty partials
+        # whose block schema may be lost entirely
+        if not tbl.num_rows or "tool" not in tbl.column_names:
+            return out_schema.empty_table()
         df = (tbl.to_pandas().groupby("tool", sort=False)
               .agg(n_obs=("n_obs", "sum"), n_err=("n_err", "sum"))
               .reset_index())
@@ -471,7 +481,7 @@ def tool_errors_sql(path: str, pattern: str = TOOL_ERROR_RE) -> str:
     return f"""
 WITH obs AS (
   SELECT tool,
-         CASE WHEN regexp_matches(text, '{pattern}')
+         CASE WHEN regexp_matches(coalesce(text, ''), '{pattern}')
               THEN 1 ELSE 0 END AS err
   FROM read_parquet('{path}/*.parquet')
   WHERE role = 'tool' AND tool IS NOT NULL AND tool <> ''

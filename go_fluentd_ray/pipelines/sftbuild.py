@@ -61,7 +61,7 @@ SPLIT_TEST_PCT = 10
 SPLIT_VAL_PCT = 10
 
 
-def _build_examples(transcripts_ds, k_context: int, B: int,
+def _build_examples(transcripts_ds, B: int,
                     corpus_filter, finish, finish_schema: pa.Schema):
     """The three pipeline exchanges, with a pluggable per-bucket
     finisher. ``corpus_filter`` (optional, map-side) prunes
@@ -78,7 +78,7 @@ def _build_examples(transcripts_ds, k_context: int, B: int,
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
             "role": batch["role"],
             "hhex": pa.array(
-                [hashlib.md5(t.encode()).hexdigest()
+                [hashlib.md5((t or "").encode()).hexdigest()
                  for t in batch["text"].to_pylist()],
                 type=pa.string()),
         })
@@ -161,7 +161,7 @@ def _build_examples(transcripts_ds, k_context: int, B: int,
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
             "role": batch["role"],
-            "text": batch["text"],
+            "text": pc.fill_null(batch["text"], ""),
             "__keep": pa.array(
                 np.zeros(batch.num_rows, dtype=np.int8)),
         }).cast(union_schema)
@@ -218,7 +218,7 @@ def sft_pipeline(transcripts_ds,
             sft_kernel(df, k_context), schema=SFT_SCHEMA,
             preserve_index=False).replace_schema_metadata(None)
 
-    examples = _build_examples(transcripts_ds, k_context, B,
+    examples = _build_examples(transcripts_ds, B,
                                None, finish, SFT_SCHEMA)
     # ---- map-side split on conv_id (a conversation never straddles)
     return split_assign(examples, test_pct=SPLIT_TEST_PCT,
@@ -234,7 +234,8 @@ def sft_pipeline_sql(path: str,
                "::UBIGINT % 100")
     return rf"""
 WITH t AS (
-  SELECT conv_id, turn_idx, role, text, md5(text) AS h
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS text,
+         md5(coalesce(text, '')) AS h
   FROM read_parquet('{path}/*.parquet')
 ),
 agg AS (
@@ -330,9 +331,13 @@ def _sft_completed(out_root: str) -> set:
     return done
 
 
-def _sft_pin_partitioning(out_root: str, requested: int) -> int:
-    """First run records num_buckets; later runs ADOPT it (a different
-    B re-keys rows and corrupts resume) — the sinks.py convention."""
+def _sft_pin_partitioning(out_root: str, requested_b: int,
+                          requested_k: int) -> tuple:
+    """First run records num_buckets AND k_context; later runs ADOPT
+    them (a different B re-keys rows; a different k_context would mix
+    context widths across resumed partitions) — the sinks.py
+    convention extended to every parameter that shapes partition
+    content."""
     import json
     import os
     import tempfile
@@ -340,13 +345,16 @@ def _sft_pin_partitioning(out_root: str, requested: int) -> int:
     p = os.path.join(out_root, SFT_PARTITIONING)
     if os.path.exists(p):
         with open(p) as f:
-            return int(json.load(f)["num_buckets"])
+            pin = json.load(f)
+        return int(pin["num_buckets"]), int(
+            pin.get("k_context", requested_k))
     fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".ptmp")
     os.close(fd)
     with open(tmp, "w") as f:
-        json.dump({"num_buckets": requested}, f)
+        json.dump({"num_buckets": requested_b,
+                   "k_context": requested_k}, f)
     os.rename(tmp, p)
-    return requested
+    return requested_b, requested_k
 
 
 def run_resumable_sft(corpus_path: str, out_root: str,
@@ -383,8 +391,8 @@ def run_resumable_sft(corpus_path: str, out_root: str,
     from ..functions.shuffle import default_buckets, hash_bucket
 
     os.makedirs(out_root, exist_ok=True)
-    B = _sft_pin_partitioning(out_root,
-                              num_buckets or default_buckets())
+    B, k_context = _sft_pin_partitioning(
+        out_root, num_buckets or default_buckets(), k_context)
     done = _sft_completed(out_root)
     for name in os.listdir(out_root):
         p = os.path.join(out_root, name)
@@ -443,7 +451,7 @@ def run_resumable_sft(corpus_path: str, out_root: str,
             "rows": pa.array([part.num_rows], type=pa.int64())})
 
     written = _build_examples(
-        rd.read_parquet(corpus_path), k_context, B,
+        rd.read_parquet(corpus_path), B,
         corpus_filter, finish, stats_schema).to_pandas()
     metrics = {
         "num_buckets": B,

@@ -30,9 +30,12 @@ def main() -> int:
 
     import ray
 
-    if not ray.is_initialized():  # ray job submit initializes the session
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+    if not ray.is_initialized():
+        # address=None respects RAY_ADDRESS: `ray job submit` sets it
+        # to the cluster address; this sandbox presets it to "local".
+        # A hard-coded address="local" would silently boot a fresh
+        # single-node instance on a real cluster.
+        ray.init(include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -2356,3 +2356,85 @@ class TestPreferencePairs:
                 want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
         assert len(got) > 0
+
+
+class TestNullTextRobustness:
+    """A corpus with NULL text rows must not crash any transcript
+    operator; nulls are treated as '' on BOTH engines (documented)."""
+
+    def test_null_text_runs_and_matches_sql(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from go_fluentd_ray.functions import convmine, logops
+        from go_fluentd_ray.pipelines import sftbuild
+
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 3 + ["b"] * 3,
+            "turn_idx": np.array([0, 1, 2, 0, 1, 2], dtype=np.int32),
+            "role": ["user", "assistant", "user",
+                     "user", "assistant", "user"],
+            "text": ["hi", None, "bye", "hi 42", "ok", None],
+            "tool": ["", "bash", "", "", "", ""],
+            "ts": pd.to_datetime(np.arange(6) * 1_000_000, unit="us"),
+        })
+        path = str(tmp_path / "nulls")
+        import os
+
+        os.makedirs(path)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       path + "/part.parquet")
+        con = duckdb.connect()
+        for fn, sql, keys in [
+                (convmine.sft_examples,
+                 convmine.sft_examples_sql(path),
+                 ["conv_id", "turn_idx"]),
+                (convmine.loop_detect,
+                 convmine.loop_detect_sql(path), ["conv_id"]),
+                (sftbuild.sft_pipeline,
+                 sftbuild.sft_pipeline_sql(path),
+                 ["conv_id", "turn_idx"]),
+                (logops.log_templates,
+                 logops.log_templates_sql(path), None),
+                (logops.tool_errors,
+                 logops.tool_errors_sql(path), ["tool"])]:
+            res = fn(rd.read_parquet(path))
+            got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            want = con.execute(sql).df()
+            if len(got) == 0 and len(want) == 0:
+                # Ray drops the schema of an all-empty dataset
+                # (to_pandas yields zero columns) — emptiness parity
+                # is the checkable contract here
+                continue
+            if keys:
+                got = got.sort_values(keys).reset_index(drop=True)
+                want = want.sort_values(keys).reset_index(drop=True)
+            for c in want.columns:
+                if want[c].dtype != got[c].dtype \
+                        and got[c].dtype == "int64":
+                    want[c] = want[c].astype("int64")
+            pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        # preference_pairs / prefix_forks: null-text convs don't crash
+        out = convmine.prefix_forks(rd.read_parquet(path)).to_pandas()
+        assert len(out) == 0  # two distinct convs, no shared prefix
+
+    def test_rep_cap_bounds_hot_groups(self):
+        from go_fluentd_ray.functions import convmine
+
+        # 100 convs share a 2-turn prefix, each with a distinct 3rd
+        # turn -> 100 variants; cap must keep C(64,2) pairs, smallest
+        # conv_ids first, matching the SQL twin exactly
+        rows = []
+        for c in range(100):
+            for i, t in enumerate(["hi", "a", f"v{c:03d}"]):
+                rows.append((f"c{c:03d}", i,
+                             ["user", "assistant", "assistant"][i], t))
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                         "role", "text"])
+        df["turn_idx"] = df["turn_idx"].astype(np.int32)
+        out = (convmine.preference_pairs(rd.from_pandas(df),
+                                         k_prefix=2).to_pandas())
+        m = convmine.MAX_REPS_PER_GROUP
+        assert len(out) == m * (m - 1) // 2
+        reps = set(out["conv_a"]) | set(out["conv_b"])
+        assert reps == {f"c{c:03d}" for c in range(m)}
