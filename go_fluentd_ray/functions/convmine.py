@@ -15,6 +15,15 @@ quality side, turnflow the window side):
   diverge afterwards (distinct full signatures). The candidate
   generator for preference-pair construction: same prompt prefix,
   different continuations.
+- ``preference_pairs``: the materialization step downstream of
+  prefix_forks — one representative per distinct continuation
+  (capped at MAX_REPS_PER_GROUP per group, smallest conv_ids win),
+  every rep pair with its first point of divergence and both
+  diverging turn texts.
+
+Null text renders/hashes as '' in every operator here; the SQL twins
+coalesce(text, '') to match, so a corpus with null rows stays
+value-comparable instead of crashing one engine.
 
 Scale design (10^12-turn corpus): every operator keys its ONE
 bucketed exchange on hash(conv_id) % B — the flagship partitioning
