@@ -547,6 +547,29 @@ def _q_preference_pairs(sf_dir: str):
     return convmine.preference_pairs(rd.read_parquet(_corpus(sf_dir)))
 
 
+def _q_pack_conversations(sf_dir: str):
+    """Greedy packing of WHOLE conversations into token-budget
+    training bins (the conversation-granularity twin of
+    pack_sequences): one skinny per-conversation token-count exchange
+    keyed md5(conv_id) % B; text never moves."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import convmine
+
+    return convmine.pack_conversations(rd.read_parquet(_corpus(sf_dir)))
+
+
+def _q_collapse_repeats(sf_dir: str):
+    """rsyslog's 'last message repeated N times' as a batch transform:
+    collapse each run of consecutive identical (role, text) turns to
+    its first turn + count. One hash(conv_id) exchange."""
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    return logops.collapse_repeats(rd.read_parquet(_corpus(sf_dir)))
+
+
 def _q_tool_errors(sf_dir: str):
     """Per-tool error rate over observation turns (RE2 error-pattern
     match): pure map-side count partials, one tiny final groupby —
@@ -1117,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_anomaly": _q_rate_anomaly,
         "tool_errors": _q_tool_errors,
         "preference_pairs": _q_preference_pairs,
+        "pack_conversations": _q_pack_conversations,
+        "collapse_repeats": _q_collapse_repeats,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1380,6 +1405,10 @@ def oracle_sql() -> dict[str, str]:
         "rate_anomaly": _logops.rate_anomaly_sql(_corpus(SF001)),
         "tool_errors": _logops.tool_errors_sql(_corpus(SF001)),
         "preference_pairs": _convmine.preference_pairs_sql(
+            _corpus(SF001)),
+        "pack_conversations": _convmine.pack_conversations_sql(
+            _corpus(SF001)),
+        "collapse_repeats": _logops.collapse_repeats_sql(
             _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,

@@ -656,3 +656,121 @@ SELECT l.prefix_sig, l.conv_a, l.conv_b, l.div_turn,
 FROM lcp l
 LEFT JOIN c ta ON ta.conv_id = l.conv_a AND ta.rn = l.div_turn
 LEFT JOIN c tb ON tb.conv_id = l.conv_b AND tb.rn = l.div_turn"""
+
+
+# -------------------------------------------------------- conversation packing
+
+PACK_CONV_BUDGET = 512
+PACK_CONV_BUCKETS = 32
+
+
+def pack_conversations(transcripts_ds, budget: int = PACK_CONV_BUDGET,
+                       num_buckets: int = PACK_CONV_BUCKETS):
+    """Greedy packing of WHOLE conversations into training bins of at
+    most ``budget`` \\w+ tokens (the conversation-granularity twin of
+    sampling.pack_documents — a chat SFT exporter packs transcripts,
+    not documents): conversations are packed in conv_id order within
+    their md5(conv_id) % B bucket; an over-budget conversation gets
+    its own bin. Output: (conv_id, bucket, seq_idx, n_tokens).
+
+    Scale design: stage 1 moves only per-batch (conv_id, token-count)
+    partials — ONE skinny exchange keyed md5-mod bucket (modulo so the
+    SQL twin reproduces the assignment exactly; the bucket count is
+    part of the OUTPUT semantics and therefore fixed, not
+    cluster-derived). The per-bucket greedy scan is the same O(n) int
+    loop as pack_documents. Text never moves.
+    """
+    from .shuffle import default_buckets  # noqa: F401  (doc parity)
+    from .text import TOKEN_RE
+
+    B = num_buckets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(
+            pc.count_substring_regex(pc.fill_null(batch["text"], ""),
+                                     TOKEN_RE), pa.int64()), 0)
+        df = pd.DataFrame({"conv_id": batch["conv_id"].to_pylist(),
+                           "n": n.to_pylist()})
+        g = df.groupby("conv_id", sort=False)["n"].sum().reset_index()
+        bkt = np.array(
+            [int(hashlib.md5(c.encode()).hexdigest()[:8], 16) % B
+             for c in g["conv_id"]], dtype=np.int32)
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"], type=pa.string()),
+            "n_tokens": pa.array(g["n"].to_numpy(), type=pa.int64()),
+            "bucket": pa.array(bkt)})
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("bucket", pa.int32()),
+        ("seq_idx", pa.int64()), ("n_tokens", pa.int64())])
+
+    def pack_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if not len(df):
+            return schema.empty_table()
+        # merge the per-batch partials, then the sequential scan
+        df = (df.groupby(["conv_id", "bucket"], sort=False)["n_tokens"]
+              .sum().reset_index()
+              .sort_values("conv_id", kind="mergesort",
+                           ignore_index=True))
+        toks = df["n_tokens"].to_numpy()
+        seq = np.empty(len(toks), dtype=np.int64)
+        acc = 0
+        s = 0
+        for i, t in enumerate(toks):
+            t = int(t)
+            if acc > 0 and acc + t > budget:
+                s += 1
+                acc = t
+            else:
+                acc += t
+            seq[i] = s
+        out = pd.DataFrame({"conv_id": df["conv_id"],
+                            "bucket": df["bucket"].astype("int32"),
+                            "seq_idx": seq,
+                            "n_tokens": toks})
+        return _from_pandas(out, schema)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "text"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return proj.groupby("bucket").map_groups(pack_bucket,
+                                             batch_format="pyarrow")
+
+
+def pack_conversations_sql(path: str,
+                           budget: int = PACK_CONV_BUDGET,
+                           num_buckets: int = PACK_CONV_BUCKETS) -> str:
+    """Exact twin: per-conversation \\w+ token totals, md5-mod bucket,
+    greedy scan as a recursive CTE chained on per-bucket row_number
+    (the pack_documents_sql pattern)."""
+    return rf"""
+WITH RECURSIVE c AS (
+  SELECT conv_id,
+         sum(coalesce(length(regexp_extract_all(
+             coalesce(text, ''), '\w+')), 0))::BIGINT AS n_tokens,
+         (('0x' || substr(md5(conv_id), 1, 8))::UBIGINT
+          % {num_buckets})::INT AS bucket
+  FROM read_parquet('{path}/*.parquet')
+  GROUP BY conv_id
+),
+d AS (
+  SELECT conv_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY conv_id) AS rn
+  FROM c
+),
+packed AS (
+  SELECT conv_id, n_tokens, bucket, rn,
+         0::BIGINT AS seq_idx, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.conv_id, d.n_tokens, d.bucket, d.rn,
+         CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > {budget}
+              THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > {budget}
+              THEN d.n_tokens ELSE p.acc + d.n_tokens END
+  FROM d JOIN packed p
+    ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT conv_id, bucket, seq_idx, n_tokens FROM packed"""

@@ -489,3 +489,96 @@ WITH obs AS (
 SELECT tool, count(*)::BIGINT AS n_obs, sum(err)::BIGINT AS n_err,
        sum(err)::DOUBLE / count(*)::DOUBLE AS err_rate
 FROM obs GROUP BY tool"""
+
+
+# ------------------------------------------------------------ repeat collapse
+
+def collapse_repeats(transcripts_ds, num_buckets: int | None = None):
+    """rsyslog's "last message repeated N times" as a batch transform
+    (the stream-rewrite twin of convmine.loop_detect, which only
+    FLAGS): within each conversation, collapse every run of
+    consecutive identical (role, text) turns to its FIRST turn plus a
+    repeat count. Output: (conv_id, turn_idx, role, text, n_repeats),
+    original order preserved, non-repeated turns pass through with
+    n_repeats = 1.
+
+    One hash(conv_id) bucketed exchange; text moves because the
+    OUTPUT is the collapsed stream. Run detection is the shared
+    gaps-and-islands kernel (group-shift break bits + cumsum); the
+    per-run first row and size come from one vectorized groupby.
+    Null text collapses as '' (SQL coalesces identically).
+    """
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "text": pc.fill_null(batch["text"], ""),
+        })
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("role", pa.string()), ("text", pa.string()),
+        ("n_repeats", pa.int64())])
+
+    def bucket_collapse(tbl: pa.Table) -> pa.Table:
+        df = (tbl.to_pandas()
+              .sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                           ignore_index=True))
+        if not len(df):
+            return schema.empty_table()
+        g = df.groupby("conv_id", sort=False)
+        same = ((g["role"].shift() == df["role"])
+                & (g["text"].shift() == df["text"]))
+        df["__run"] = (~same).cumsum()
+        out = (df.groupby("__run", sort=False)
+               .agg(conv_id=("conv_id", "first"),
+                    turn_idx=("turn_idx", "first"),
+                    role=("role", "first"), text=("text", "first"),
+                    n_repeats=("turn_idx", "size"))
+               .reset_index(drop=True))
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        out["n_repeats"] = out["n_repeats"].astype("int64")
+        return pa.Table.from_pandas(
+            out, schema=schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_collapse,
+                                            batch_format="pyarrow")
+
+
+def collapse_repeats_sql(path: str) -> str:
+    """DuckDB twin: identical run ids; the run's first row via
+    arg_min(·, turn_idx)."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, coalesce(text, '') AS text
+  FROM read_parquet('{path}/*.parquet')
+),
+m AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN lag(role) OVER w = role
+               AND lag(text) OVER w = text THEN 0 ELSE 1 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+  SELECT conv_id, turn_idx, role, text,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS run_id
+  FROM m
+)
+SELECT conv_id, min(turn_idx)::BIGINT AS turn_idx,
+       arg_min(role, turn_idx) AS role,
+       arg_min(text, turn_idx) AS text,
+       count(*)::BIGINT AS n_repeats
+FROM r GROUP BY conv_id, run_id"""

@@ -2438,3 +2438,74 @@ class TestNullTextRobustness:
         assert len(out) == m * (m - 1) // 2
         reps = set(out["conv_a"]) | set(out["conv_b"])
         assert reps == {f"c{c:03d}" for c in range(m)}
+
+
+class TestPackAndCollapse:
+    def test_pack_conversations_semantics(self):
+        from go_fluentd_ray.functions import convmine
+
+        # one bucket (B=1): conv token totals 3/2/4 with budget 5 ->
+        # bins [c0,c1][c2]; over-budget conv gets its own bin
+        df = pd.DataFrame({
+            "conv_id": ["c0"] * 3 + ["c1"] * 2 + ["c2"] * 4 + ["c3"],
+            "turn_idx": np.array([0, 1, 2, 0, 1, 0, 1, 2, 3, 0],
+                                 dtype=np.int32),
+            "text": ["w"] * 9 + ["a b c d e f g h"],  # c3: 8 tokens
+        })
+        out = (convmine.pack_conversations(rd.from_pandas(df),
+                                           budget=5, num_buckets=1)
+               .to_pandas().set_index("conv_id"))
+        assert out.loc["c0", "seq_idx"] == 0
+        assert out.loc["c1", "seq_idx"] == 0  # 3 + 2 fits
+        assert out.loc["c2", "seq_idx"] == 1  # 5 + 4 spills
+        assert out.loc["c3", "seq_idx"] == 2  # 8 > 5, own bin
+        assert out.loc["c3", "n_tokens"] == 8
+
+    def test_collapse_repeats_hand_case(self):
+        from go_fluentd_ray.functions import logops
+
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 5,
+            "turn_idx": np.arange(5, dtype=np.int32),
+            "role": ["user", "assistant", "assistant", "assistant",
+                     "user"],
+            "text": ["q", "same", "same", "same", "q"],
+        })
+        out = (logops.collapse_repeats(rd.from_pandas(df))
+               .to_pandas().sort_values("turn_idx")
+               .reset_index(drop=True))
+        # run of 3 collapses to its first turn with n_repeats=3; the
+        # two user turns are separate runs (non-consecutive)
+        assert list(out["turn_idx"]) == [0, 1, 4]
+        assert list(out["n_repeats"]) == [1, 3, 1]
+        assert out.iloc[1]["text"] == "same"
+
+    def test_both_match_sql_twins(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import convmine, logops
+
+        path = synth.ensure_corpus(60000)
+        con = duckdb.connect()
+        for fn, sql, keys in [
+                (convmine.pack_conversations,
+                 convmine.pack_conversations_sql(path), ["conv_id"]),
+                (logops.collapse_repeats,
+                 logops.collapse_repeats_sql(path),
+                 ["conv_id", "turn_idx"])]:
+            got = (fn(rd.read_parquet(path)).to_pandas()
+                   .sort_values(keys).reset_index(drop=True))
+            want = (con.execute(sql).df()
+                    .sort_values(keys).reset_index(drop=True))
+            for c in want.columns:
+                if want[c].dtype != got[c].dtype \
+                        and str(got[c].dtype).startswith("int"):
+                    want[c] = want[c].astype(got[c].dtype)
+            pd.testing.assert_frame_equal(
+                got, want[got.columns.tolist()])
+            assert len(got) > 0
+        # the corpus's planted repeats must actually collapse rows
+        n_in = rd.read_parquet(path).count()
+        n_out = logops.collapse_repeats(rd.read_parquet(path)).count()
+        assert n_out < n_in
