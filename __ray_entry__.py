@@ -21,6 +21,16 @@ from typing import Any
 SF001 = "/root/testdata/sf0.01"
 
 
+def _read_corpus(sf_dir: str):
+    """Sized read of the transcript corpus (the flagship read rule:
+    ~32 MB blocks; Ray's default split yields one tiny block per file
+    and the per-block overhead then dominates every downstream
+    exchange — measured 16x on the conv-bucket shuffle at 10M turns)."""
+    from go_fluentd_ray.pipelines import flagship
+
+    return flagship.read_transcripts(_corpus(sf_dir))
+
+
 def _corpus(sf_dir: str) -> str:
     from go_fluentd_ray import synth
 
@@ -116,7 +126,7 @@ def _q_acceptor_counts(sf_dir: str):
     from go_fluentd_ray.config import DEFAULT_CONFIG
     from go_fluentd_ray.stages.acceptor import acceptor_transform
 
-    ds = rd.read_parquet(_corpus(sf_dir))
+    ds = _read_corpus(sf_dir)
     ds = ds.map_batches(lambda t: acceptor_transform(t, DEFAULT_CONFIG),
                         batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("tag").aggregate(Count(alias_name="n"))
@@ -131,7 +141,7 @@ def _q_concat_segments(sf_dir: str):
     from go_fluentd_ray.stages.concat import add_bucket, concat_bucket
 
     cfg = DEFAULT_CONFIG
-    ds = rd.read_parquet(_corpus(sf_dir))
+    ds = _read_corpus(sf_dir)
     ds = ds.map_batches(lambda t: acceptor_transform(t, cfg),
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(lambda t: add_bucket(t, flagship.default_num_buckets()),
@@ -151,7 +161,7 @@ def _q_discard_counts(sf_dir: str):
     from go_fluentd_ray.config import DEFAULT_CONFIG
     from go_fluentd_ray.pipelines import monitoring
 
-    return monitoring.discard_counts(rd.read_parquet(_corpus(sf_dir)),
+    return monitoring.discard_counts(_read_corpus(sf_dir),
                                      DEFAULT_CONFIG)
 
 
@@ -452,7 +462,7 @@ def _q_conversation_stats(sf_dir: str):
 
     from go_fluentd_ray.functions import convstats
 
-    return convstats.conversation_stats(rd.read_parquet(_corpus(sf_dir)))
+    return convstats.conversation_stats(_read_corpus(sf_dir))
 
 
 def _q_conversation_dedup(sf_dir: str):
@@ -463,7 +473,7 @@ def _q_conversation_dedup(sf_dir: str):
 
     from go_fluentd_ray.functions import convstats
 
-    return convstats.conversation_dedup(rd.read_parquet(_corpus(sf_dir)))
+    return convstats.conversation_dedup(_read_corpus(sf_dir))
 
 
 def _q_tool_latency(sf_dir: str):
@@ -475,7 +485,7 @@ def _q_tool_latency(sf_dir: str):
 
     from go_fluentd_ray.functions import turnflow
 
-    return turnflow.tool_latency(rd.read_parquet(_corpus(sf_dir)))
+    return turnflow.tool_latency(_read_corpus(sf_dir))
 
 
 def _q_role_transitions(sf_dir: str):
@@ -486,7 +496,7 @@ def _q_role_transitions(sf_dir: str):
 
     from go_fluentd_ray.functions import turnflow
 
-    return turnflow.role_transitions(rd.read_parquet(_corpus(sf_dir)))
+    return turnflow.role_transitions(_read_corpus(sf_dir))
 
 
 def _q_context_truncate(sf_dir: str):
@@ -497,7 +507,7 @@ def _q_context_truncate(sf_dir: str):
 
     from go_fluentd_ray.functions import turnflow
 
-    return turnflow.context_truncate(rd.read_parquet(_corpus(sf_dir)))
+    return turnflow.context_truncate(_read_corpus(sf_dir))
 
 
 def _q_sft_examples(sf_dir: str):
@@ -509,7 +519,7 @@ def _q_sft_examples(sf_dir: str):
 
     from go_fluentd_ray.functions import convmine
 
-    return convmine.sft_examples(rd.read_parquet(_corpus(sf_dir)))
+    return convmine.sft_examples(_read_corpus(sf_dir))
 
 
 def _q_loop_detect(sf_dir: str):
@@ -520,7 +530,7 @@ def _q_loop_detect(sf_dir: str):
 
     from go_fluentd_ray.functions import convmine
 
-    return convmine.loop_detect(rd.read_parquet(_corpus(sf_dir)))
+    return convmine.loop_detect(_read_corpus(sf_dir))
 
 
 def _q_prefix_forks(sf_dir: str):
@@ -531,7 +541,7 @@ def _q_prefix_forks(sf_dir: str):
 
     from go_fluentd_ray.functions import convmine
 
-    return convmine.prefix_forks(rd.read_parquet(_corpus(sf_dir)))
+    return convmine.prefix_forks(_read_corpus(sf_dir))
 
 
 def _q_preference_pairs(sf_dir: str):
@@ -544,7 +554,7 @@ def _q_preference_pairs(sf_dir: str):
 
     from go_fluentd_ray.functions import convmine
 
-    return convmine.preference_pairs(rd.read_parquet(_corpus(sf_dir)))
+    return convmine.preference_pairs(_read_corpus(sf_dir))
 
 
 def _q_pack_conversations(sf_dir: str):
@@ -556,7 +566,7 @@ def _q_pack_conversations(sf_dir: str):
 
     from go_fluentd_ray.functions import convmine
 
-    return convmine.pack_conversations(rd.read_parquet(_corpus(sf_dir)))
+    return convmine.pack_conversations(_read_corpus(sf_dir))
 
 
 def _q_collapse_repeats(sf_dir: str):
@@ -567,7 +577,7 @@ def _q_collapse_repeats(sf_dir: str):
 
     from go_fluentd_ray.functions import logops
 
-    return logops.collapse_repeats(rd.read_parquet(_corpus(sf_dir)))
+    return logops.collapse_repeats(_read_corpus(sf_dir))
 
 
 def _q_tool_errors(sf_dir: str):
@@ -578,7 +588,7 @@ def _q_tool_errors(sf_dir: str):
 
     from go_fluentd_ray.functions import logops
 
-    return logops.tool_errors(rd.read_parquet(_corpus(sf_dir)))
+    return logops.tool_errors(_read_corpus(sf_dir))
 
 
 def _q_rate_anomaly(sf_dir: str):
@@ -590,7 +600,7 @@ def _q_rate_anomaly(sf_dir: str):
 
     from go_fluentd_ray.functions import logops
 
-    return logops.rate_anomaly(rd.read_parquet(_corpus(sf_dir)))
+    return logops.rate_anomaly(_read_corpus(sf_dir))
 
 
 def _q_sft_pipeline(sf_dir: str):
@@ -602,7 +612,7 @@ def _q_sft_pipeline(sf_dir: str):
 
     from go_fluentd_ray.pipelines import sftbuild
 
-    return sftbuild.sft_pipeline(rd.read_parquet(_corpus(sf_dir)))
+    return sftbuild.sft_pipeline(_read_corpus(sf_dir))
 
 
 def _q_log_templates(sf_dir: str):
@@ -614,7 +624,7 @@ def _q_log_templates(sf_dir: str):
 
     from go_fluentd_ray.functions import logops
 
-    return logops.log_templates(rd.read_parquet(_corpus(sf_dir)))
+    return logops.log_templates(_read_corpus(sf_dir))
 
 
 def _q_throttle_tags(sf_dir: str):
@@ -626,7 +636,7 @@ def _q_throttle_tags(sf_dir: str):
 
     from go_fluentd_ray.functions import logops
 
-    return logops.throttle_tags(rd.read_parquet(_corpus(sf_dir)))
+    return logops.throttle_tags(_read_corpus(sf_dir))
 
 
 def _q_tool_latency_pct(sf_dir: str):
@@ -638,7 +648,7 @@ def _q_tool_latency_pct(sf_dir: str):
 
     from go_fluentd_ray.functions import logops
 
-    return logops.tool_latency_pct(rd.read_parquet(_corpus(sf_dir)))
+    return logops.tool_latency_pct(_read_corpus(sf_dir))
 
 
 def _q_range_join(sf_dir: str):

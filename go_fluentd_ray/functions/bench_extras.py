@@ -5,6 +5,15 @@ its (small) result so the timing covers the full pipeline."""
 from __future__ import annotations
 
 
+
+def _sized(path):
+    """Sized transcript read (flagship read rule) — a raw read_parquet
+    yields one tiny block per corpus file and per-block overhead then
+    dominates the bucket exchanges (measured 16x at 10M turns)."""
+    from ..pipelines.flagship import read_transcripts
+
+    return read_transcripts(path)
+
 def _docs(sf_dir: str):
     from ..io_util import sized_read_parquet
 
@@ -203,7 +212,7 @@ def bench_gopher_quality(sf_dir: str):
     from .gopherquality import gopher_signals
 
     path = synth.ensure_multiline_docs(synth.docs_for_sf_dir(sf_dir))
-    return gopher_signals(rd.read_parquet(path)).count()
+    return gopher_signals(_sized(path)).count()
 
 
 def bench_pretrain_pipeline(sf_dir: str):
@@ -253,7 +262,7 @@ def bench_conversation_stats(sf_dir: str):
     from .convstats import conversation_stats
 
     path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
-    return conversation_stats(rd.read_parquet(path)).count()
+    return conversation_stats(_sized(path)).count()
 
 
 BENCHES.update({"conversation_stats": bench_conversation_stats})
@@ -268,9 +277,9 @@ def bench_turnflow(sf_dir: str):
     from .turnflow import context_truncate, role_transitions, tool_latency
 
     path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
-    n = tool_latency(rd.read_parquet(path)).count()
-    n += role_transitions(rd.read_parquet(path)).count()
-    n += context_truncate(rd.read_parquet(path)).count()
+    n = tool_latency(_sized(path)).count()
+    n += role_transitions(_sized(path)).count()
+    n += context_truncate(_sized(path)).count()
     return n
 
 
@@ -286,7 +295,7 @@ def bench_sft_pipeline(sf_dir: str):
     from ..pipelines.sftbuild import sft_pipeline
 
     path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
-    return sft_pipeline(rd.read_parquet(path)).count()
+    return sft_pipeline(_sized(path)).count()
 
 
 def bench_log_analytics(sf_dir: str):
@@ -298,8 +307,8 @@ def bench_log_analytics(sf_dir: str):
     from .logops import log_templates, rate_anomaly
 
     path = synth.ensure_corpus(synth.turns_for_sf_dir(sf_dir))
-    n = len(log_templates(rd.read_parquet(path)))
-    n += rate_anomaly(rd.read_parquet(path)).count()
+    n = len(log_templates(_sized(path)))
+    n += rate_anomaly(_sized(path)).count()
     return n
 
 

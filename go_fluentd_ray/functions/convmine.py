@@ -147,25 +147,37 @@ SFT_SCHEMA = pa.schema([
 def sft_kernel(df: pd.DataFrame, k_context: int) -> pd.DataFrame:
     """Per-bucket SFT extraction over a (conv_id, turn_idx)-sorted
     frame with columns conv_id/turn_idx/role/text — shared by
-    sft_examples and pipelines.sftbuild. k_context vectorized
-    group-shift string folds, oldest turn first."""
-    line = df["role"] + ": " + df["text"]
-    g = line.groupby(df["conv_id"], sort=False)
-    ctx = pd.Series("", index=df.index, dtype=object)
+    sft_examples and pipelines.sftbuild.
+
+    The context window is K numpy gathers over the rendered-line
+    array (restricted to the kept assistant rows) plus ONE C-level
+    '\\n'.join per output row — the earlier K sequential object-string
+    folds re-copied every growing context K times (O(K·context bytes)
+    per row) and were the extraction's dominant cost at 10M turns."""
+    line = (df["role"] + ": " + df["text"]).to_numpy()
+    conv = pd.factorize(df["conv_id"])[0]
+    keep_idx = np.nonzero(df["role"].to_numpy() == "assistant")[0]
+    cols = []
     for k in range(k_context, 0, -1):
-        prev = g.shift(k)
-        has = prev.notna().to_numpy()
-        sep = np.where((ctx.to_numpy() != "") & has, "\n", "")
-        ctx = ctx + sep + prev.fillna("").to_numpy()
+        src = keep_idx - k
+        ok = src >= 0
+        safe = np.where(ok, src, 0)
+        ok &= conv[safe] == conv[keep_idx]
+        cols.append(np.where(ok, line[safe], None))
+    if len(keep_idx) and cols:
+        ctx = ["\n".join([c for c in row if c is not None])
+               for row in zip(*cols)]
+    else:
+        ctx = [""] * len(keep_idx)
     n_ctx = (df.groupby("conv_id", sort=False).cumcount()
-             .clip(upper=k_context).astype("int64"))
-    keep = df["role"].to_numpy() == "assistant"
+             .to_numpy()[keep_idx].clip(max=k_context))
     return pd.DataFrame({
-        "conv_id": df["conv_id"][keep],
-        "turn_idx": df["turn_idx"][keep].astype("int64"),
-        "n_context_turns": n_ctx[keep],
-        "context": ctx[keep],
-        "response": df["text"][keep],
+        "conv_id": df["conv_id"].to_numpy()[keep_idx],
+        "turn_idx": df["turn_idx"].to_numpy()[keep_idx].astype("int64"),
+        "n_context_turns": n_ctx.astype("int64"),
+        "context": pd.Series(ctx, dtype=object)
+        if len(keep_idx) else pd.Series([], dtype=object),
+        "response": df["text"].to_numpy()[keep_idx],
     })
 
 

@@ -385,7 +385,8 @@ def run_resumable_sft(corpus_path: str, out_root: str,
     import tempfile
 
     import pyarrow.parquet as _pq
-    import ray.data as rd
+
+    from . import flagship
 
     from ..functions.sampling import _md5_mod100
     from ..functions.shuffle import default_buckets, hash_bucket
@@ -451,7 +452,7 @@ def run_resumable_sft(corpus_path: str, out_root: str,
             "rows": pa.array([part.num_rows], type=pa.int64())})
 
     written = _build_examples(
-        rd.read_parquet(corpus_path), B,
+        flagship.read_transcripts(corpus_path), B,
         corpus_filter, finish, stats_schema).to_pandas()
     metrics = {
         "num_buckets": B,

@@ -1,0 +1,90 @@
+"""Scaling evidence for the composed transcript → SFT pipeline (the
+three-exchange gates → dedup → extraction build): run the identical
+job at two parallelism levels in fresh processes over the same
+transcript corpus and report throughput at both plus efficiency.
+
+    python tools/sft_scaling.py            # orchestrates 8 vs 32
+    python tools/sft_scaling.py --one N    # single timed run, N cpus
+
+GRAFT_SFT_TURNS sizes the corpus (default 2,000,000 turns).
+GRAFT_SCALING_REPEATS sets best-of per level (default 4 — see the
+noisy-host note in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_TURNS = int(os.environ.get("GRAFT_SFT_TURNS", "2000000"))
+
+
+
+def _sized(path):
+    """Sized transcript read (flagship read rule) — a raw read_parquet
+    yields one tiny block per corpus file and per-block overhead then
+    dominates the bucket exchanges (measured 16x at 10M turns)."""
+    from go_fluentd_ray.pipelines import flagship
+
+    return flagship.read_transcripts(path)
+
+def one(ncpu: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from go_fluentd_ray import synth
+    from go_fluentd_ray.pipelines import sftbuild
+
+    path = synth.ensure_corpus(N_TURNS)
+    t0 = time.time()
+    n = sftbuild.sft_pipeline(_sized(path)).count()
+    wall = time.time() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "sec": round(wall, 2), "examples": n,
+            "turns_per_sec": round(N_TURNS / wall, 1)}
+
+
+def main() -> None:
+    if "--one" in sys.argv:
+        print(json.dumps(one(int(sys.argv[sys.argv.index("--one") + 1]))))
+        return
+    from go_fluentd_ray import synth
+
+    synth.ensure_corpus(N_TURNS)  # pre-generate outside the timed runs
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "4"))
+    results = {}
+    for ncpu in (8, 32):
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, __file__, "--one", str(ncpu)],
+                capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[ncpu] = best
+    eff = (results[8]["sec"] / results[32]["sec"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "sft_pipeline scaling 8->32 cpus",
+        "n_turns": N_TURNS,
+        "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
+        "examples": results[32]["examples"],
+        "turns_per_sec_8cpu": results[8]["turns_per_sec"],
+        "turns_per_sec_32cpu": results[32]["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    main()
