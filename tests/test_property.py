@@ -146,3 +146,89 @@ def test_parity_per_tag_joiners():
     got = concat_bucket(hand, cfg)
     texts = sorted(got["text"].to_pylist())
     assert texts == sorted([head + " || contA", head + "\tcontB"])
+
+
+# --------------------------------------------------- convmine kernel property
+
+_CONV = st.sampled_from(["a", "b", "c"])
+_ROLE = st.sampled_from(["user", "assistant", "tool"])
+_TEXT = st.text(alphabet="xyz \n", min_size=0, max_size=6)
+_TURN = st.tuples(_CONV, _ROLE, _TEXT)
+
+
+def _frame(rows):
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["conv_id", "role", "text"])
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype(np.int64)
+    return (df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                           ignore_index=True)
+            [["conv_id", "turn_idx", "role", "text"]])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_TURN, min_size=0, max_size=40), st.integers(1, 5))
+def test_sft_kernel_matches_naive_reference(rows, k):
+    """The gather+join kernel must equal the obvious per-row loop."""
+    from go_fluentd_ray.functions.convmine import sft_kernel
+
+    df = _frame(rows)
+    got = sft_kernel(df.copy(), k).reset_index(drop=True)
+
+    expected = []
+    for conv, grp in df.groupby("conv_id", sort=False):
+        lines = [f"{r}: {t}" for r, t in zip(grp["role"], grp["text"])]
+        for i, (_, row) in enumerate(grp.iterrows()):
+            if row["role"] != "assistant":
+                continue
+            ctx = "\n".join(lines[max(0, i - k):i])
+            expected.append((conv, row["turn_idx"], min(i, k), ctx,
+                             row["text"]))
+    assert len(got) == len(expected)
+    for j, (conv, ti, nctx, ctx, resp) in enumerate(expected):
+        r = got.iloc[j]
+        assert (r["conv_id"], r["turn_idx"],
+                r["n_context_turns"]) == (conv, ti, nctx)
+        assert r["context"] == ctx
+        assert r["response"] == resp
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_TURN, min_size=1, max_size=40))
+def test_collapse_and_loop_match_naive_runs(rows):
+    """Gaps-and-islands run detection (collapse_repeats / loop_detect)
+    must equal itertools.groupby over (role, text) per conversation."""
+    import itertools
+
+    import ray.data as rd
+
+    from go_fluentd_ray.functions.convmine import loop_detect
+    from go_fluentd_ray.functions.logops import collapse_repeats
+
+    df = _frame(rows)
+    collapsed = (collapse_repeats(rd.from_pandas(df))
+                 .to_pandas()
+                 .sort_values(["conv_id", "turn_idx"],
+                              ignore_index=True))
+    loops = loop_detect(rd.from_pandas(df)).to_pandas().set_index(
+        "conv_id")
+
+    exp_rows = []
+    exp_max = {}
+    for conv, grp in df.groupby("conv_id", sort=False):
+        runs = [(key, len(list(g))) for key, g in itertools.groupby(
+            zip(grp["role"], grp["text"]))]
+        exp_max[conv] = max(n for _, n in runs)
+        i = 0
+        turn_idx = grp["turn_idx"].tolist()
+        for (role, text), n in runs:
+            exp_rows.append((conv, turn_idx[i], role, text, n))
+            i += n
+    assert len(collapsed) == len(exp_rows)
+    for j, (conv, ti, role, text, n) in enumerate(exp_rows):
+        r = collapsed.iloc[j]
+        assert (r["conv_id"], r["turn_idx"], r["role"],
+                r["text"], r["n_repeats"]) == (conv, ti, role, text, n)
+    for conv, mx in exp_max.items():
+        assert loops.loc[conv, "max_run"] == mx
