@@ -557,6 +557,15 @@ def _q_preference_pairs(sf_dir: str):
     return convmine.preference_pairs(_read_corpus(sf_dir))
 
 
+def _q_conversation_sessions(sf_dir: str):
+    """Gap-based session segmentation WITHIN conversations (the
+    transcript twin of the events sessionizer): one skinny bucketed
+    exchange keyed hash(conv_id); text never moves."""
+    from go_fluentd_ray.functions import convstats
+
+    return convstats.conversation_sessions(_read_corpus(sf_dir))
+
+
 def _q_pack_conversations(sf_dir: str):
     """Greedy packing of WHOLE conversations into token-budget
     training bins (the conversation-granularity twin of
@@ -1152,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": _q_preference_pairs,
         "pack_conversations": _q_pack_conversations,
         "collapse_repeats": _q_collapse_repeats,
+        "conversation_sessions": _q_conversation_sessions,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1419,6 +1429,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_conversations": _convmine.pack_conversations_sql(
             _corpus(SF001)),
         "collapse_repeats": _logops.collapse_repeats_sql(
+            _corpus(SF001)),
+        "conversation_sessions": _convstats.conversation_sessions_sql(
             _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,

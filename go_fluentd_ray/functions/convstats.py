@@ -223,3 +223,101 @@ WITH sig AS (
 )
 SELECT min(conv_id) AS conv_id, count(*)::BIGINT AS n_copies
 FROM sig GROUP BY sig"""
+
+
+SESSION_GAP_SEC = 1800
+
+
+def conversation_sessions(transcripts_ds,
+                          gap_sec: int = SESSION_GAP_SEC,
+                          num_buckets: int | None = None):
+    """Gap-based session segmentation WITHIN conversations (the
+    transcript twin of events.sessionize, which keys on user): a new
+    session starts at any turn whose gap from the previous turn of the
+    same conversation exceeds ``gap_sec``. Output one row per
+    (conv_id, session_idx): n_turns, start/end epoch-us, duration_sec.
+
+    One skinny bucketed exchange keyed hash(conv_id) — only (ids,
+    ts_us) move, text never does; session ids are a cumsum of gap
+    breaks (cython), the per-session aggregate one vectorized groupby.
+    """
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+    gap_us = gap_sec * 1_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "ts_us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("session_idx", pa.int64()),
+        ("n_turns", pa.int64()), ("start_us", pa.int64()),
+        ("end_us", pa.int64()), ("duration_sec", pa.float64())])
+
+    def bucket_sessions(tbl: pa.Table) -> pa.Table:
+        df = (tbl.to_pandas()
+              .sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                           ignore_index=True))
+        if not len(df):
+            return schema.empty_table()
+        g = df.groupby("conv_id", sort=False)
+        gap = df["ts_us"] - g["ts_us"].shift()
+        brk = gap.isna() | (gap > gap_us)
+        df["__sess"] = brk.groupby(df["conv_id"], sort=False).cumsum() - 1
+        out = (df.groupby(["conv_id", "__sess"], sort=False)
+               .agg(n_turns=("ts_us", "size"), start_us=("ts_us", "min"),
+                    end_us=("ts_us", "max")).reset_index()
+               .rename(columns={"__sess": "session_idx"}))
+        out["session_idx"] = out["session_idx"].astype("int64")
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["duration_sec"] = ((out["end_us"] - out["start_us"])
+                               .to_numpy(dtype=np.float64) / 1e6)
+        return pa.Table.from_pandas(
+            out, schema=schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    proj = transcripts_ds.select_columns(
+        ["conv_id", "turn_idx", "ts"]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    proj = proj.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                            batch_format="pyarrow")
+    return proj.groupby("__bkt").map_groups(bucket_sessions,
+                                            batch_format="pyarrow")
+
+
+def conversation_sessions_sql(path: str,
+                              gap_sec: int = SESSION_GAP_SEC) -> str:
+    """DuckDB twin: identical gap predicate (strict >), turn_idx
+    session ordering, and integer-us duration / 1e6 float order.
+    NOTE the break is on the gap from the previous TURN (turn_idx
+    order), not time order — out-of-order timestamps are part of the
+    corpus and both engines honor the same ordering."""
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{path}/*.parquet')
+),
+m AS (
+  SELECT conv_id, turn_idx, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {gap_us}
+               OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+r AS (
+  SELECT conv_id, ts_us,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - 1 AS session_idx
+  FROM m
+)
+SELECT conv_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_turns,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       (max(ts_us) - min(ts_us))::DOUBLE / 1e6 AS duration_sec
+FROM r GROUP BY conv_id, session_idx"""

@@ -2509,3 +2509,47 @@ class TestPackAndCollapse:
         n_in = rd.read_parquet(path).count()
         n_out = logops.collapse_repeats(rd.read_parquet(path)).count()
         assert n_out < n_in
+
+
+class TestConversationSessions:
+    def test_hand_case_gap_splits(self):
+        from go_fluentd_ray.functions import convstats
+
+        # turns at 0s, 10s, 1h, 1h+5s -> two sessions (2 turns each);
+        # single-turn conv -> one zero-duration session
+        df = pd.DataFrame({
+            "conv_id": ["a"] * 4 + ["b"],
+            "turn_idx": np.array([0, 1, 2, 3, 0], dtype=np.int32),
+            "ts": pd.to_datetime(
+                [0, 10_000_000, 3_600_000_000, 3_605_000_000, 7],
+                unit="us"),
+        })
+        out = (convstats.conversation_sessions(rd.from_pandas(df),
+                                               gap_sec=1800)
+               .to_pandas().sort_values(["conv_id", "session_idx"])
+               .reset_index(drop=True))
+        assert list(out["conv_id"]) == ["a", "a", "b"]
+        assert list(out["session_idx"]) == [0, 1, 0]
+        assert list(out["n_turns"]) == [2, 2, 1]
+        assert out.iloc[0]["duration_sec"] == 10.0
+        assert out.iloc[2]["duration_sec"] == 0.0
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import convstats
+
+        path = synth.ensure_corpus(60000)
+        keys = ["conv_id", "session_idx"]
+        got = (convstats.conversation_sessions(rd.read_parquet(path))
+               .to_pandas().sort_values(keys).reset_index(drop=True))
+        want = (duckdb.connect()
+                .execute(convstats.conversation_sessions_sql(path))
+                .df().sort_values(keys).reset_index(drop=True))
+        for c in want.columns:
+            if want[c].dtype != got[c].dtype and got[c].dtype == "int64":
+                want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        # the corpus must contain real multi-session conversations
+        assert (got.groupby("conv_id").size() > 1).any()
