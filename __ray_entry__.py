@@ -39,8 +39,6 @@ def _corpus(sf_dir: str) -> str:
 
 def entry() -> Any:
     """Flagship pipeline over sf0.001 (smoke check)."""
-    import ray.data as rd
-
     from go_fluentd_ray.pipelines import flagship
 
     ds = flagship.read_transcripts(_corpus("/root/testdata/sf0.001"))
@@ -52,8 +50,6 @@ def entry() -> Any:
 
 
 def _q_flagship(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.pipelines import flagship
 
     ds = flagship.read_transcripts(_corpus(sf_dir))
@@ -120,7 +116,6 @@ def _q_flagship_bigdata_rowkey(sf_dir: str):
 
 
 def _q_acceptor_counts(sf_dir: str):
-    import ray.data as rd
     from ray.data.aggregate import Count
 
     from go_fluentd_ray.config import DEFAULT_CONFIG
@@ -133,8 +128,6 @@ def _q_acceptor_counts(sf_dir: str):
 
 
 def _q_concat_segments(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.config import DEFAULT_CONFIG
     from go_fluentd_ray.pipelines import flagship
     from go_fluentd_ray.stages.acceptor import acceptor_transform
@@ -156,8 +149,6 @@ def _q_discard_counts(sf_dir: str):
     """Per-reason discard accounting — the reference's /monitor counter
     surface (window / spark_ignore / unknown_tag / regex_nonmatch /
     must_include / time_parse / emitted)."""
-    import ray.data as rd
-
     from go_fluentd_ray.config import DEFAULT_CONFIG
     from go_fluentd_ray.pipelines import monitoring
 
@@ -168,14 +159,14 @@ def _q_discard_counts(sf_dir: str):
 def _q_window_filter(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
-
     from go_fluentd_ray.config import DEFAULT_CONFIG as cfg
 
     lo = pa.scalar(cfg.window_min_ts).cast(pa.timestamp("us"))
     hi = pa.scalar(cfg.window_max_ts).cast(pa.timestamp("us"))
-    ds = rd.read_parquet(_corpus(sf_dir), columns=["conv_id", "turn_idx",
-                                                   "tool", "ts"])
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    ds = sized_read_parquet(_corpus(sf_dir),
+                            columns=["conv_id", "turn_idx", "tool", "ts"])
     return ds.map_batches(
         lambda t: t.filter(pc.and_(pc.greater_equal(t["ts"], lo),
                                    pc.less_equal(t["ts"], hi))),
@@ -410,32 +401,24 @@ def _q_knn_ivf_recall(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.functions import events
 
     return events.events_hourly(_events(sf_dir))
 
 
 def _q_events_sliding(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.functions import events
 
     return events.sliding_3h(_events(sf_dir))
 
 
 def _q_running_totals(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.functions import events
 
     return events.running_totals(_events(sf_dir))
 
 
 def _q_sessionize(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.functions import events
 
     return events.sessionize(_events(sf_dir))
@@ -458,8 +441,6 @@ def _q_conversation_stats(sf_dir: str):
     corpus (the transcript-native Gopher analogue): one skinny
     bucketed exchange keyed hash(conv_id) — text never moves, dup
     detection rides an 8-byte text hash."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convstats
 
     return convstats.conversation_stats(_read_corpus(sf_dir))
@@ -469,8 +450,6 @@ def _q_conversation_dedup(sf_dir: str):
     """Exact-duplicate CONVERSATION detection: signature = md5 over the
     turn-ordered per-turn md5 digests; keep min conv_id per signature
     with its copy count. Two skinny exchanges, text never moves."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convstats
 
     return convstats.conversation_dedup(_read_corpus(sf_dir))
@@ -481,8 +460,6 @@ def _q_tool_latency(sf_dir: str):
     earliest following role='tool' turn per call turn, one skinny
     bucketed exchange keyed hash(conv_id) — text never moves; integer
     microsecond sums keep the mean bit-comparable with SQL."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import turnflow
 
     return turnflow.tool_latency(_read_corpus(sf_dir))
@@ -492,8 +469,6 @@ def _q_role_transitions(sf_dir: str):
     """Corpus-wide consecutive (from_role → to_role) turn-pair counts —
     the dialogue-structure Markov table. Per-bucket cython shift +
     count partials, final groupby moves B × |roles|² rows."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import turnflow
 
     return turnflow.role_transitions(_read_corpus(sf_dir))
@@ -503,8 +478,6 @@ def _q_context_truncate(sf_dir: str):
     """Context-window trim: per conversation the maximal turn SUFFIX
     whose \\w+ token total fits the budget (most recent turns win).
     Only (conv_id, turn_idx, n_tokens) crosses the exchange."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import turnflow
 
     return turnflow.context_truncate(_read_corpus(sf_dir))
@@ -515,8 +488,6 @@ def _q_sft_examples(sf_dir: str):
     last 8 preceding turns rendered 'role: text' joined by newlines,
     response = the turn text. One hash(conv_id) bucketed exchange;
     the context fold is 8 vectorized group-shift concats per bucket."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convmine
 
     return convmine.sft_examples(_read_corpus(sf_dir))
@@ -526,8 +497,6 @@ def _q_loop_detect(sf_dir: str):
     """Agent-loop smell per conversation: longest run of consecutive
     identical (role, text) turns via vectorized gaps-and-islands.
     Only md5 digests cross the exchange — text never moves."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convmine
 
     return convmine.loop_detect(_read_corpus(sf_dir))
@@ -537,8 +506,6 @@ def _q_prefix_forks(sf_dir: str):
     """Shared-prefix fork mining: conversations with an identical
     first-2-turn digest prefix but divergent full signatures — the
     preference-pair candidate generator. Two skinny digest exchanges."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convmine
 
     return convmine.prefix_forks(_read_corpus(sf_dir))
@@ -550,8 +517,6 @@ def _q_preference_pairs(sf_dir: str):
     of divergence and both diverging turn texts. Four exchanges — all
     skinny except the single corpus pass; the pair compute touches
     only the fork subset."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convmine
 
     return convmine.preference_pairs(_read_corpus(sf_dir))
@@ -571,8 +536,6 @@ def _q_pack_conversations(sf_dir: str):
     training bins (the conversation-granularity twin of
     pack_sequences): one skinny per-conversation token-count exchange
     keyed md5(conv_id) % B; text never moves."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import convmine
 
     return convmine.pack_conversations(_read_corpus(sf_dir))
@@ -582,8 +545,6 @@ def _q_collapse_repeats(sf_dir: str):
     """rsyslog's 'last message repeated N times' as a batch transform:
     collapse each run of consecutive identical (role, text) turns to
     its first turn + count. One hash(conv_id) exchange."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import logops
 
     return logops.collapse_repeats(_read_corpus(sf_dir))
@@ -593,8 +554,6 @@ def _q_tool_errors(sf_dir: str):
     """Per-tool error rate over observation turns (RE2 error-pattern
     match): pure map-side count partials, one tiny final groupby —
     only (tool, 2 ints) ever moves."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import logops
 
     return logops.tool_errors(_read_corpus(sf_dir))
@@ -605,8 +564,6 @@ def _q_rate_anomaly(sf_dir: str):
     (tag, minute-window) count vs the 12 preceding observed windows.
     Integer trailing sums + one fixed float64 op order — the z values
     are bit-identical with SQL, not approximately equal."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import logops
 
     return logops.rate_anomaly(_read_corpus(sf_dir))
@@ -617,8 +574,6 @@ def _q_sft_pipeline(sf_dir: str):
     quality gate ∧ loop gate → exact conversation dedup among
     survivors → SFT pair extraction → md5(conv_id) split. Three
     exchanges total; text crosses the wire exactly once."""
-    import ray.data as rd
-
     from go_fluentd_ray.pipelines import sftbuild
 
     return sftbuild.sft_pipeline(_read_corpus(sf_dir))
@@ -629,8 +584,6 @@ def _q_log_templates(sf_dir: str):
     corpus-wide top-k (the word_topk bucketed pattern — the driver
     only ever sees B×k partial rows, never the distinct-template
     table)."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import logops
 
     return logops.log_templates(_read_corpus(sf_dir))
@@ -641,8 +594,6 @@ def _q_throttle_tags(sf_dir: str):
     DETERMINISTIC operator: per (tag, tumbling window) admit the
     earliest N turns under the (ts, conv_id, turn_idx) total order.
     Skinny projection keyed hash(tag, window)."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import logops
 
     return logops.throttle_tags(_read_corpus(sf_dir))
@@ -653,8 +604,6 @@ def _q_tool_latency_pct(sf_dir: str):
     (quantile_disc semantics, integer microseconds end to end). Two
     skinny exchanges: pairing in hash(conv_id) buckets, percentiles
     in hash(tool) buckets."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import logops
 
     return logops.tool_latency_pct(_read_corpus(sf_dir))
@@ -674,8 +623,6 @@ def _q_range_join(sf_dir: str):
 
 
 def _q_asof(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.functions import joins
 
     return joins.asof_signup_lag(_events(sf_dir))
@@ -683,8 +630,6 @@ def _q_asof(sf_dir: str):
 
 def _q_dim_join(sf_dir: str):
     import pyarrow.parquet as pq
-    import ray.data as rd
-
     from go_fluentd_ray.functions import joins
 
     dim = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
@@ -920,8 +865,6 @@ def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user estimate (mergeable per-batch
     sketches). Rows-only: approximate by design; the exact companion
     is the oracle-checked distinct_users."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import sketches
 
     return sketches.approx_distinct(
@@ -953,8 +896,6 @@ def _q_word_topk_sketch(sf_dir: str):
 
 
 def _q_distinct_users(sf_dir: str):
-    import ray.data as rd
-
     from go_fluentd_ray.functions import aggregates
 
     return aggregates.distinct_users(

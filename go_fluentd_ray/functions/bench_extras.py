@@ -6,13 +6,10 @@ from __future__ import annotations
 
 
 
-def _sized(path):
-    """Sized transcript read (flagship read rule) — a raw read_parquet
-    yields one tiny block per corpus file and per-block overhead then
-    dominates the bucket exchanges (measured 16x at 10M turns)."""
-    from ..pipelines.flagship import read_transcripts
+# sized read of a corpus dir (the flagship read rule — raw read_parquet
+# yields one tiny block per file; measured 16x on bucket exchanges)
+from ..pipelines.flagship import read_transcripts as _sized  # noqa: E402
 
-    return read_transcripts(path)
 
 def _docs(sf_dir: str):
     from ..io_util import sized_read_parquet

@@ -154,9 +154,11 @@ def sft_kernel(df: pd.DataFrame, k_context: int) -> pd.DataFrame:
     '\\n'.join per output row — the earlier K sequential object-string
     folds re-copied every growing context K times (O(K·context bytes)
     per row) and were the extraction's dominant cost at 10M turns."""
-    line = (df["role"] + ": " + df["text"]).to_numpy()
+    role = df["role"].fillna("")
+    text = df["text"].fillna("")  # the documented null-as-'' contract
+    line = (role + ": " + text).to_numpy()
     conv = pd.factorize(df["conv_id"])[0]
-    keep_idx = np.nonzero(df["role"].to_numpy() == "assistant")[0]
+    keep_idx = np.nonzero(role.to_numpy() == "assistant")[0]
     cols = []
     for k in range(k_context, 0, -1):
         src = keep_idx - k
@@ -177,7 +179,7 @@ def sft_kernel(df: pd.DataFrame, k_context: int) -> pd.DataFrame:
         "n_context_turns": n_ctx.astype("int64"),
         "context": pd.Series(ctx, dtype=object)
         if len(keep_idx) else pd.Series([], dtype=object),
-        "response": df["text"].to_numpy()[keep_idx],
+        "response": text.to_numpy()[keep_idx],
     })
 
 
@@ -692,7 +694,6 @@ def pack_conversations(transcripts_ds, budget: int = PACK_CONV_BUDGET,
     cluster-derived). The per-bucket greedy scan is the same O(n) int
     loop as pack_documents. Text never moves.
     """
-    from .shuffle import default_buckets  # noqa: F401  (doc parity)
     from .text import TOKEN_RE
 
     B = num_buckets

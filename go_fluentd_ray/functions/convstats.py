@@ -247,6 +247,9 @@ def conversation_sessions(transcripts_ds,
     gap_us = gap_sec * 1_000_000
 
     def project(batch: pa.Table) -> pa.Table:
+        # null-ts turns are excluded on BOTH engines (a NaN gap would
+        # otherwise break sessions differently than SQL's NULL CASE)
+        batch = batch.filter(pc.is_valid(batch["ts"]))
         return pa.table({
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
@@ -301,7 +304,7 @@ def conversation_sessions_sql(path: str,
     return f"""
 WITH t AS (
   SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
-  FROM read_parquet('{path}/*.parquet')
+  FROM read_parquet('{path}/*.parquet') WHERE ts IS NOT NULL
 ),
 m AS (
   SELECT conv_id, turn_idx, ts_us,

@@ -22,15 +22,6 @@ import time
 N_TURNS = int(os.environ.get("GRAFT_SFT_TURNS", "2000000"))
 
 
-
-def _sized(path):
-    """Sized transcript read (flagship read rule) — a raw read_parquet
-    yields one tiny block per corpus file and per-block overhead then
-    dominates the bucket exchanges (measured 16x at 10M turns)."""
-    from go_fluentd_ray.pipelines import flagship
-
-    return flagship.read_transcripts(path)
-
 def one(ncpu: int) -> dict:
     import ray
 
@@ -39,14 +30,14 @@ def one(ncpu: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import ray.data as rd
 
     from go_fluentd_ray import synth
     from go_fluentd_ray.pipelines import sftbuild
+    from go_fluentd_ray.pipelines.flagship import read_transcripts
 
     path = synth.ensure_corpus(N_TURNS)
     t0 = time.time()
-    n = sftbuild.sft_pipeline(_sized(path)).count()
+    n = sftbuild.sft_pipeline(read_transcripts(path)).count()
     wall = time.time() - t0
     ray.shutdown()
     return {"num_cpus": ncpu, "sec": round(wall, 2), "examples": n,
@@ -55,7 +46,10 @@ def one(ncpu: int) -> dict:
 
 def main() -> None:
     if "--one" in sys.argv:
-        print(json.dumps(one(int(sys.argv[sys.argv.index("--one") + 1]))))
+        i = sys.argv.index("--one")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: sft_scaling.py --one <num_cpus>")
+        print(json.dumps(one(int(sys.argv[i + 1]))))
         return
     from go_fluentd_ray import synth
 
@@ -65,10 +59,14 @@ def main() -> None:
     for ncpu in (8, 32):
         best = None
         for _ in range(repeats):
-            out = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, __file__, "--one", str(ncpu)],
-                capture_output=True, text=True, check=True).stdout
-            r = json.loads(out.strip().splitlines()[-1])
+                capture_output=True, text=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr)
+                sys.exit(f"child run (--one {ncpu}) failed "
+                         f"rc={proc.returncode}")
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
             if best is None or r["sec"] < best["sec"]:
                 best = r
         results[ncpu] = best
