@@ -46,9 +46,10 @@ CONV_MAX_DUP_TURN_FRAC = 0.5
 
 def _md5_64(texts) -> np.ndarray:
     """First 16 md5 hex chars as uint64 — one C call per turn (the
-    established md5_batch pattern)."""
+    established md5_batch pattern). None hashes as '' (the SQL twins
+    coalesce(text, '') to match)."""
     return np.fromiter(
-        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        (int(hashlib.md5((t or "").encode()).hexdigest()[:16], 16)
          for t in texts), dtype=np.uint64, count=len(texts))
 
 
@@ -72,7 +73,8 @@ def conversation_stats(transcripts_ds, num_buckets: int | None = None):
                           type=pa.uint64()),
             "role": batch["role"],
             "tool_bit": tool_bit,
-            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "n_chars": pc.fill_null(pc.cast(
+                pc.utf8_length(batch["text"]), pa.int64()), 0),
             "ts_us": ts,
         })
 
@@ -120,7 +122,7 @@ def conversation_stats(transcripts_ds, num_buckets: int | None = None):
 def conversation_stats_sql(path: str) -> str:
     """DuckDB twin over the same transcript parquet: identical md5_64
     distinct-turn counting, identical int/int divisions."""
-    h = "('0x' || substr(md5(text), 1, 16))::UBIGINT"
+    h = "('0x' || substr(md5(coalesce(text, '')), 1, 16))::UBIGINT"
     return rf"""
 WITH t AS (
   SELECT conv_id, role, text, tool, epoch_us(ts) AS ts_us, {h} AS h
@@ -133,7 +135,7 @@ agg AS (
          count(DISTINCT role)::BIGINT AS n_roles,
          sum(CASE WHEN tool IS NOT NULL AND tool <> ''
                   THEN 1 ELSE 0 END)::BIGINT AS n_tool,
-         sum(length(text))::BIGINT AS sum_chars,
+         sum(length(coalesce(text, '')))::BIGINT AS sum_chars,
          min(ts_us) AS ts_min, max(ts_us) AS ts_max
   FROM t GROUP BY conv_id
 )
@@ -172,7 +174,7 @@ def conversation_dedup(transcripts_ds, num_buckets: int | None = None):
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
             "hhex": pa.array(
-                [_hl.md5(t.encode()).hexdigest()
+                [_hl.md5((t or "").encode()).hexdigest()
                  for t in batch["text"].to_pylist()],
                 type=pa.string()),
         })
@@ -217,7 +219,8 @@ def conversation_dedup_sql(path: str) -> str:
     return rf"""
 WITH sig AS (
   SELECT conv_id,
-         md5(string_agg(md5(text), '' ORDER BY turn_idx)) AS sig
+         md5(string_agg(md5(coalesce(text, '')), ''
+                        ORDER BY turn_idx)) AS sig
   FROM read_parquet('{path}/*.parquet')
   GROUP BY conv_id
 )

@@ -263,9 +263,9 @@ def context_truncate(transcripts_ds,
         return pa.table({
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
-            "n_tokens": pc.cast(
+            "n_tokens": pc.fill_null(pc.cast(
                 pc.count_substring_regex(batch["text"], TOKEN_RE),
-                pa.int64()),
+                pa.int64()), 0),
         })
 
     def bucket_keep(tbl: pa.Table) -> pa.Table:
@@ -297,7 +297,8 @@ def context_truncate_sql(path: str,
     return rf"""
 WITH t AS (
   SELECT conv_id, turn_idx::BIGINT AS turn_idx,
-         length(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens
+         length(regexp_extract_all(coalesce(text, ''),
+                                   '\w+'))::BIGINT AS n_tokens
   FROM read_parquet('{path}/*.parquet')
 ),
 w AS (

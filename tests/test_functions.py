@@ -2414,6 +2414,26 @@ class TestNullTextRobustness:
                         and got[c].dtype == "int64":
                     want[c] = want[c].astype("int64")
             pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        # the older transcript operators honor the same contract
+        from go_fluentd_ray.functions import convstats, turnflow
+
+        for fn, sql, keys in [
+                (convstats.conversation_stats,
+                 convstats.conversation_stats_sql(path), ["conv_id"]),
+                (convstats.conversation_dedup,
+                 convstats.conversation_dedup_sql(path), ["conv_id"]),
+                (turnflow.context_truncate,
+                 turnflow.context_truncate_sql(path),
+                 ["conv_id", "turn_idx"])]:
+            got = (fn(rd.read_parquet(path)).to_pandas()
+                   .sort_values(keys).reset_index(drop=True))
+            want = (con.execute(sql).df()
+                    .sort_values(keys).reset_index(drop=True))
+            for c in want.columns:
+                if want[c].dtype != got[c].dtype \
+                        and got[c].dtype == "int64":
+                    want[c] = want[c].astype("int64")
+            pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
         # preference_pairs / prefix_forks: null-text convs don't crash
         out = convmine.prefix_forks(rd.read_parquet(path)).to_pandas()
         assert len(out) == 0  # two distinct convs, no shared prefix
