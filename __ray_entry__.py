@@ -522,6 +522,16 @@ def _q_preference_pairs(sf_dir: str):
     return convmine.preference_pairs(_read_corpus(sf_dir))
 
 
+def _q_daily_role_stats(sf_dir: str):
+    """Per (UTC day, role) time-series rollup: turn count, distinct
+    conversations, total/mean chars. Map-side partials; the
+    conv-distinct rides the hash(conv_id) exchange (distinct_users
+    two-level pattern)."""
+    from go_fluentd_ray.functions import logops
+
+    return logops.daily_role_stats(_read_corpus(sf_dir))
+
+
 def _q_conversation_sessions(sf_dir: str):
     """Gap-based session segmentation WITHIN conversations (the
     transcript twin of the events sessionizer): one skinny bucketed
@@ -1103,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_conversations": _q_pack_conversations,
         "collapse_repeats": _q_collapse_repeats,
         "conversation_sessions": _q_conversation_sessions,
+        "daily_role_stats": _q_daily_role_stats,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1372,6 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse_repeats": _logops.collapse_repeats_sql(
             _corpus(SF001)),
         "conversation_sessions": _convstats.conversation_sessions_sql(
+            _corpus(SF001)),
+        "daily_role_stats": _logops.daily_role_stats_sql(
             _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,

@@ -582,3 +582,114 @@ SELECT conv_id, min(turn_idx)::BIGINT AS turn_idx,
        arg_min(text, turn_idx) AS text,
        count(*)::BIGINT AS n_repeats
 FROM r GROUP BY conv_id, run_id"""
+
+
+# ---------------------------------------------------------- daily role stats
+
+def daily_role_stats(transcripts_ds):
+    """The Kibana-style time-series rollup downstream of routing: per
+    (UTC day, role) — turn count, distinct conversations, total and
+    mean text chars (sum::double / n, one division order). Pure
+    map-side partials (day × role × bucketed conv-distinct) + one tiny
+    final groupby; at 10^12 turns only per-batch partial rows move.
+
+    Distinct conversations per (day, role) ride on a per-batch
+    drop_duplicates combiner + exact hash(conv)%B bucketing — the
+    distinct_users two-level pattern."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(
+            pc.cast(batch["ts"], pa.timestamp("us")), unit="day"),
+            pa.date32())
+        nchars = pc.fill_null(pc.cast(
+            pc.utf8_length(batch["text"]), pa.int64()), 0)
+        df = pd.DataFrame({"day": day.to_pylist(),
+                           "role": batch["role"].to_pylist(),
+                           "conv_id": batch["conv_id"].to_pylist(),
+                           "n_chars": nchars.to_pylist()})
+        g = (df.groupby(["day", "role"], sort=False)
+             .agg(n_turns=("n_chars", "size"),
+                  sum_chars=("n_chars", "sum")).reset_index())
+        # distinct-conv partial: unique (day, role, conv) per batch
+        u = df[["day", "role", "conv_id"]].drop_duplicates()
+        g["__kind"] = 0
+        u = u.assign(n_turns=0, sum_chars=0, __kind=1)
+        out = pd.concat([g.assign(conv_id=""), u], ignore_index=True)
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        out["__kind"] = out["__kind"].astype("int8")
+        return pa.Table.from_pandas(
+            out[["day", "role", "conv_id", "n_turns", "sum_chars",
+                 "__kind"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    schema = pa.schema([
+        ("day", pa.date32()), ("role", pa.string()),
+        ("n_turns", pa.int64()), ("n_convs", pa.int64()),
+        ("sum_chars", pa.int64()), ("mean_chars", pa.float64())])
+
+    def bucket_agg(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if not len(df):
+            return pa.schema([
+                ("day", pa.date32()), ("role", pa.string()),
+                ("n_turns", pa.int64()), ("n_convs", pa.int64()),
+                ("sum_chars", pa.int64())]).empty_table()
+        counts = (df[df["__kind"] == 0]
+                  .groupby(["day", "role"], sort=False)
+                  .agg(n_turns=("n_turns", "sum"),
+                       sum_chars=("sum_chars", "sum")).reset_index())
+        convs = (df[df["__kind"] == 1]
+                 .drop_duplicates(["day", "role", "conv_id"])
+                 .groupby(["day", "role"], sort=False)
+                 .size().reset_index(name="n_convs"))
+        out = counts.merge(convs, on=["day", "role"], how="outer")
+        for c in ("n_turns", "sum_chars", "n_convs"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return pa.Table.from_pandas(
+            out[["day", "role", "n_turns", "n_convs", "sum_chars"]],
+            preserve_index=False).replace_schema_metadata(None)
+
+    agg = transcripts_ds.select_columns(
+        ["conv_id", "role", "text", "ts"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # conv-distinct must co-locate per conversation; counts are
+    # mergeable anywhere — one exchange keyed hash(conv) serves both
+    agg = agg.map_batches(lambda t: add_bucket_col(t, ["conv_id"], B),
+                          batch_format="pyarrow")
+    partials = agg.groupby("__bkt").map_groups(bucket_agg,
+                                               batch_format="pyarrow")
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        df = (tbl.to_pandas().groupby(["day", "role"], sort=False)
+              .agg(n_turns=("n_turns", "sum"),
+                   n_convs=("n_convs", "sum"),
+                   sum_chars=("sum_chars", "sum")).reset_index())
+        df["mean_chars"] = (df["sum_chars"].to_numpy(np.float64)
+                            / df["n_turns"].to_numpy(np.float64))
+        for c in ("n_turns", "n_convs", "sum_chars"):
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(
+            df, schema=schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    # B x days x roles partial rows — one tiny final task
+    return partials.repartition(1).map_batches(finalize,
+                                               batch_format="pyarrow")
+
+
+def daily_role_stats_sql(path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, role, conv_id,
+         coalesce(length(text), 0)::BIGINT AS n_chars
+  FROM read_parquet('{path}/*.parquet')
+)
+SELECT day, role, count(*)::BIGINT AS n_turns,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean_chars
+FROM t GROUP BY day, role"""

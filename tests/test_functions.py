@@ -2573,3 +2573,49 @@ class TestConversationSessions:
         pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
         # the corpus must contain real multi-session conversations
         assert (got.groupby("conv_id").size() > 1).any()
+
+
+class TestDailyRoleStats:
+    def test_hand_case(self):
+        from go_fluentd_ray.functions import logops
+
+        df = pd.DataFrame({
+            "conv_id": ["a", "a", "b", "b"],
+            "turn_idx": np.arange(4, dtype=np.int32),
+            "role": ["user", "user", "user", "assistant"],
+            "text": ["ab", "cdef", "gh", "ij"],
+            "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-02 10:00",
+                                  "2024-01-01 23:59", "2024-01-01 09:00"]),
+        })
+        out = (logops.daily_role_stats(rd.from_pandas(df))
+               .to_pandas().sort_values(["day", "role"])
+               .reset_index(drop=True))
+        out["day"] = out["day"].astype(str)
+        # 2024-01-01/user: turns from convs a and b -> 2 turns, 2 convs
+        r = out.set_index(["day", "role"])
+        assert r.loc[("2024-01-01", "user"), "n_turns"] == 2
+        assert r.loc[("2024-01-01", "user"), "n_convs"] == 2
+        assert r.loc[("2024-01-01", "user"), "mean_chars"] == 2.0
+        assert r.loc[("2024-01-02", "user"), "n_turns"] == 1
+        assert r.loc[("2024-01-01", "assistant"), "n_convs"] == 1
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray import synth
+        from go_fluentd_ray.functions import logops
+
+        path = synth.ensure_corpus(60000)
+        keys = ["day", "role"]
+        got = (logops.daily_role_stats(rd.read_parquet(path))
+               .to_pandas().sort_values(keys).reset_index(drop=True))
+        want = (duckdb.connect()
+                .execute(logops.daily_role_stats_sql(path)).df()
+                .sort_values(keys).reset_index(drop=True))
+        got["day"] = got["day"].astype(str)
+        want["day"] = want["day"].astype(str)
+        for c in want.columns:
+            if want[c].dtype != got[c].dtype and got[c].dtype == "int64":
+                want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+        assert len(got) > 0
