@@ -187,16 +187,28 @@ def _q_tool_role_sink_counts(sf_dir: str):
     return flagship.tool_role_sink_counts(flagship.build_pipeline(ds))
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, cols: list[str] | None = None):
+    """documents table read, column-pruned at the READ (Ray does not
+    push a later Project into ReadParquet — visible in the execution
+    plans — so every query passes exactly the columns it consumes;
+    full-schema callers (`SELECT *` twins) pass cols=None)."""
     from go_fluentd_ray.io_util import sized_read_parquet
 
-    return sized_read_parquet(f"{sf_dir}/documents.parquet")
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+def _docs_text(sf_dir: str):
+    """The dominant projection: (doc_id, text) — what the dedup /
+    quality / tokenize families consume. The fixture table also
+    carries lang/source/n_chars; at 100 TB that is IO paid for
+    nothing on every read."""
+    return _docs(sf_dir, ["doc_id", "text"])
 
 
 def _q_bpe_token_count(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
-    return _docs(sf_dir).map_batches(
+    return _docs_text(sf_dir).map_batches(
         T.bpe_token_count_batch, batch_format="pyarrow",
         zero_copy_batch=True).select_columns(["doc_id", "n_bpe_tokens"])
 
@@ -204,7 +216,7 @@ def _q_bpe_token_count(sf_dir: str):
 def _q_token_count(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
-    return _docs(sf_dir).map_batches(
+    return _docs_text(sf_dir).map_batches(
         T.token_count_batch, batch_format="pyarrow",
         zero_copy_batch=True).select_columns(["doc_id", "n_tokens"])
 
@@ -212,7 +224,7 @@ def _q_token_count(sf_dir: str):
 def _q_quality(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
-    return _docs(sf_dir).map_batches(
+    return _docs_text(sf_dir).map_batches(
         T.quality_batch, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "n_chars_f", "n_words", "punct_ratio",
                       "stop_ratio", "mean_word_len", "quality"])
@@ -223,7 +235,7 @@ def _q_tfidf_keywords(sf_dir: str):
     broadcast + map-side scoring (the jaccard_join df pattern)."""
     from go_fluentd_ray.functions import text as T
 
-    return T.tfidf_keywords(_docs(sf_dir), k=5)
+    return T.tfidf_keywords(_docs_text(sf_dir), k=5)
 
 
 def _q_quality_prune(sf_dir: str):
@@ -232,13 +244,13 @@ def _q_quality_prune(sf_dir: str):
     streaming limit (DCLM/FineWeb-style corpus pruning)."""
     from go_fluentd_ray.functions import text as T
 
-    return T.quality_prune(_docs(sf_dir), pct=20)
+    return T.quality_prune(_docs_text(sf_dir), pct=20)
 
 
 def _q_lang_id(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
-    return _docs(sf_dir).map_batches(
+    return _docs_text(sf_dir).map_batches(
         T.LangId, batch_format="pyarrow", concurrency=2,
         zero_copy_batch=True).select_columns(["doc_id", "lang_pred"])
 
@@ -247,7 +259,7 @@ def _q_repetition(sf_dir: str):
     """Gopher-style duplicate-line / duplicate-word fractions."""
     from go_fluentd_ray.functions import text as T
 
-    return _docs(sf_dir).map_batches(
+    return _docs_text(sf_dir).map_batches(
         T.repetition_batch, batch_format="pyarrow",
         zero_copy_batch=True).select_columns(
         ["doc_id", "dup_line_frac", "dup_word_frac"])
@@ -259,13 +271,13 @@ def _q_lm_score(sf_dir: str):
     trigram model in CTEs (text.lm_score_sql)."""
     from go_fluentd_ray.functions import text as T
 
-    return T.lm_score(_docs(sf_dir))
+    return T.lm_score(_docs_text(sf_dir))
 
 
 def _q_fingerprint(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
-    return _docs(sf_dir).map_batches(
+    return _docs_text(sf_dir).map_batches(
         T.fingerprint_batch, batch_format="pyarrow",
         zero_copy_batch=True).select_columns(
         ["doc_id", "n_fp", "fp_min", "fp_xor"])
@@ -274,7 +286,7 @@ def _q_fingerprint(sf_dir: str):
 def _q_dedup_exact(sf_dir: str):
     from go_fluentd_ray.functions import dedup
 
-    return dedup.exact_dedup(_docs(sf_dir))
+    return dedup.exact_dedup(_docs_text(sf_dir))
 
 
 def _q_dedup_exact_rows(sf_dir: str):
@@ -289,7 +301,7 @@ def _q_dedup_minhash(sf_dir: str):
     # min_bands=2 is the scale route (collision pre-filter; the default
     # is the exhaustive min_bands=1 — see minhash_dedup's docstring for
     # the measured ~1-2% pair-recall tradeoff this opts into)
-    return dedup.minhash_dedup(_docs(sf_dir), min_bands=2)
+    return dedup.minhash_dedup(_docs_text(sf_dir), min_bands=2)
 
 
 def _q_dedup_jaccard(sf_dir: str):
@@ -298,19 +310,19 @@ def _q_dedup_jaccard(sf_dir: str):
     randomness, no recall loss), same one-corpus-shuffle verify."""
     from go_fluentd_ray.functions import dedup
 
-    return dedup.jaccard_join(_docs(sf_dir), threshold=0.8)
+    return dedup.jaccard_join(_docs_text(sf_dir), threshold=0.8)
 
 
 def _q_dedup_simhash(sf_dir: str):
     from go_fluentd_ray.functions import dedup
 
-    return dedup.simhash_dedup(_docs(sf_dir))
+    return dedup.simhash_dedup(_docs_text(sf_dir))
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, cols: list[str] | None = None):
     from go_fluentd_ray.io_util import sized_read_parquet
 
-    return sized_read_parquet(f"{sf_dir}/events.parquet")
+    return sized_read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
 
 def _emb(sf_dir: str):
@@ -370,7 +382,7 @@ def _q_near_dedup_rows(sf_dir: str):
     from go_fluentd_ray.functions import dedup
     from go_fluentd_ray.functions.components import dedup_rows_by_components
 
-    docs = _docs(sf_dir)
+    docs = _docs_text(sf_dir)
     pairs = dedup.minhash_dedup(docs, threshold=0.7, min_bands=2)
     out = dedup_rows_by_components(docs, pairs, "doc_id")
     return out.select_columns(["doc_id"])
@@ -403,31 +415,33 @@ def _q_knn_ivf_recall(sf_dir: str):
 def _q_events_hourly(sf_dir: str):
     from go_fluentd_ray.functions import events
 
-    return events.events_hourly(_events(sf_dir))
+    return events.events_hourly(_events(sf_dir, ["ts", "event_type", "value", "props"]))
 
 
 def _q_events_sliding(sf_dir: str):
     from go_fluentd_ray.functions import events
 
-    return events.sliding_3h(_events(sf_dir))
+    # sliding_3h builds on events_hourly, which also sums value/props
+    return events.sliding_3h(
+        _events(sf_dir, ["ts", "event_type", "value", "props"]))
 
 
 def _q_running_totals(sf_dir: str):
     from go_fluentd_ray.functions import events
 
-    return events.running_totals(_events(sf_dir))
+    return events.running_totals(_events(sf_dir, ["event_id", "ts", "user_id", "value"]))
 
 
 def _q_sessionize(sf_dir: str):
     from go_fluentd_ray.functions import events
 
-    return events.sessionize(_events(sf_dir))
+    return events.sessionize(_events(sf_dir, ["event_id", "ts", "user_id"]))
 
 
 def _q_multimodal_meta(sf_dir: str):
     from go_fluentd_ray.functions import multimodal
 
-    return multimodal.multimodal_meta(_docs(sf_dir))
+    return multimodal.multimodal_meta(_docs_text(sf_dir))
 
 
 def _http_n(sf_dir: str) -> int:
@@ -624,27 +638,26 @@ def _q_range_join(sf_dir: str):
     Dataset API lacks natively: per purchase event, the count of
     signup events within ±1 h, via time-bucket co-partitioning with
     ±1-bucket replication of the skinny right side."""
-    import ray.data as rd
-
     from go_fluentd_ray.functions import rangejoin
 
     return rangejoin.range_join_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet"))
+        _events(sf_dir, ["event_id", "ts", "event_type"]))
 
 
 def _q_asof(sf_dir: str):
     from go_fluentd_ray.functions import joins
 
-    return joins.asof_signup_lag(_events(sf_dir))
+    return joins.asof_signup_lag(_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
 
 
 def _q_dim_join(sf_dir: str):
     import pyarrow.parquet as pq
     from go_fluentd_ray.functions import joins
 
-    dim = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    dim = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"]).to_pandas()
     out = joins.broadcast_dim_join(
-        _events(sf_dir), dim)
+        _events(sf_dir, ["event_id", "user_id", "event_type"]), dim)
     return out.select_columns(["event_id", "user_id", "event_type", "c_name"])
 
 
@@ -653,7 +666,7 @@ def _q_corpus_stats(sf_dir: str):
     totals, mean quality — partial-aggregate combiner + tiny groupby."""
     from go_fluentd_ray.functions import aggregates
 
-    return aggregates.corpus_stats(_docs(sf_dir))
+    return aggregates.corpus_stats(_docs(sf_dir, ["text", "source", "lang"]))
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -684,7 +697,7 @@ def _q_clean_redact(sf_dir: str):
     mirrored in SQL."""
     from go_fluentd_ray.functions import textclean
 
-    return textclean.clean_redact(_docs(sf_dir)).select_columns(
+    return textclean.clean_redact(_docs_text(sf_dir)).select_columns(
         ["doc_id", "clean_text", "n_emails", "n_ips"])
 
 
@@ -725,7 +738,7 @@ def _q_dsir_scores(sf_dir: str):
     move only skinny (bucket, count) partials, scoring is map-side."""
     from go_fluentd_ray.functions import dsir
 
-    return dsir.dsir_scores(_docs(sf_dir)).select_columns(
+    return dsir.dsir_scores(_docs_text(sf_dir)).select_columns(
         ["doc_id", "dsir_logratio"])
 
 
@@ -748,7 +761,7 @@ def _q_split_assign(sf_dir: str):
     md5(doc_id) — resume-stable, order-free, cluster-size-free."""
     from go_fluentd_ray.functions import sampling
 
-    return sampling.split_assign(_docs(sf_dir)).select_columns(
+    return sampling.split_assign(_docs(sf_dir, ["doc_id"])).select_columns(
         ["doc_id", "split"])
 
 
@@ -758,7 +771,7 @@ def _q_dedup_spans(sf_dir: str):
     shuffle, one broadcast, vectorized map-side coverage removal."""
     from go_fluentd_ray.functions import spandedup
 
-    return spandedup.span_dedup(_docs(sf_dir)).select_columns(
+    return spandedup.span_dedup(_docs_text(sf_dir)).select_columns(
         ["doc_id", "clean_text", "n_removed_tokens"])
 
 
@@ -768,7 +781,7 @@ def _q_bm25_topk(sf_dir: str):
     map-side scoring with per-batch top-k partials."""
     from go_fluentd_ray.functions import bm25
 
-    return bm25.bm25_topk(_docs(sf_dir))
+    return bm25.bm25_topk(_docs_text(sf_dir))
 
 
 def _q_badwords_filter(sf_dir: str):
@@ -785,7 +798,7 @@ def _q_curation_pipeline(sf_dir: str):
     twin (the composition itself is the thing under test)."""
     from go_fluentd_ray.pipelines import curation
 
-    return curation.curation_pipeline(_docs(sf_dir))
+    return curation.curation_pipeline(_docs_text(sf_dir))
 
 
 def _q_pretrain_pipeline(sf_dir: str):
@@ -795,7 +808,7 @@ def _q_pretrain_pipeline(sf_dir: str):
     value-checked end to end by a CTE-chained SQL twin."""
     from go_fluentd_ray.pipelines import curation
 
-    return curation.pretrain_pipeline(_docs(sf_dir))
+    return curation.pretrain_pipeline(_docs_text(sf_dir))
 
 
 def _q_leakage_audit(sf_dir: str):
@@ -804,7 +817,7 @@ def _q_leakage_audit(sf_dir: str):
     partials shuffle; output is 3 rows at any corpus scale."""
     from go_fluentd_ray.functions import leakage
 
-    return leakage.leakage_audit(_docs(sf_dir))
+    return leakage.leakage_audit(_docs_text(sf_dir))
 
 
 def _q_selection_pipeline(sf_dir: str):
@@ -813,7 +826,7 @@ def _q_selection_pipeline(sf_dir: str):
     corpus) -> exact top-p% by score -> split assignment."""
     from go_fluentd_ray.pipelines import curation
 
-    return curation.selection_pipeline(_docs(sf_dir))
+    return curation.selection_pipeline(_docs_text(sf_dir))
 
 
 def _q_decontaminate(sf_dir: str):
@@ -822,8 +835,8 @@ def _q_decontaminate(sf_dir: str):
     eval suite; the operator takes any Dataset as the benchmark)."""
     from go_fluentd_ray.functions import decontam, sampling
 
-    docs = _docs(sf_dir)
-    bench = sampling.hash_sample(_docs(sf_dir), 2)
+    docs = _docs(sf_dir)  # full schema: surviving rows keep SELECT *
+    bench = sampling.hash_sample(_docs_text(sf_dir), 2)
     return decontam.decontaminate(docs, bench, n=3)
 
 
@@ -842,7 +855,7 @@ def _q_shuffle_shards(sf_dir: str):
     """Deterministic global training shuffle -> (shard, pos) layout."""
     from go_fluentd_ray.functions import sampling
 
-    return sampling.shuffle_shards(_docs(sf_dir), num_shards=16) \
+    return sampling.shuffle_shards(_docs(sf_dir, ["doc_id"]), num_shards=16) \
         .select_columns(["doc_id", "shuffle_key", "shard", "pos"])
 
 
@@ -862,13 +875,13 @@ def _q_quota_per_key(sf_dir: str):
 def _q_doc_chunks(sf_dir: str):
     from go_fluentd_ray.functions import sampling
 
-    return sampling.chunk_documents(_docs(sf_dir))
+    return sampling.chunk_documents(_docs_text(sf_dir))
 
 
 def _q_pack_sequences(sf_dir: str):
     from go_fluentd_ray.functions import sampling
 
-    return sampling.pack_documents(_docs(sf_dir))
+    return sampling.pack_documents(_docs_text(sf_dir))
 
 
 def _q_approx_distinct_users(sf_dir: str):
@@ -878,13 +891,13 @@ def _q_approx_distinct_users(sf_dir: str):
     from go_fluentd_ray.functions import sketches
 
     return sketches.approx_distinct(
-        _events(sf_dir), "user_id")
+        _events(sf_dir, ["user_id"]), "user_id")
 
 
 def _q_word_topk(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
-    return aggregates.word_topk(_docs(sf_dir))
+    return aggregates.word_topk(_docs(sf_dir, ["text"]))
 
 
 def _q_approx_quantiles(sf_dir: str):
@@ -892,7 +905,7 @@ def _q_approx_quantiles(sf_dir: str):
     approximate by design, rank error < N/256)."""
     from go_fluentd_ray.functions import sketches
 
-    return sketches.approx_quantiles(_docs(sf_dir), "n_chars",
+    return sketches.approx_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars",
                                      qs=(0.5, 0.9, 0.99))
 
 
@@ -902,14 +915,14 @@ def _q_word_topk_sketch(sf_dir: str):
     exact companion word_topk is the SQL-checked truth)."""
     from go_fluentd_ray.functions import sketches
 
-    return sketches.topk_words_sketch(_docs(sf_dir))
+    return sketches.topk_words_sketch(_docs(sf_dir, ["text"]))
 
 
 def _q_distinct_users(sf_dir: str):
     from go_fluentd_ray.functions import aggregates
 
     return aggregates.distinct_users(
-        _events(sf_dir))
+        _events(sf_dir, ["user_id", "event_type"]))
 
 
 def _q_http_ingest(sf_dir: str):

@@ -12,3 +12,34 @@ owned by bench.py / tests / the driver.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptyBundleSchemaFilter(_logging.Filter):
+    """Drop ONLY the benign 'RefBundle with a different schema …
+    new schema: <empty>' warnings.
+
+    When a map/sort task's output is empty, Ray emits a bundle whose
+    schema is empty even though the producing UDF returned a typed
+    ``schema.empty_table()`` (ray.data block.py:_is_empty_schema — an
+    empty pyarrow schema is treated as no schema). Every partial-
+    aggregation stage here (rate_anomaly's bucket_score, leakage's
+    distinct_grams, tool_latency_pct, …) legitimately produces empty
+    partials on filtered-out buckets, so the warning is pure noise —
+    but a GENUINE divergence (two non-empty schemas differing) still
+    warns: the filter matches only the empty-new-schema form."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if "RefBundle with a different schema" not in msg:
+            return True
+        # empty-arrow ("new schema: .") and empty-pandas forms
+        return not (
+            "new schema: . " in msg
+            or "new schema: PandasBlockSchema(names=[], types=[])" in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBundleSchemaFilter())

@@ -11,16 +11,22 @@ from __future__ import annotations
 from ..pipelines.flagship import read_transcripts as _sized  # noqa: E402
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, cols=("doc_id", "text")):
+    """Column-pruned at the read (Ray does not push a later Project
+    into ReadParquet): the default (doc_id, text) projection is what
+    nearly every text operator consumes; callers needing more pass
+    cols explicitly, full-schema callers pass cols=None."""
     from ..io_util import sized_read_parquet
 
-    return sized_read_parquet(f"{sf_dir}/documents.parquet")
+    return sized_read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=list(cols) if cols else None)
 
 
-def _emb(sf_dir: str):
+def _emb(sf_dir: str, cols=None):
     from ..io_util import sized_read_parquet
 
-    return sized_read_parquet(f"{sf_dir}/embeddings.parquet")
+    return sized_read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=list(cols) if cols else None)
 
 
 def bench_dedup_exact(sf_dir: str):
@@ -45,7 +51,7 @@ def bench_quality(sf_dir: str):
 def bench_knn(sf_dir: str):
     from .similarity import knn_bruteforce
 
-    return len(knn_bruteforce(_emb(sf_dir)))
+    return len(knn_bruteforce(_emb(sf_dir, ("vec_id", "embedding"))))
 
 
 def bench_events_hourly(sf_dir: str):
@@ -53,7 +59,11 @@ def bench_events_hourly(sf_dir: str):
 
     from .events import events_hourly
 
-    return events_hourly(rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+    from ..io_util import sized_read_parquet
+
+    return events_hourly(sized_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value", "props"])).count()
 
 
 BENCHES = {
@@ -70,7 +80,11 @@ def bench_sessionize(sf_dir: str):
 
     from .events import sessionize
 
-    return sessionize(rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+    from ..io_util import sized_read_parquet
+
+    return sessionize(sized_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"])).count()
 
 
 def bench_asof(sf_dir: str):
@@ -78,8 +92,11 @@ def bench_asof(sf_dir: str):
 
     from .joins import asof_signup_lag
 
-    return asof_signup_lag(
-        rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+    from ..io_util import sized_read_parquet
+
+    return asof_signup_lag(sized_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])).count()
 
 
 def bench_doc_chunks(sf_dir: str):
@@ -124,7 +141,7 @@ def bench_decontaminate(sf_dir: str):
 def bench_shuffle_shards(sf_dir: str):
     from .sampling import shuffle_shards
 
-    return shuffle_shards(_docs(sf_dir), num_shards=16).count()
+    return shuffle_shards(_docs(sf_dir, ("doc_id",)), num_shards=16).count()
 
 
 def bench_semantic_dedup(sf_dir: str):
@@ -172,7 +189,7 @@ BENCHES.update({
 def bench_corpus_stats(sf_dir: str):
     from .aggregates import corpus_stats
 
-    return corpus_stats(_docs(sf_dir)).count()
+    return corpus_stats(_docs(sf_dir, ("text", "source", "lang"))).count()
 
 
 BENCHES.update({"corpus_stats": bench_corpus_stats})
@@ -245,8 +262,11 @@ def bench_range_join(sf_dir: str):
 
     from .rangejoin import range_join_counts
 
-    return range_join_counts(
-        rd.read_parquet(f"{sf_dir}/events.parquet")).count()
+    from ..io_util import sized_read_parquet
+
+    return range_join_counts(sized_read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"])).count()
 
 
 BENCHES.update({"range_join_signups": bench_range_join})
