@@ -412,6 +412,17 @@ def _q_knn_ivf_recall(sf_dir: str):
     return similarity.knn_ivf_recall(_emb(sf_dir))
 
 
+def _q_semantic_dedup_recall(sf_dir: str):
+    """Pair-set recall of SemDeDup's clustered dup finder vs the exact
+    all-pairs path (one summary row). Rows-only: the gate that makes a
+    centroid/recall regression driver-visible (the knn_ivf_recall
+    pattern applied to semantic_dedup)."""
+    from go_fluentd_ray.functions import semdedup
+
+    return semdedup.semantic_dedup_recall(_emb(sf_dir),
+                                          threshold=_EMB_DUP_THR)
+
+
 def _q_events_hourly(sf_dir: str):
     from go_fluentd_ray.functions import events
 
@@ -1068,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_recall": _q_knn_ivf_recall,
+        "semantic_dedup_recall": _q_semantic_dedup_recall,
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding,
         "sessionize": _q_sessionize,

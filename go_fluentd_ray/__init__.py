@@ -43,3 +43,20 @@ class _EmptyBundleSchemaFilter(_logging.Filter):
 _logging.getLogger(
     "ray.data._internal.execution.streaming_executor_state"
 ).addFilter(_EmptyBundleSchemaFilter())
+
+
+class _SchemaHashFilter(_logging.Filter):
+    """Drop Ray's 'Failed to hash the schemas (for deduplication)'
+    warning: pandas-origin blocks carry dict-valued schema metadata
+    that defeats Ray's schema-dedup OPTIMIZATION (transform_pyarrow.py
+    unify_schemas) — the unify itself still succeeds, so the message
+    is noise on every map_groups(pandas) sort/reduce."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return ("Failed to hash the schemas (for deduplication)"
+                not in record.getMessage())
+
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashFilter())

@@ -49,6 +49,12 @@ def hash_bucket(*cols: np.ndarray, num_buckets: int) -> np.ndarray:
 def add_bucket_col(batch: pa.Table, keys: list[str], num_buckets: int,
                    out: str = "__bkt") -> pa.Table:
     arrs = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+    if batch.schema.metadata:
+        # parquet-read blocks carry pandas metadata, which makes their
+        # pa.Schema UNHASHABLE and defeats Ray's schema-dedup in every
+        # downstream shuffle reduce ("Failed to hash the schemas");
+        # this is the chokepoint every bucket shuffle passes through
+        batch = batch.replace_schema_metadata(None)
     return batch.append_column(
         out, pa.array(hash_bucket(*arrs, num_buckets=num_buckets)))
 

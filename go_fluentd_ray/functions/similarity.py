@@ -126,15 +126,139 @@ def deterministic_sample(ds, n: int, id_col: str, cols: "list[str]"):
     return df.drop(columns="__h").reset_index(drop=True)
 
 
-def fit_centroids(ds, n_centroids: int, sample_n: int = 2048,
-                  iters: int = 5, seed: int = 99) -> np.ndarray:
-    """Deterministic k-means-lite on a driver-side sample: unit-norm
-    centroids for cosine assignment. The sample is picked by min-md5
-    of vec_id (order-free, so centroids — and everything derived from
-    them — are IDENTICAL across runs and cluster sizes); it is the
-    only data on the driver, and assignment happens map-side against
-    the broadcast centroid matrix. Shared by knn_ivf and
-    semdedup.semantic_dedup."""
+def auto_centroid_count(n_rows: int, target_cell_rows: int = 1024,
+                        lo: int = 4, hi: int = 65536) -> int:
+    """Scale the coarse-quantizer size with the corpus so a k-means
+    cell stays ~target_cell_rows rows (the SemDeDup / IVF
+    cell-fits-in-a-worker assumption): at 2k rows -> 4 cells, at 100M
+    rows -> ~100k cells. Used when n_centroids is passed as None."""
+    return max(lo, min(hi, int(n_rows // max(target_cell_rows, 1)) or lo))
+
+
+_REFINE_CACHE: dict = {}
+
+
+def _refine_centroids(ds, C: np.ndarray, refine_iters: int,
+                      id_col: str = "vec_id",
+                      sample_mod: int | None = None) -> np.ndarray:
+    """Distributed Lloyd refinement: per-batch partial (count, sum) per
+    centroid computed map-side against the broadcast centroid matrix,
+    partials merged per centroid in a groupby (each group sums its
+    partials in min-id order), and the driver receives exactly
+    n_centroids rows per iteration — it never holds more than the
+    centroid matrix itself. sample_mod=m hash-samples ~1/m of rows
+    map-side (minibatch k-means over a hash-sampled dataset) so a
+    100 TB fit touches a bounded subset without any driver collect.
+
+    Determinism: within a batch rows are summed in vec_id order and
+    per-centroid partials are merged in min-vec_id order, so a fixed
+    partitioning reproduces bit-identical centroids; across DIFFERENT
+    block boundaries float association can differ at ~1e-16, so each
+    update is rounded through float32 — downstream recall is gated by
+    knn_ivf_recall / semantic_dedup_recall regardless."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    dim = C.shape[1]
+    for _ in range(refine_iters):
+        cref = ray.put(np.ascontiguousarray(C, dtype=np.float64))
+        key = cref.hex()
+
+        def partials(batch: pa.Table) -> pa.Table:
+            C_ = _REFINE_CACHE.get(key)
+            if C_ is None:
+                if len(_REFINE_CACHE) > 8:
+                    _REFINE_CACHE.clear()
+                C_ = _REFINE_CACHE[key] = ray.get(cref)
+            ids = batch[id_col].to_numpy()
+            if sample_mod and sample_mod > 1:
+                keep = np.array(
+                    [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                     % sample_mod == 0 for i in ids])
+                if not keep.any():
+                    return pa.table({
+                        "cluster": pa.array([], pa.int64()),
+                        "mkey": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vec": pa.array([], pa.binary())})
+                batch = batch.filter(pa.array(keep))
+                ids = ids[keep]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            E = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch["embedding"].to_pylist()])[order]
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            cid = np.argmax(En @ C_.T, axis=1)
+            k = C_.shape[0]
+            sums = np.zeros((k, dim))
+            np.add.at(sums, cid, En)         # accumulates in vec_id order
+            counts = np.bincount(cid, minlength=k)
+            mkey = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mkey, cid, ids)
+            nz = np.nonzero(counts)[0]
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int64)),
+                "mkey": pa.array(mkey[nz]),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                # binary (not list<double>): fixed-width, hashable
+                # schema, zero-copy np.frombuffer on the reduce side
+                "vec": pa.array([sums[i].tobytes() for i in nz],
+                                type=pa.binary()),
+            })
+
+        def combine(df: pd.DataFrame) -> pa.Table:
+            df = df.sort_values("mkey", kind="mergesort")
+            v = np.stack([np.frombuffer(x, dtype=np.float64)
+                          for x in df["vec"]])
+            # arrow out: mixed pandas/arrow block kinds defeat Ray's
+            # schema-dedup in the following reduce
+            return pa.table({
+                "cluster": pa.array([int(df["cluster"].iloc[0])],
+                                    type=pa.int64()),
+                "n": pa.array([int(df["n"].sum())], type=pa.int64()),
+                "vec": pa.array([v.sum(axis=0).tobytes()],
+                                type=pa.binary()),
+            })
+
+        rows = (ds.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("cluster").map_groups(combine,
+                                               batch_format="pandas")
+                .take_all())                   # n_centroids rows: tiny
+        for r in rows:
+            v = np.frombuffer(r["vec"], dtype=np.float64) / max(r["n"], 1)
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                C[int(r["cluster"])] = v / nv
+        C = C.astype(np.float32).astype(np.float64)
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def fit_centroids(ds, n_centroids: int | None, sample_n: int = 2048,
+                  iters: int = 5, seed: int = 99,
+                  refine_iters: int = 2,
+                  refine_sample_mod: int | None = None) -> np.ndarray:
+    """Unit-norm centroids for cosine assignment, fit in two phases:
+
+    1. INIT — deterministic k-means-lite on a driver-side min-md5
+       sample (order-free, identical across runs and cluster sizes);
+       the <= sample_n sample is the only row data on the driver.
+    2. REFINE — refine_iters rounds of distributed Lloyd over the
+       (optionally hash-sampled) FULL dataset: map-side partial sums
+       per centroid, merged per centroid in a groupby, driver update
+       loop over n_centroids rows. At 100 TB the init sample alone
+       cannot represent the space; the refinement sees every row (or
+       a 1/refine_sample_mod hash sample) while the driver never
+       holds more than the centroid matrix.
+
+    n_centroids=None auto-scales with corpus size via
+    auto_centroid_count (SemDeDup-style ~1k-row cells). Shared by
+    knn_ivf and semdedup.semantic_dedup."""
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(ds.count())
     rows = deterministic_sample(ds, sample_n, "vec_id", ["embedding"])
     S = np.stack([np.asarray(v, dtype=np.float64)
                   for v in rows["embedding"]])
@@ -148,6 +272,9 @@ def fit_centroids(ds, n_centroids: int, sample_n: int = 2048,
             if m.any():
                 v = S[m].mean(axis=0)
                 C[c] = v / np.linalg.norm(v)
+    if refine_iters > 0:
+        C = _refine_centroids(ds, C, refine_iters,
+                              sample_mod=refine_sample_mod)
     return C
 
 

@@ -138,6 +138,49 @@ class TestSimilarity:
         assert set(out.columns) == {"qid", "recall_at_k"}
         assert len(out) == similarity.N_QUERIES + 1
 
+    def test_fit_centroids_distributed_100k(self):
+        """The distributed Lloyd refinement path on a corpus far larger
+        than the driver init sample: 100k vectors, auto-scaled
+        n_centroids, one refine pass. The driver only ever holds the
+        init sample and the centroid matrix; this asserts the result
+        shape/norms and that refinement does not worsen the sample
+        quantization error."""
+        rng = np.random.default_rng(7)
+        n, dim = 100_000, 16
+        V = rng.normal(size=(n, dim))
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.tolist() for v in V],
+        })
+        ds = rd.from_pandas(df).repartition(16)
+        k = similarity.auto_centroid_count(n)
+        assert k == n // 1024
+        C0 = similarity.fit_centroids(ds, None, sample_n=512,
+                                      refine_iters=0)
+        C1 = similarity.fit_centroids(ds, None, sample_n=512,
+                                      refine_iters=1)
+        assert C1.shape == (k, dim) == C0.shape
+        assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+        S = V[:4096]
+        err0 = 1.0 - np.max(S @ C0.T, axis=1).mean()
+        err1 = 1.0 - np.max(S @ C1.T, axis=1).mean()
+        assert err1 <= err0 + 1e-6, (err0, err1)
+
+    def test_semantic_dedup_recall_gate(self):
+        """Multi-probe cluster_pairs must recover >= 0.8 of the exact
+        cosine pair set (and never invent a pair) — the regression
+        gate for centroid/probe changes. Measured 0.84 at probes=3 on
+        this corpus; probes=1 sits at 0.28, so the gate genuinely
+        discriminates."""
+        from go_fluentd_ray.functions import semdedup
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = semdedup.semantic_dedup_recall(ds, threshold=0.30)
+        assert float(out["pair_recall"].iloc[0]) >= 0.8, out
+        assert float(out["pair_precision"].iloc[0]) == 1.0, out
+        assert int(out["n_exact_pairs"].iloc[0]) > 0
+
 
 class TestText:
     def _one(self, fn, text):
