@@ -32,13 +32,89 @@ no second full pipeline execution happens.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
 import shutil
 import tempfile
+import time
+import uuid
 
 INGESTED = "_INGESTED.json"
+LEASE = "_LEASE.json"
+
+
+class LeaseHeldError(TimeoutError):
+    """Another live run holds the ingest lease on this out_root."""
+
+
+@contextlib.contextmanager
+def ingest_lease(out_root: str, ttl_sec: float = 900.0,
+                 timeout_sec: float | None = 600.0,
+                 poll_sec: float = 0.05):
+    """Single-writer lease over an out_root — the analogue of the
+    reference journal's directory lock (library/journal holds one
+    writer per journal dir): two concurrent ``run_incremental``
+    invocations on one out_root would otherwise both read the same
+    state and both claim the same new files.
+
+    Mechanics (single shared filesystem, the same assumption the state
+    file already makes):
+    - acquire = ``O_CREAT|O_EXCL`` create of ``_LEASE.json`` holding a
+      unique token — atomic on POSIX, exactly one creator wins;
+    - a waiter polls; when the lease file's mtime is older than
+      ``ttl_sec`` the holder is presumed dead (staleness takeover):
+      the waiter unlinks the stale file (ENOENT = another waiter beat
+      us, fine) and re-races the O_EXCL create — at most one waiter
+      wins the re-create, so takeover is itself race-safe;
+    - release unlinks only if the file still holds OUR token, so a
+      holder that overran its ttl and was taken over never deletes
+      the new holder's lease.
+
+    ttl_sec must exceed the expected ingest wall time; the holder
+    refreshes the lease mtime after the heavy pipeline write so a
+    long-but-live run is not taken over mid-state-update.
+
+    Yields the lease path (holders may ``os.utime`` it to heartbeat).
+    Raises LeaseHeldError if the lease stays held past ``timeout_sec``
+    (None = wait forever).
+    """
+    path = os.path.join(out_root, LEASE)
+    token = uuid.uuid4().hex
+    deadline = None if timeout_sec is None else \
+        time.monotonic() + timeout_sec
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"token": token, "pid": os.getpid(),
+                           "acquired_unix": time.time()}, f)
+            break
+        except FileExistsError:
+            try:
+                st = os.stat(path)
+            except FileNotFoundError:
+                continue  # holder just released — re-race the create
+            if time.time() - st.st_mtime > ttl_sec:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)  # stale: remove, re-race create
+                continue
+            if deadline is not None and time.monotonic() > deadline:
+                raise LeaseHeldError(
+                    f"ingest lease on {out_root} held by a live run "
+                    f"(age {time.time() - st.st_mtime:.1f}s < ttl "
+                    f"{ttl_sec}s) past timeout {timeout_sec}s")
+            time.sleep(poll_sec)
+    try:
+        yield path
+    finally:
+        try:
+            with open(path) as f:
+                if json.load(f).get("token") == token:
+                    os.unlink(path)
+        except (FileNotFoundError, ValueError):
+            pass  # taken over / already gone — nothing of ours to free
 
 
 def _load_state(out_root: str) -> dict:
@@ -58,9 +134,30 @@ def _save_state(out_root: str, state: dict) -> None:
 
 
 def run_incremental(corpus_path: str, out_root: str, cfg=None,
-                    num_buckets: int | None = None) -> dict:
+                    num_buckets: int | None = None,
+                    lease_ttl_sec: float = 900.0,
+                    lease_timeout_sec: float | None = 600.0) -> dict:
     """Process files of ``corpus_path`` not ingested by any previous
-    run into ``out_root``; returns cumulative metrics."""
+    run into ``out_root``; returns cumulative metrics. The whole run
+    executes under the out_root ingest lease, so concurrent
+    invocations (e.g. two scheduler ticks overlapping) serialize and
+    each file is still ingested exactly once."""
+    with ingest_lease(out_root if os.path.isdir(out_root)
+                      else _mkroot(out_root),
+                      ttl_sec=lease_ttl_sec,
+                      timeout_sec=lease_timeout_sec) as lease_path:
+        return _run_incremental_locked(corpus_path, out_root, cfg,
+                                       num_buckets, lease_path)
+
+
+def _mkroot(out_root: str) -> str:
+    os.makedirs(out_root, exist_ok=True)
+    return out_root
+
+
+def _run_incremental_locked(corpus_path: str, out_root: str, cfg,
+                            num_buckets: int | None,
+                            lease_path: str) -> dict:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -70,7 +167,6 @@ def run_incremental(corpus_path: str, out_root: str, cfg=None,
     from ..pipelines import flagship
 
     cfg = cfg or DEFAULT_CONFIG
-    os.makedirs(out_root, exist_ok=True)
     state = _load_state(out_root)
     claimed = {f for b in state["batches"] for f in b["files"]}
     known_ids = {b["id"] for b in state["batches"]}
@@ -105,6 +201,10 @@ def run_incremental(corpus_path: str, out_root: str, cfg=None,
         pipe.write_parquet(tmpdir)
         final = os.path.join(out_root, f"ingest={bid}")
         os.rename(tmpdir, final)
+        # heartbeat: the pipeline write is the long pole — refresh the
+        # lease so a live-but-slow run is not taken over mid-update
+        with contextlib.suppress(FileNotFoundError):
+            os.utime(lease_path)
         # per-sink counters from a skinny re-read of the batch output
         per_sink: dict[str, int] = {}
         for f in glob.glob(os.path.join(final, "*.parquet")):

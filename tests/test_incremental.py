@@ -112,6 +112,76 @@ def test_batch_union_matches_oneshot_per_batch(corpus, tmp_path):
                                   oneshot[sorted(oneshot.columns)])
 
 
+def test_concurrent_runs_ingest_each_file_once(corpus, tmp_path):
+    """Two simultaneous run_incremental invocations on ONE out_root:
+    the ingest lease serializes them, so every staged file lands in
+    exactly one batch and the counters equal a recount — the scheduler
+    double-tick scenario the reference's journal lock guards against."""
+    import threading
+
+    out = str(tmp_path / "out5")
+    staging = _staged(corpus, tmp_path, 2)
+    barrier = threading.Barrier(2)
+    results, errors = [], []
+
+    def run():
+        barrier.wait()
+        try:
+            results.append(incremental.run_incremental(staging, out))
+        except Exception as e:  # surfaced below — a thread must not die
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors
+    assert len(results) == 2
+    # exactly one run ingested the 2 files; the other was a clean no-op
+    assert sorted(r["new_files_this_run"] for r in results) == [0, 2]
+    state = json.load(open(os.path.join(out, incremental.INGESTED)))
+    claimed = [f for b in state["batches"] for f in b["files"]]
+    assert sorted(claimed) == sorted(os.path.basename(f) for f in
+                                     glob.glob(staging + "/*.parquet"))
+    assert len(claimed) == len(set(claimed)) == 2
+    rows = sum(pq.read_table(f, columns=["sink"]).num_rows
+               for f in glob.glob(out + "/ingest=*/*.parquet"))
+    assert rows == max(r["rows_total"] for r in results)
+    # lease released: a follow-up run acquires instantly and no-ops
+    m = incremental.run_incremental(staging, out, lease_timeout_sec=1)
+    assert m["new_files_this_run"] == 0
+    assert not os.path.exists(os.path.join(out, incremental.LEASE))
+
+
+def test_stale_lease_takeover_and_live_lease_timeout(corpus, tmp_path):
+    """A lease whose holder died (old mtime) is taken over; a live
+    lease blocks a second run until timeout (LeaseHeldError)."""
+    import time
+
+    out = str(tmp_path / "out6")
+    os.makedirs(out)
+    lease = os.path.join(out, incremental.LEASE)
+    staging = _staged(corpus, tmp_path, 1)
+
+    # dead holder: token nobody owns, mtime far in the past
+    with open(lease, "w") as f:
+        json.dump({"token": "dead", "pid": 0}, f)
+    past = time.time() - 60
+    os.utime(lease, (past, past))
+    m = incremental.run_incremental(staging, out, lease_ttl_sec=5)
+    assert m["new_files_this_run"] == 1          # takeover succeeded
+    assert not os.path.exists(lease)             # and released cleanly
+
+    # live holder: fresh mtime, generous ttl -> waiter times out
+    with open(lease, "w") as f:
+        json.dump({"token": "live", "pid": 0}, f)
+    with pytest.raises(incremental.LeaseHeldError):
+        incremental.run_incremental(staging, out, lease_ttl_sec=900,
+                                    lease_timeout_sec=0.3)
+    # the waiter must not have deleted the live holder's lease
+    assert json.load(open(lease))["token"] == "live"
+    os.unlink(lease)
+
+
 def test_incremental_anomalies_equal_batch_recompute(corpus, tmp_path):
     """Folding each batch's window counts into state then scoring must
     emit the IDENTICAL anomalies as logops.rate_anomaly over the union
