@@ -131,6 +131,59 @@ def discard_counts(raw_ds, cfg: PipelineConfig):
             .aggregate(Sum("n", alias_name="n")).sort("reason"))
 
 
+def stage_stats(ds) -> list[dict]:
+    """Per-operator runtime metrics for an EXECUTED Dataset — the batch
+    analogue of the reference's live ``/monitor`` JSON surface
+    (monitor/monitor.go:23-42 exposes per-component counters at
+    runtime; a batch run exposes the same visibility post-hoc).
+
+    Walks the Dataset's stats summary (and its parent summaries, so
+    every upstream stage of a multi-branch plan appears once, in
+    execution order) and returns one row per operator:
+    ``{"operator", "wall_sec", "cpu_sec", "udf_sec", "rows_out",
+    "bytes_out", "tasks"}``. wall_sec is the SUM of per-block wall
+    times (total work), not elapsed time — stages overlap under the
+    streaming executor.
+
+    Built on Ray's structured ``DatasetStatsSummary`` (the same data
+    ``ds.stats()`` formats); if that private layout ever changes, the
+    caller still gets the empty list rather than a crash — metrics are
+    observability, never a reason to fail a 100 TB run.
+    """
+    def _sum(d) -> float:
+        return float(d.get("sum", 0.0) or 0.0) if isinstance(d, dict) \
+            else float(d or 0.0)
+
+    rows: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(summary) -> None:
+        if id(summary) in seen:
+            return
+        seen.add(id(summary))
+        for parent in getattr(summary, "parents", None) or []:
+            walk(parent)
+        for op in getattr(summary, "operators_stats", None) or []:
+            task_rows = getattr(op, "task_rows", None)
+            n_tasks = (task_rows or {}).get("count") \
+                if isinstance(task_rows, dict) else None
+            rows.append({
+                "operator": str(getattr(op, "operator_name", "?")),
+                "wall_sec": round(_sum(getattr(op, "wall_time", 0)), 4),
+                "cpu_sec": round(_sum(getattr(op, "cpu_time", 0)), 4),
+                "udf_sec": round(_sum(getattr(op, "udf_time", 0)), 4),
+                "rows_out": int(_sum(getattr(op, "output_num_rows", 0))),
+                "bytes_out": int(_sum(getattr(op, "output_size_bytes", 0))),
+                "tasks": int(n_tasks) if n_tasks else None,
+            })
+
+    try:
+        walk(ds._get_stats_summary())
+    except Exception:
+        return []
+    return rows
+
+
 def discard_counts_sql(path: str, cfg: PipelineConfig) -> str:
     """One classification row per discarded input row / segment, then
     GROUP BY reason — generated from the same config as the Ray side."""

@@ -451,15 +451,19 @@ def run_resumable_sft(corpus_path: str, out_root: str,
             "bucket": pa.array([b], type=pa.int64()),
             "rows": pa.array([part.num_rows], type=pa.int64())})
 
-    written = _build_examples(
+    dsw = _build_examples(
         flagship.read_transcripts(corpus_path), B,
-        corpus_filter, finish, stats_schema).to_pandas()
+        corpus_filter, finish, stats_schema)
+    written = dsw.to_pandas()
+    from .monitoring import stage_stats
     metrics = {
         "num_buckets": B,
         "partitions_completed_prior": len(done),
         "partitions_written_this_run": int(len(written)),
         "rows_written_this_run": int(written["rows"].sum())
         if len(written) else 0,
+        # per-operator wall/rows/bytes — the /monitor analogue
+        "stages": stage_stats(dsw),
     }
     mp = os.path.join(out_root, "_METRICS.json")
     with open(mp, "w") as f:

@@ -165,8 +165,9 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
                              "rows": [m["rows"]],
                              "md5": [m["md5"]]})
 
-    summary = ds.groupby("bucket").map_groups(
-        process_and_write, batch_format="pandas").to_pandas()
+    dsum = ds.groupby("bucket").map_groups(
+        process_and_write, batch_format="pandas")
+    summary = dsum.to_pandas()
 
     # run-level metrics rollup from the per-partition manifests
     manifests = []
@@ -177,6 +178,7 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
     for m in manifests:
         for s, n in m["per_sink"].items():
             per_sink[s] = per_sink.get(s, 0) + n
+    from ..pipelines.monitoring import stage_stats
     metrics = {
         "num_buckets": B,
         "partitions": len(manifests),
@@ -184,6 +186,8 @@ def run_resumable(corpus_path: str, out_root: str, cfg=None,
         "rows": int(sum(m["rows"] for m in manifests)),
         "inputs_merged": int(sum(m["inputs_merged"] for m in manifests)),
         "per_sink": dict(sorted(per_sink.items())),
+        # per-operator wall/rows/bytes — the /monitor analogue
+        "stages": stage_stats(dsum),
     }
     with open(os.path.join(out_root, METRICS), "w") as f:
         json.dump(metrics, f, indent=1)

@@ -48,6 +48,20 @@ def test_full_run_metrics_and_oracle(corpus, tmp_path):
     # per-sink metrics equal the oracle's routed-row counts
     want = oracle.oracle_sink_counts(exp)
     assert metrics["per_sink"] == dict(zip(want["sink"], map(int, want["n"])))
+    # per-stage observability: one row per executed operator with wall
+    # time and row counts (the reference's /monitor JSON analogue), and
+    # the artifact on disk carries the same rows
+    stages = metrics["stages"]
+    assert stages, "stage_stats returned no operators"
+    assert any("MapGroups" in s["operator"] or "Map" in s["operator"]
+               for s in stages)
+    for s in stages:
+        assert set(s) == {"operator", "wall_sec", "cpu_sec", "udf_sec",
+                          "rows_out", "bytes_out", "tasks"}
+        assert s["wall_sec"] >= 0 and s["rows_out"] >= 0
+    assert sum(s["wall_sec"] for s in stages) > 0
+    with open(os.path.join(root, "_METRICS.json")) as f:
+        assert json.load(f)["stages"] == stages
 
 
 def test_resume_skips_completed_and_matches(corpus, tmp_path):
@@ -140,6 +154,8 @@ class TestSftResume:
         m = sftbuild.run_resumable_sft(p, out_a, num_buckets=8)
         assert m["partitions_written_this_run"] > 0
         assert m["rows_written_this_run"] > 0
+        assert m["stages"] and all(s["wall_sec"] >= 0
+                                   for s in m["stages"])
 
         # crash simulation: one partition deleted, one left partial
         parts = sorted(glob.glob(out_a + "/bucket=*"))
