@@ -1,20 +1,24 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Codec libraries are FEATURE-DETECTED once per actor (__init__): when
-PIL / soundfile are importable, PNG/JPEG and WAV payloads are really
-decoded (pixels -> pooled grayscale features; samples -> pooled
-amplitude features). In containers without those libraries — this one —
-the detection comes back empty and the deterministic stub path runs
-instead (explicit NotImplementedError in strict mode), so the Ray-side
-plumbing is identical either way: binary columns flow zero-copy through
-Arrow, the stage is an actor pool sized for large rows (small
-batch_size), and the output layout (fixed schema with list<float>
-features) does not depend on which decoder ran.
+Decoders are FEATURE-DETECTED once per actor (__init__), in tiers:
+(1) PIL / soundfile when importable (PNG/JPEG pixels, any libsndfile
+audio); (2) a pure-stdlib fallback — zlib+struct PNG inflater and the
+``wave`` module for PCM WAV — so PNG and WAV payloads are REALLY
+decoded even in containers without codec libraries, like this one;
+(3) the deterministic stub for the synthetic IMG0 format. JPEG has no
+pure-stdlib decoder, so without PIL it falls through to "unknown"
+(NotImplementedError in strict mode). Corrupt payloads never kill a
+run outside strict mode: a failed decode degrades to "unknown" + zero
+features. The Ray-side plumbing is identical in every tier: binary
+columns flow zero-copy through Arrow, the stage is an actor pool sized
+for large rows (small batch_size), and the output layout (fixed schema
+with list<float> features) does not depend on which decoder ran.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -42,15 +46,120 @@ _PNG_MAGIC = b"\x89PNG"
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _WAV_MAGIC = b"RIFF"
 
+# number of samples per pixel for each PNG color type (3 = palette,
+# unsupported in the pure tier)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_to_gray(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode -> 2-D float32 grayscale in [0, 1].
+
+    Fallback tier for containers without PIL: chunk walk + zlib
+    inflate + per-scanline filter reconstruction (PNG spec filters
+    0-4), then ITU-R 601-2 luma for color images. Supports 8-bit
+    non-interlaced gray/RGB/gray+alpha/RGBA — what encoders emit by
+    default. The per-scanline loop is O(height) Python, fine for the
+    thumbnail-scale payloads this tier exists for; installs with real
+    image volume should ship PIL (tier 1) instead.
+    """
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            "pure PNG tier handles 8-bit non-interlaced "
+            "gray/RGB/RGBA only")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("short PNG pixel data")
+    out = np.empty((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        ftype = raw[p]
+        rec = np.frombuffer(raw[p + 1:p + 1 + stride],
+                            dtype=np.uint8).astype(np.int32)
+        p += 1 + stride
+        if ftype == 1:          # Sub: left-neighbour prefix dependency
+            for i in range(ch, stride):
+                rec[i] = (rec[i] + rec[i - ch]) & 0xFF
+        elif ftype == 2:        # Up: vectorizable
+            rec = (rec + prev) & 0xFF
+        elif ftype == 3:        # Average
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:        # Paeth
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pr = a + b - c
+                pa_, pb, pc_ = abs(pr - a), abs(pr - b), abs(pr - c)
+                rec[i] = (rec[i] + (a if pa_ <= pb and pa_ <= pc_
+                                    else b if pb <= pc_ else c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch).astype(np.float32)
+    if ch >= 3:
+        gray = (px[..., 0] * 0.299 + px[..., 1] * 0.587
+                + px[..., 2] * 0.114)
+    else:                       # gray / gray+alpha: luma is channel 0
+        gray = px[..., 0]
+    return gray / 255.0
+
+
+def wav_to_samples(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PCM WAV decode -> mono float32 samples in [-1, 1]
+    via the ``wave`` module (fallback tier when soundfile is absent)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        width, n_ch = wf.getsampwidth(), wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:            # 8-bit WAV is unsigned
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    elif width == 4:
+        data = (np.frombuffer(raw, dtype="<i4").astype(np.float32)
+                / 2147483648.0)
+    else:
+        raise NotImplementedError(f"unsupported PCM width {width}")
+    if n_ch > 1:
+        data = data.reshape(-1, n_ch).mean(axis=1)
+    return data
+
 
 class MultimodalExtract:
     """Actor-pool stage over binary payloads: validates magic, extracts
-    metadata (size, crc32, format), emits features. Real codecs are
-    feature-detected ONCE per actor; payloads whose magic matches an
-    available codec are really decoded, everything else takes the
-    deterministic stub (or NotImplementedError in strict mode). Use a
-    SMALL batch_size when payloads are large (brief: batch x
-    concurrency must fit the worker heap)."""
+    metadata (size, crc32, format), emits features. Decoders are
+    feature-detected ONCE per actor, in tiers: PIL/soundfile when
+    present, pure-stdlib PNG/WAV otherwise, stub for IMG0. Payloads
+    with no decoder (JPEG sans PIL) or that fail to decode degrade to
+    "unknown" + zero features — or raise in strict mode. Use a SMALL
+    batch_size when payloads are large (brief: batch x concurrency
+    must fit the worker heap)."""
 
     def __init__(self, feature_dim: int = 8, strict: bool = False):
         self.dim = feature_dim
@@ -69,27 +178,46 @@ class MultimodalExtract:
         except ImportError:
             self._sf = None
 
+    def _pool_gray(self, gray: np.ndarray) -> np.ndarray:
+        """2-D grayscale -> dim features: column means pooled into dim
+        equal slices (the pure-tier analogue of PIL's resize-to-(dim,1))."""
+        cols = gray.mean(axis=0)
+        chunks = np.array_split(cols, self.dim)
+        return np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                        dtype=np.float32)
+
     def _decode_image(self, payload: bytes) -> np.ndarray:
-        """PIL path: grayscale, resize to (dim, 1), normalized pixels —
-        deterministic for a given image and dim."""
-        import io
+        """PIL when present (grayscale, resize to (dim, 1)); otherwise
+        the pure-stdlib PNG tier with mean pooling. Deterministic for a
+        given image, dim, and tier."""
+        if self._pil is not None:
+            import io
 
-        img = self._pil.open(io.BytesIO(payload)).convert("L")
-        img = img.resize((self.dim, 1))
-        return np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((self.dim, 1))
+            return np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+        return self._pool_gray(png_to_gray(payload))
 
-    def _decode_audio(self, payload: bytes) -> np.ndarray:
-        """soundfile path: mean |amplitude| over dim equal slices."""
-        import io
-
-        data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
-        if data.ndim > 1:
-            data = data.mean(axis=1)
+    def _pool_audio(self, data: np.ndarray) -> np.ndarray:
+        """Mono samples -> mean |amplitude| over dim equal slices."""
         if len(data) == 0:
             return np.zeros(self.dim, dtype=np.float32)
         chunks = np.array_split(np.abs(data), self.dim)
         return np.array([c.mean() if len(c) else 0.0 for c in chunks],
                         dtype=np.float32)
+
+    def _decode_audio(self, payload: bytes) -> np.ndarray:
+        """soundfile when present (any libsndfile format); otherwise the
+        stdlib ``wave`` PCM tier. Same pooling either way."""
+        if self._sf is not None:
+            import io
+
+            data, _sr = self._sf.read(io.BytesIO(payload),
+                                      dtype="float32")
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            return self._pool_audio(data)
+        return self._pool_audio(wav_to_samples(payload))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -97,21 +225,25 @@ class MultimodalExtract:
         for p in payloads:
             size.append(len(p))
             crc.append(zlib.crc32(p))
+            kind, decode = None, None
             if p[:4] == MAGIC:
-                fmt.append("img0")
-                feats.append(_decode_stub(p, self.dim))
-            elif (p[:4] == _PNG_MAGIC or p[:3] == _JPEG_MAGIC) \
-                    and self._pil is not None:
-                fmt.append("png" if p[:4] == _PNG_MAGIC else "jpeg")
-                feats.append(self._decode_image(p))
-            elif p[:4] == _WAV_MAGIC and self._sf is not None:
-                fmt.append("wav")
-                feats.append(self._decode_audio(p))
-            else:
-                if self.strict:
+                kind, decode = "img0", lambda q: _decode_stub(q, self.dim)
+            elif p[:4] == _PNG_MAGIC:
+                kind, decode = "png", self._decode_image
+            elif p[:3] == _JPEG_MAGIC and self._pil is not None:
+                kind, decode = "jpeg", self._decode_image
+            elif p[:4] == _WAV_MAGIC:
+                kind, decode = "wav", self._decode_audio
+            try:
+                if decode is None:
                     raise NotImplementedError(
                         "no decoder available for this payload "
-                        "(codec libraries absent from this container)")
+                        "(unrecognized magic, or JPEG without PIL)")
+                feats.append(decode(p))
+                fmt.append(kind)
+            except Exception:
+                if self.strict:
+                    raise
                 fmt.append("unknown")
                 feats.append(np.zeros(self.dim, dtype=np.float32))
         out = batch.drop_columns(["payload"])

@@ -255,33 +255,121 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             multimodal.MultimodalExtract(strict=True)(t)
 
-    def test_real_png_decode_when_pil_present(self):
-        """Feature-detected PIL path: a real 2x2 PNG decodes to real
-        pixel features. Auto-skips where the codec library is absent
-        (this container ships without PIL — the stub path above is the
-        coverage there)."""
-        PIL_Image = pytest.importorskip("PIL.Image")
-        import io as _io
+    @staticmethod
+    def _png(rows, color_type=0):
+        """Minimal PNG encoder for tests: 8-bit non-interlaced,
+        pre-filtered scanlines (each row = (filter_type, samples))."""
+        import struct
+        import zlib as _z
 
-        img = PIL_Image.new("L", (2, 2))
-        img.putdata([0, 85, 170, 255])
-        buf = _io.BytesIO()
-        img.save(buf, format="PNG")
-        t = pa.table({"doc_id": [1], "payload": [buf.getvalue()]})
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", _z.crc32(tag + data)))
+
+        ch = {0: 1, 2: 3, 6: 4}[color_type]
+        h, w = len(rows), len(rows[0][1]) // ch
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(bytes([f]) + bytes(r) for f, r in rows)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+
+    def test_real_png_decode(self):
+        """A real 2x4 grayscale PNG decodes to real pixel features in
+        EVERY container: PIL when present, the pure zlib+struct tier
+        otherwise (multimodal.png_to_gray). No skips."""
+        png = self._png([(0, [0, 85, 170, 255]),
+                         (0, [0, 85, 170, 255])])
+        t = pa.table({"doc_id": [1], "payload": [png]})
         out = multimodal.MultimodalExtract(feature_dim=4)(t).to_pylist()[0]
         assert out["format"] == "png"
         assert len(out["features"]) == 4
         assert any(f > 0 for f in out["features"])  # real pixels, not zeros
+        # pure tier gives exact column means regardless of PIL presence
+        gray = multimodal.png_to_gray(png)
+        assert gray.shape == (2, 4)
+        assert np.allclose(gray[0] * 255.0, [0, 85, 170, 255])
 
-    def test_unknown_without_codecs_is_stub_zeros(self):
-        ext = multimodal.MultimodalExtract(feature_dim=4)
-        if ext._pil is not None:
-            pytest.skip("PIL present; stubless container covers this")
-        t = pa.table({"doc_id": [1],
-                      "payload": [b"\x89PNG fake image bytes"]})
-        out = ext(t).to_pylist()[0]
-        assert out["format"] == "unknown"
-        assert out["features"] == [0.0, 0.0, 0.0, 0.0]
+    def test_png_filter_reconstruction_all_types(self):
+        """Each PNG filter type (Sub/Up/Average/Paeth) reconstructs to
+        the same pixels as the unfiltered encoding of the same image."""
+        import random
+
+        rng = random.Random(7)
+        pix = [[rng.randrange(256) for _ in range(6)] for _ in range(4)]
+
+        def fwd(ftype, row, prev):
+            out = []
+            for i, x in enumerate(row):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if pa_ <= pb and pa_ <= pc_
+                            else b if pb <= pc_ else c)
+                out.append((x - pred) & 0xFF)
+            return out
+
+        want = multimodal.png_to_gray(
+            self._png([(0, r) for r in pix]))
+        for ftype in (1, 2, 3, 4):
+            rows, prev = [], [0] * 6
+            for r in pix:
+                rows.append((ftype, fwd(ftype, r, prev)))
+                prev = r
+            got = multimodal.png_to_gray(self._png(rows))
+            assert np.allclose(got, want), f"filter {ftype} mismatch"
+
+    def test_rgb_png_luma(self):
+        """Color-type-2 PNG: pure tier converts via ITU-R 601-2 luma."""
+        png = self._png([(0, [255, 0, 0, 0, 255, 0, 0, 0, 255])],
+                        color_type=2)
+        gray = multimodal.png_to_gray(png)
+        assert np.allclose(gray[0] * 255.0,
+                           [255 * .299, 255 * .587, 255 * .114])
+
+    def test_real_wav_decode(self):
+        """A real 16-bit PCM WAV decodes through soundfile when present
+        or the stdlib ``wave`` tier otherwise. No skips."""
+        import io as _io
+        import wave as _wave
+
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(np.array([0, 16384, -16384, 32767],
+                                    dtype="<i2").tobytes())
+        payload = buf.getvalue()
+        assert payload[:4] == b"RIFF"
+        t = pa.table({"doc_id": [1], "payload": [payload]})
+        out = multimodal.MultimodalExtract(feature_dim=2)(t).to_pylist()[0]
+        assert out["format"] == "wav"
+        # mean |amplitude| over 2 slices: (0 + .5)/2 and (.5 + ~1)/2
+        assert abs(out["features"][0] - 0.25) < 1e-3
+        assert abs(out["features"][1] - 0.75) < 1e-3
+
+    def test_corrupt_payload_degrades_to_unknown_zeros(self):
+        """Corrupt magic-bearing payloads must not kill a run: decode
+        failure degrades to 'unknown' + zero features in every tier
+        (and raises only in strict mode)."""
+        t = pa.table({"doc_id": [1, 2],
+                      "payload": [b"\x89PNG fake image bytes",
+                                  b"RIFF not really a wav"]})
+        out = multimodal.MultimodalExtract(feature_dim=4)(t).to_pylist()
+        for r in out:
+            assert r["format"] == "unknown"
+            assert r["features"] == [0.0, 0.0, 0.0, 0.0]
+        with pytest.raises(Exception):
+            multimodal.MultimodalExtract(feature_dim=4, strict=True)(t)
 
 
 class TestFlatten:
