@@ -99,20 +99,29 @@ _BASE_TS_US = np.int64(pd.Timestamp("2024-01-01").value // 1000)
 _TEN_YEARS_US = np.int64(315_576_000_000_000)  # ~10y in microseconds
 
 
-def _conv_structure(n_turns: int, rng: np.random.Generator):
+def _conv_structure(n_turns: int, rng: np.random.Generator,
+                    hot_frac: float = 0.0):
     """Zipf-skewed conversation sizes; returns (conv_idx, turn_idx) arrays.
 
     A few hot conversations get 100x the median turns (FIXTURES.md F1) to
-    exercise skew handling in the concat shuffle.
+    exercise skew handling in the concat shuffle. With ``hot_frac`` > 0,
+    conversation 0 instead holds that fraction of ALL turns — the
+    pathological one-conv-dominates corpus (SURVEY §4's million-turn
+    conversation) used by the skew tests and tools/skew_bench.py.
     """
     sizes = []
     total = 0
-    # a couple of deterministic hot convs first
-    hot = max(200, n_turns // 50)
-    for h in (hot, hot // 2):
-        if total + h < n_turns:
-            sizes.append(h)
-            total += h
+    if hot_frac > 0:
+        h = min(int(n_turns * hot_frac), n_turns - 1)
+        sizes.append(h)
+        total += h
+    else:
+        # a couple of deterministic hot convs first
+        hot = max(200, n_turns // 50)
+        for h in (hot, hot // 2):
+            if total + h < n_turns:
+                sizes.append(h)
+                total += h
     while total < n_turns:
         s = int(1 + min(rng.pareto(1.3) * 4, 400))
         s = min(s, n_turns - total)
@@ -210,10 +219,11 @@ def _build_text(kind, ts_us, rng: np.random.Generator) -> np.ndarray:
     return s.to_numpy(dtype=object)
 
 
-def transcript_batches(n_turns: int, seed: int = DEFAULT_SEED, chunk: int = GEN_CHUNK):
+def transcript_batches(n_turns: int, seed: int = DEFAULT_SEED,
+                       chunk: int = GEN_CHUNK, hot_frac: float = 0.0):
     """Yield the corpus as pyarrow RecordBatches (deterministic for a seed)."""
     rng = np.random.default_rng(seed)
-    conv_idx, turn_idx = _conv_structure(n_turns, rng)
+    conv_idx, turn_idx = _conv_structure(n_turns, rng, hot_frac)
     n = len(conv_idx)
     tool_i = rng.choice(len(_TOOLS), size=n, p=_TOOL_W)
     kind = np.empty(n, dtype=np.int8)
@@ -272,6 +282,21 @@ def ensure_corpus(n_turns: int, seed: int = DEFAULT_SEED) -> str:
     runs never observe a partial corpus.
     """
     key = f"v{GENERATOR_VERSION}-t{n_turns}-s{seed}"
+    return _write_transcript_corpus(key, n_turns, seed)
+
+
+def ensure_skewed_corpus(n_turns: int, hot_frac: float = 0.2,
+                         seed: int = DEFAULT_SEED) -> str:
+    """Pathological-skew corpus: conv-00000000 holds ``hot_frac`` of
+    ALL turns (SURVEY §4's million-turn conversation). Cached under its
+    own key; same schema/generator as ensure_corpus otherwise."""
+    key = (f"v{GENERATOR_VERSION}-skew{int(hot_frac * 100)}"
+           f"-t{n_turns}-s{seed}")
+    return _write_transcript_corpus(key, n_turns, seed, hot_frac)
+
+
+def _write_transcript_corpus(key: str, n_turns: int, seed: int,
+                             hot_frac: float = 0.0) -> str:
     d = os.path.join(CACHE_ROOT, key)
     meta = os.path.join(CACHE_ROOT, key + ".meta.json")  # sidecar: the dir
     # must contain ONLY parquet so directory reads work
@@ -279,7 +304,8 @@ def ensure_corpus(n_turns: int, seed: int = DEFAULT_SEED) -> str:
         return d
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=CACHE_ROOT, prefix=f".{key}-")
-    for i, rb in enumerate(transcript_batches(n_turns, seed)):
+    for i, rb in enumerate(transcript_batches(n_turns, seed,
+                                              hot_frac=hot_frac)):
         pq.write_table(pa.Table.from_batches([rb], schema=SCHEMA),
                        os.path.join(tmp, f"part-{i:05d}.parquet"),
                        compression="snappy")
@@ -295,7 +321,7 @@ def ensure_corpus(n_turns: int, seed: int = DEFAULT_SEED) -> str:
     if not os.path.exists(meta):
         with open(meta, "w") as f:
             json.dump({"version": GENERATOR_VERSION, "n_turns": n_turns,
-                       "seed": seed}, f)
+                       "seed": seed, "hot_frac": hot_frac}, f)
     return d
 
 
