@@ -52,6 +52,84 @@ def from_yaml(path_or_text: str) -> PipelineConfig:
             doc = yaml.safe_load(f)
     else:
         doc = yaml.safe_load(path_or_text)
+    return from_settings(doc)
+
+
+def _deep_set(doc: dict, dotted: str, value) -> None:
+    """Set a dotted-path key into a nested dict (viper-style). Path
+    segments never contain dots here — per-tag sections (whose keys DO
+    contain dots) are passed as whole nested dicts instead."""
+    parts = dotted.split(".")
+    cur = doc
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[p] = nxt
+        cur = nxt
+    cur[parts[-1]] = value
+
+
+def overlay_config_server(doc: dict, payload: dict) -> dict:
+    """Merge a Spring-Cloud-Config-style response into a settings doc.
+
+    The reference can pull settings from a config server after the
+    file load, server values overriding the file (cmd/root.go:108-141
+    via gutils Settings.LoadFromConfigServer). The server response
+    shape is the public Spring document:
+
+        {"name": ..., "profiles": [...], "label": ...,
+         "propertySources": [{"name": ..., "source": {k: v, ...}}, ...]}
+
+    where propertySources are listed highest-priority FIRST — so they
+    are applied in reverse, letting the first one win. Keys may be
+    dotted paths into the nested doc or whole nested dicts.
+    """
+    out = dict(doc)
+    for ps in reversed(payload.get("propertySources", [])):
+        for k, v in (ps.get("source") or {}).items():
+            _deep_set(out, k, v)
+    return out
+
+
+def default_fetcher(url: str) -> dict:
+    """GET a config-server URL and parse JSON (stdlib urllib; separated
+    so air-gapped runs and tests can inject their own fetcher)."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=10) as r:  # noqa: S310
+        return json.loads(r.read().decode("utf-8"))
+
+
+def load_settings(file_path: str | None = None, *,
+                  server: str | None = None, appname: str | None = None,
+                  profile: str | None = None, label: str | None = None,
+                  fetcher=None) -> dict:
+    """The reference's two-source settings load (cmd/root.go:108-141):
+    try the file; if ALL config-server coordinates are present, fetch
+    ``{server}/{appname}/{profile}/{label}`` and overlay (server wins);
+    raise if neither source loaded — 'can not load any configuration'.
+    Returns the merged settings dict for from_settings()."""
+    import os
+
+    import yaml
+
+    doc: dict | None = None
+    if file_path and os.path.exists(file_path):
+        with open(file_path) as f:
+            doc = yaml.safe_load(f) or {}
+    if server and appname and profile and label:
+        url = "/".join([server.rstrip("/"), appname, profile, label])
+        payload = (fetcher or default_fetcher)(url)
+        doc = overlay_config_server(doc or {}, payload)
+    if doc is None:
+        raise ValueError("can not load any configuration "
+                         "(no file, no config server)")
+    return doc
+
+
+def from_settings(doc: dict) -> PipelineConfig:
     env = str(doc.get("env", "sit"))
     kw = {}
     if "ingress_tags" in doc:

@@ -168,3 +168,64 @@ sink_map: {{"app.spring.{{env}}": "s1", "bot.{{env}}": "s2"}}
     df = got.to_pandas()
     rk = df[df["tag"] == "app.spring.sit"]["rowkey"].dropna()
     assert rk.str.match(r".+_\d{9,}$").all()  # app + epoch seconds
+
+
+class TestConfigServer:
+    """Two-source settings load (cmd/root.go:108-141): file then
+    config-server overlay, server wins, propertySources[0] highest."""
+
+    PAYLOAD = {
+        "name": "go-fluentd", "profiles": ["sit"], "label": "main",
+        "propertySources": [
+            {"name": "winner", "source": {"max_field_len": 1234,
+                                          "env": "uat"}},
+            {"name": "loser", "source": {
+                "max_field_len": 9,
+                "sink_map": {"app.spring.{env}": "srv-logs"}}},
+        ],
+    }
+
+    def test_overlay_precedence_and_deep_set(self):
+        doc = config_yaml.overlay_config_server(
+            {"env": "sit", "accept_tags": ["app.spring.{env}"]},
+            self.PAYLOAD)
+        assert doc["max_field_len"] == 1234      # first source wins
+        assert doc["env"] == "uat"               # server beats file
+        assert doc["sink_map"] == {"app.spring.{env}": "srv-logs"}
+        assert doc["accept_tags"] == ["app.spring.{env}"]  # file kept
+        nested = config_yaml.overlay_config_server(
+            {}, {"propertySources": [
+                {"source": {"window.min": "2015-01-01T00:00:00"}}]})
+        assert nested["window"]["min"] == "2015-01-01T00:00:00"
+
+    def test_load_settings_fetches_expected_url(self, tmp_path):
+        seen = []
+
+        def fake_fetch(url):
+            seen.append(url)
+            return self.PAYLOAD
+
+        f = tmp_path / "settings.yml"
+        f.write_text("env: sit\nmax_field_len: 7\n")
+        doc = config_yaml.load_settings(
+            str(f), server="http://cfg:8080/", appname="go-fluentd",
+            profile="sit", label="main", fetcher=fake_fetch)
+        assert seen == ["http://cfg:8080/go-fluentd/sit/main"]
+        assert doc["max_field_len"] == 1234
+        cfg = config_yaml.from_settings(doc)
+        assert cfg.max_field_len == 1234
+
+    def test_neither_source_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="can not load any"):
+            config_yaml.load_settings("/nonexistent/settings.yml")
+
+    def test_file_only_and_server_only(self, tmp_path):
+        f = tmp_path / "s.yml"
+        f.write_text("max_field_len: 7\n")
+        assert config_yaml.load_settings(str(f))["max_field_len"] == 7
+        doc = config_yaml.load_settings(
+            None, server="http://c", appname="a", profile="p",
+            label="l", fetcher=lambda u: self.PAYLOAD)
+        assert doc["max_field_len"] == 1234
