@@ -57,6 +57,25 @@ def _q_flagship(sf_dir: str):
     return pipe.drop_columns(["merged_turns", "extra"])
 
 
+def _skewed_corpus(sf_dir: str) -> str:
+    from go_fluentd_ray import synth
+
+    return synth.ensure_skewed_corpus(synth.turns_for_sf_dir(sf_dir),
+                                      hot_frac=0.2)
+
+
+def _q_flagship_skewed(sf_dir: str):
+    """Flagship over the pathological-skew corpus (ONE conv_id holds
+    20% of all turns, co-located in one concat bucket) — driver-visible
+    evidence that the hot-key path stays oracle-exact, not just fast
+    (tools/skew_bench.py measures the cost side)."""
+    from go_fluentd_ray.pipelines import flagship
+
+    ds = flagship.read_transcripts(_skewed_corpus(sf_dir))
+    pipe = flagship.build_pipeline(ds)
+    return pipe.drop_columns(["merged_turns", "extra"])
+
+
 def _q_flagship_json_extra(sf_dir: str):
     """The parse stage's arbitrary-key embedded-JSON flatten (extra
     map column), exploded to one row per flattened key/value."""
@@ -1048,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship log-pipeline family (SURVEY.md §2)
         "flagship": _q_flagship,
+        "flagship_skewed": _q_flagship_skewed,
         "flagship_sink_counts": _q_flagship_sink_counts,
         "flagship_tool_role_sink_counts": _q_tool_role_sink_counts,
         "flagship_json_extra": _q_flagship_json_extra,
@@ -1287,8 +1307,10 @@ def oracle_sql() -> dict[str, str]:
     emb_dim = len(next(pf.iter_batches(batch_size=1, columns=["embedding"]))
                   ["embedding"][0])
     fsql = sql_oracle.flagship_sql(path)
+    skew_path = _skewed_corpus(SF001) + "/part-*.parquet"
     return {
         "flagship": fsql,
+        "flagship_skewed": sql_oracle.flagship_sql(skew_path),
         "flagship_sink_counts": (
             f"SELECT sink, count(*)::BIGINT AS n FROM ({fsql}) GROUP BY sink"),
         "flagship_tool_role_sink_counts": (

@@ -498,8 +498,154 @@ _BCAST_TEXT_CACHE: dict = {}
 JACCARD_BROADCAST_MAX_DOCS = 200_000
 
 
+def _exact_text_groups(ds, B: int):
+    """Canonicalize exact-duplicate texts: ONE corpus shuffle keyed
+    hash(md5(text)) % B co-locates every copy; per bucket, the min
+    doc_id becomes the group representative. Returns
+    (reps, members): reps = (doc_id, text) one row per DISTINCT text;
+    members = skinny (rep, doc_id) for every input row. Every doc has
+    >= 1 shingle (_shingle_hashes pads short text to k chars), so
+    exact copies ALWAYS pair at J = 1 — same contract as the
+    uncollapsed path (the len>=4 exclusion is the SQL twin's
+    documented caveat, not this path's semantics). Both returns are
+    materialized: members is two int64s, reps is the distinct-text
+    corpus (<= the input, typically far smaller on duplicate-heavy
+    data)."""
+    from .shuffle import add_bucket_col
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("h", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({
+            "rep": rep.astype(np.int64),
+            "doc_id": df["doc_id"].astype(np.int64),
+            "text": df["text"].where(df["doc_id"] == rep),
+        })
+
+    keyed = ds.select_columns(["doc_id", "text"]).map_batches(
+        md5_batch, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = keyed.map_batches(lambda t: add_bucket_col(t, ["h"], B),
+                              batch_format="pyarrow")
+    grouped = keyed.groupby("__bkt").map_groups(
+        combine, batch_format="pandas").materialize()
+    reps = grouped.map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"]))
+                   .select(["doc_id", "text"]),
+        batch_format="pyarrow")
+    members = grouped.map_batches(
+        lambda t: t.select(["rep", "doc_id"]),
+        batch_format="pyarrow").materialize()
+    return reps, members
+
+
+def _expand_exact_pairs(rep_pairs, members, B: int):
+    """Expand representative-level (a, b, jac) pairs back to all-copies
+    pairs. Within-group pairs get jac = 1.0 directly (identical text
+    -> identical shingle set, never empty because _shingle_hashes pads
+    -> J = 1); cross-group pairs inherit the representative pair's jac
+    (J depends only on text). Output pairs are quadratic in GROUP size
+    — that is the exact join's output, not an intermediate."""
+    from .shuffle import add_bucket_col
+
+    empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "jac": pd.Series(dtype=np.float64)})
+
+    def within(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("rep", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) >= 2:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[iu])
+                out_b.append(ids[ju])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        return pd.DataFrame({"a": a, "b": np.concatenate(out_b),
+                             "jac": np.ones(len(a))})
+
+    mem_b = members.map_batches(lambda t: add_bucket_col(t, ["rep"], B),
+                                batch_format="pyarrow")
+    within_pairs = mem_b.groupby("__bkt").map_groups(
+        within, batch_format="pandas")
+
+    # cross-group expansion: two skinny bucketed joins (pairs union
+    # members with a side tag, merge per bucket) — first a -> doc_a,
+    # then b -> doc_b; a<b re-imposed because member ids of the lower
+    # rep can exceed member ids of the higher rep
+    # -1 sentinels (never read: join_bucket selects by side first)
+    # keep every column concretely typed through the pandas groupby —
+    # nullable int64 would flip int64/float64 between blocks and both
+    # spam schema warnings and round int64 through float64
+    def tag_pairs(t: pa.Table, key: str) -> pa.Table:
+        n = t.num_rows
+        other = "b" if key == "a" else "da"
+        return pa.table({
+            "k": pc.cast(t[key], pa.int64()),
+            "o": pc.cast(t[other], pa.int64()),
+            "jac": pc.cast(t["jac"], pa.float64()),
+            "doc": pa.array(np.full(n, -1, dtype=np.int64)),
+            "side": pa.array(["p"] * n, type=pa.string()),
+        })
+
+    def tag_members(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "k": pc.cast(t["rep"], pa.int64()),
+            "o": pa.array(np.full(n, -1, dtype=np.int64)),
+            "jac": pa.array(np.full(n, -1.0)),
+            "doc": pc.cast(t["doc_id"], pa.int64()),
+            "side": pa.array(["m"] * n, type=pa.string()),
+        })
+
+    def join_bucket(out_cols):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            pr = df[df["side"] == "p"]
+            mm = df[df["side"] == "m"]
+            if not len(pr) or not len(mm):
+                return pd.DataFrame({c: pd.Series(
+                    dtype=np.float64 if c == "jac" else np.int64)
+                    for c in out_cols})
+            m = pr.merge(mm[["k", "doc"]].rename(
+                columns={"doc": "_doc"}), on="k")
+            out = pd.DataFrame({
+                out_cols[0]: m["_doc"].astype(np.int64),
+                out_cols[1]: m["o"].astype(np.int64),
+                "jac": m["jac"].astype(np.float64)})
+            return out
+        return f
+
+    def renorm(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t["da"], t["db"])
+        hi = pc.max_element_wise(t["da"], t["db"])
+        return pa.table({"a": lo, "b": hi, "jac": t["jac"]})
+
+    s1 = rep_pairs.map_batches(lambda t: tag_pairs(t, "a"),
+                               batch_format="pyarrow") \
+        .union(members.map_batches(tag_members, batch_format="pyarrow"))
+    s1 = s1.map_batches(lambda t: add_bucket_col(t, ["k"], B),
+                        batch_format="pyarrow")
+    j1 = s1.groupby("__bkt").map_groups(
+        join_bucket(("da", "b", "jac")), batch_format="pandas")
+
+    s2 = j1.map_batches(
+        lambda t: tag_pairs(
+            pa.table({"b": t["b"], "da": t["da"], "jac": t["jac"]}),
+            "b"),
+        batch_format="pyarrow") \
+        .union(members.map_batches(tag_members, batch_format="pyarrow"))
+    s2 = s2.map_batches(lambda t: add_bucket_col(t, ["k"], B),
+                        batch_format="pyarrow")
+    j2 = s2.groupby("__bkt").map_groups(
+        join_bucket(("db", "da", "jac")), batch_format="pandas")
+    cross = j2.map_batches(renorm, batch_format="pyarrow")
+    return within_pairs.map_batches(
+        lambda df: df[["a", "b", "jac"]], batch_format="pandas") \
+        .union(cross)
+
+
 def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
-                 verify_mode: str = "auto"):
+                 verify_mode: str = "auto", collapse_exact: bool = True):
     """EXACT n-gram Jaccard near-dup pairs — the deterministic member
     of the dedup family (minhash_dedup is the probabilistic scale
     route): every (a < b, jac) pair with true Jaccard over distinct
@@ -546,16 +692,32 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
     Unbounded corpora always take the attach path ("attach" /
     "broadcast" force a path, for tests).
 
+    ``collapse_exact`` (default on, exactness-preserving): exact
+    duplicate texts are canonicalized FIRST (one skinny-keyed corpus
+    shuffle), the join runs over distinct texts only, and pairs expand
+    back to all copies afterwards (within-group J = 1, cross-group
+    pairs inherit the representative pair's J — J depends only on
+    text). Without it, a copy-heavy corpus inflates every shingle
+    group by the copy factor c and the candidate merge by c² — the sf1
+    rehearsal measured a >80x blowup at 10 copies/doc. With it, only
+    the OUTPUT is quadratic in group size, which the exact pair
+    listing inherently is.
+
     Skew note: exactness forbids the MAX_BUCKET anchor cap here, so a
     pathological corpus where even RARE-shingle groups are huge (mass
-    near-identical docs) still pairs quadratically within those
-    groups; prefer minhash_dedup there."""
+    near-identical-but-not-equal docs) still pairs quadratically
+    within those groups; prefer minhash_dedup there."""
     import ray
 
     from .shuffle import add_bucket_col, bucketed_attach, \
         bucketed_distinct, default_buckets
 
     B = num_buckets or default_buckets()
+    if collapse_exact:
+        reps, members = _exact_text_groups(ds, B)
+        rep_pairs = jaccard_join(reps, threshold, B, verify_mode,
+                                 collapse_exact=False)
+        return _expand_exact_pairs(rep_pairs, members, B)
     pct = round(threshold * 100)
 
     # ---- document frequencies of repeated shingles (skinny shuffle) ----
@@ -656,6 +818,13 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
     cands = pre.groupby("__bkt").map_groups(bucket_pairs,
                                             batch_format="pandas")
     cands = bucketed_distinct(cands, ["a", "b"], num_buckets=B)
+    # pin the schema: an all-empty candidate set (every doc unique —
+    # routine once collapse_exact canonicalizes copies) otherwise
+    # yields null-typed blocks that crash the attach join
+    cands = cands.map_batches(
+        lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
+                            "b": pc.cast(t["b"], pa.int64())}),
+        batch_format="pyarrow")
 
     import uuid
 

@@ -153,6 +153,16 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
     def attach(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # Re-pin the side-row types: when pairs_ds is ALL-empty (zero
+        # candidate pairs — routine once exact-duplicate collapse
+        # canonicalizes a copy-only corpus) its blocks lose their
+        # schema and the union/shuffle can surface null-typed a/b/val
+        # columns, which Acero's hash join rejects as non-key fields.
+        for name in ("a", "b", "__val"):
+            idx = tbl.schema.get_field_index(name)
+            want = sides_schema.field(name).type
+            if idx >= 0 and tbl.schema.field(idx).type != want:
+                tbl = tbl.set_column(idx, name, pc.cast(tbl[name], want))
         side = tbl["__side"]
         vals = tbl.filter(pc.equal(side, -1)).select(["__key", "__val"])
         prs = tbl.filter(pc.greater_equal(side, 0)).select(
@@ -178,6 +188,13 @@ def bucketed_attach(pairs_ds, corpus_ds, left_keys: tuple[str, str],
     def pivot(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # same schema-loss guard as attach(): an all-empty attach
+        # output arrives here null-typed, and a/b are JOIN KEYS below
+        for name in ("a", "b", "__val"):
+            idx = tbl.schema.get_field_index(name)
+            want = sides_schema.field(name).type
+            if idx >= 0 and tbl.schema.field(idx).type != want:
+                tbl = tbl.set_column(idx, name, pc.cast(tbl[name], want))
         side = tbl["__side"]
         left = tbl.filter(pc.equal(side, 0)).select(
             ["a", "b", "__val"]).rename_columns(["a", "b", ca])

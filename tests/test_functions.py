@@ -1872,6 +1872,49 @@ class TestJaccardJoin:
         assert outs["attach"] == outs["broadcast"]
         assert len(outs["attach"]) >= 3 * (10 * 9) // 2  # dups found
 
+    def test_collapse_exact_equivalence_on_tiled_corpus(self):
+        """collapse_exact (the copy-canonicalization fast path) must be
+        output-invisible: on a corpus where every doc has exact copies
+        (the sf1-rehearsal shape that blew the uncollapsed join up
+        quadratically), the (a, b, jac) set equals the uncollapsed
+        join's — including short (len < 4) texts, which the padding in
+        _shingle_hashes gives one shingle, so their exact copies pair
+        at J = 1 in BOTH paths (the len>=4 exclusion is the SQL twin's
+        documented caveat, not the Python contract)."""
+        from go_fluentd_ray.functions import dedup
+
+        rng = np.random.default_rng(23)
+        base = ("some shared content words that make near duplicates "
+                "when lightly mutated in a couple of places only")
+        texts = []
+        for i in range(12):
+            words = base.split()
+            for _ in range(rng.integers(0, 3)):
+                words[rng.integers(0, len(words))] = f"m{rng.integers(0, 5)}"
+            texts.append(" ".join(words))
+        texts += [f"standalone document {i} nothing alike {i * 13}"
+                  for i in range(6)]
+        tiled = texts * 3 + ["abc", "abc", "abc"]  # exact copies + short
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(tiled), dtype=np.int64),
+            "text": tiled})
+        outs = {}
+        for flag in (True, False):
+            got = dedup.jaccard_join(rd.from_pandas(df), threshold=0.8,
+                                     num_buckets=4,
+                                     collapse_exact=flag).to_pandas()
+            outs[flag] = set(map(tuple,
+                                 got[["a", "b", "jac"]].to_numpy()))
+        assert outs[True] == outs[False]
+        n_docs = len(texts)
+        s0 = len(tiled) - 3                      # first "abc" copy
+        assert {(s0, s0 + 1, 1.0), (s0, s0 + 2, 1.0),
+                (s0 + 1, s0 + 2, 1.0)} <= outs[True]
+        # every doc's two exact copies pair at jac == 1.0
+        for i in range(n_docs):
+            assert (i, i + n_docs, 1.0) in outs[True]
+            assert (i, i + 2 * n_docs, 1.0) in outs[True]
+
 
 def test_corpus_stats_reference():
     """corpus_stats equals a driver-side pandas reference on small data."""
