@@ -81,6 +81,7 @@ def prepare() -> str:
     n = synth.turns_for_sf_dir(SF1_DIR)
     aux = max(500, n // 10)
     synth.ensure_corpus(n)
+    synth.ensure_skewed_corpus(n, hot_frac=0.2)
     synth.ensure_multiline_docs(synth.docs_for_sf_dir(SF1_DIR))
     synth.ensure_http_corpus(aux)
     synth.ensure_rsyslog_corpus(aux)
@@ -131,7 +132,9 @@ def one(query: str) -> dict:
     fn = e.queries()[query]
     t0 = time.time()
     res = fn(SF1_DIR)
-    if hasattr(res, "count"):          # ray Dataset
+    # NB: pandas DataFrames also expose .count() (per-column Series),
+    # so test for the Dataset type rather than duck-typing on "count".
+    if isinstance(res, ray.data.Dataset):
         rows = res.count()
     elif hasattr(res, "num_rows"):     # pyarrow Table
         rows = res.num_rows
@@ -154,9 +157,13 @@ def main() -> None:
         return
     import __ray_entry__ as e
 
-    names = [a for a in sys.argv[1:] if not a.startswith("-")] \
-        or list(e.queries())
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    out_path = os.path.join(REPO, "SF1_REHEARSAL.json")
     results: dict[str, dict] = {}
+    if names and os.path.exists(out_path):
+        with open(out_path) as f:    # subset rerun: merge over prior
+            results = json.load(f)
+    names = names or list(e.queries())
     for q in names:
         t0 = time.time()
         try:
@@ -179,7 +186,7 @@ def main() -> None:
               f"rss={r.get('peak_rss_mb', '-'):>9} MB "
               f"{r.get('err', '')}", flush=True)
         _ = time.time() - t0
-    with open(os.path.join(REPO, "SF1_REHEARSAL.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     bad = [q for q, r in results.items() if "err" in r]
     print(f"\n{len(results) - len(bad)}/{len(results)} ok; "
