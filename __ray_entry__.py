@@ -691,6 +691,50 @@ def _q_dim_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type", "c_name"])
 
 
+def _q_order_revenue_topn(sf_dir: str):
+    """TPC-H-Q3-shaped top-10 revenue orders: the large-large equi-join
+    shape — native hash Dataset.join (left_semi for the customer
+    segment filter, inner for lineitem⋈orders), lineitem pre-aggregated
+    to per-order revenue BEFORE the join, local+final top-N instead of
+    a full sort."""
+    from go_fluentd_ray.functions import joins
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    li = sized_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    orders = sized_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    from go_fluentd_ray.io_util import _path_bytes
+
+    return joins.order_revenue_topn(
+        li, orders, cust,
+        approx_bytes=_path_bytes(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Distributed anti-join (native hash left_anti): customers with no
+    orders, counted per market segment. The orders side is pruned to
+    its key column at the read."""
+    from go_fluentd_ray.functions import joins
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    orders = sized_read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"])
+    from go_fluentd_ray.io_util import _path_bytes
+
+    return joins.customers_without_orders(
+        cust, orders,
+        approx_bytes=_path_bytes(f"{sf_dir}/orders.parquet"))
+
+
 def _q_corpus_stats(sf_dir: str):
     """Corpus profiling report per (source, lang): docs, char/word
     totals, mean quality — partial-aggregate combiner + tiny groupby."""
@@ -1161,6 +1205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_role_stats": _q_daily_role_stats,
         "broadcast_dim_join": _q_dim_join,
         "pricing_summary": _q_pricing_summary,
+        "order_revenue_topn": _q_order_revenue_topn,
+        "customers_without_orders": _q_customers_without_orders,
     }
 
 
@@ -1435,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
             _corpus(SF001)),
         "broadcast_dim_join": _joins.DIM_JOIN_SQL,
         "pricing_summary": _agg.PRICING_SUMMARY_SQL,
+        "order_revenue_topn": _joins.ORDER_REVENUE_TOPN_SQL,
+        "customers_without_orders": _joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "doc_fingerprint": T.fingerprint_sql(),
         "lang_id": T.lang_id_sql(),
         "dedup_minhash_lsh": _dedup.minhash_dedup_sql(

@@ -331,3 +331,35 @@ def bench_log_analytics(sf_dir: str):
 
 BENCHES.update({"sft_pipeline": bench_sft_pipeline,
                 "log_analytics": bench_log_analytics})
+
+
+def bench_hash_join(sf_dir: str):
+    """Native hash-join shapes (Q3-style semi+inner and left_anti) over
+    the TPC-H-ish tables — both sides hash-partitioned, nothing
+    broadcast."""
+    from ..io_util import _path_bytes, sized_read_parquet
+    from .joins import customers_without_orders, order_revenue_topn
+
+    li = sized_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    orders = sized_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    cust = sized_read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    n = order_revenue_topn(
+        li, orders, cust,
+        approx_bytes=_path_bytes(f"{sf_dir}/lineitem.parquet")).count()
+    n += customers_without_orders(
+        sized_read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]),
+        sized_read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]),
+        approx_bytes=_path_bytes(f"{sf_dir}/orders.parquet")).count()
+    return n
+
+
+BENCHES.update({"hash_join": bench_hash_join})

@@ -8,6 +8,11 @@ partitioning):
   partitioning assumption is that one key's rows co-locate.
 - broadcast dimension join: ray.put the small side once, map-side
   hash lookup per batch (no shuffle at all).
+- large-large equi-join: Ray's native hash ``Dataset.join``
+  (both sides hash-partitioned; neither side is ever broadcast or
+  gathered), used by the TPC-H-Q3-shaped ``order_revenue_topn`` and
+  the anti-join ``customers_without_orders``. The aggregate-THEN-join
+  ordering keeps everything after the first shuffle skinny.
 """
 
 from __future__ import annotations
@@ -99,4 +104,170 @@ def broadcast_dim_join(events_ds, dim_df: pd.DataFrame,
 DIM_JOIN_SQL = """
 SELECT e.event_id, e.user_id, e.event_type, c.c_name
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def _join_partitions(approx_bytes: int | None = None,
+                     per_partition: int = 128 << 20) -> int:
+    """Hash-join partition count. Each partition costs a live
+    aggregator actor, so small inputs want FEW partitions (measured at
+    600k rows: P=8 is 2.1x faster than P=32 — actor spawn dominates);
+    large inputs want one per ~128 MB so a partition's build side fits
+    a worker heap and spills independently. Without a size hint,
+    default to cpus/4 (bounded fixed cost, still parallel)."""
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    if approx_bytes:
+        return int(min(max(2, approx_bytes // per_partition), cpus * 4))
+    return max(2, cpus // 4)
+
+
+def order_revenue_topn(lineitem_ds, orders_ds, customer_ds,
+                       segment: str = "BUILDING",
+                       cutoff: str = "1995-03-15", n: int = 10,
+                       num_partitions: int | None = None,
+                       approx_bytes: int | None = None):
+    """TPC-H-Q3-shaped top-N: the N highest-revenue orders not yet
+    shipped by ``cutoff`` for one customer market segment.
+
+    Scale shape (all three inputs may be arbitrarily large — nothing
+    is broadcast or gathered):
+    1. lineitem is filtered map-side and pre-aggregated to revenue per
+       l_orderkey (per-batch combiner, then ONE groupby sum) — the
+       join's left side carries two columns per distinct order, never
+       raw line items.
+    2. orders is filtered map-side, then semi-joined to the segment's
+       customers with Ray's native hash join (``left_semi``) — the
+       distributed alternative to broadcasting the custkey set, which
+       at 100 TB may not fit one worker.
+    3. skinny-revenue ⋈ filtered-orders via native hash ``Dataset.join``
+       (inner) — both sides hash-partitioned on the order key.
+    4. top-N: per-block local top-N partials, then one final top-N over
+       ≤ n·blocks rows — no full sort.
+
+    Revenue is rounded to 4 decimals BEFORE ranking so the Ray and
+    DuckDB tie-break orders agree (ties then break on l_orderkey)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    P = num_partitions or _join_partitions(approx_bytes)
+    cut = pa.scalar(cutoff).cast(pa.timestamp("us"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        df = (pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+              .to_pandas().groupby("l_orderkey", sort=False)["rev"]
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    li = (lineitem_ds.map_batches(li_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+          .groupby("l_orderkey")
+          .aggregate(Sum("rev", alias_name="revenue")))
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["o_orderdate"], cut))
+
+    def c_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"],
+                                     pa.scalar(segment)))
+
+    orders_f = orders_ds.map_batches(o_filter, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    cust_f = customer_ds.map_batches(c_filter, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    orders_seg = orders_f.join(cust_f, join_type="left_semi",
+                               num_partitions=P, on=("o_custkey",),
+                               right_on=("c_custkey",))
+    joined = li.join(orders_seg, join_type="inner", num_partitions=P,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "revenue", "o_orderdate",
+                 "o_orderpriority"]].copy()
+        df["revenue"] = df["revenue"].round(4)
+        return df.sort_values(["revenue", "l_orderkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(n)
+
+    return (joined.map_batches(local_topn, batch_format="pandas")
+            .repartition(1)
+            .map_batches(local_topn, batch_format="pandas"))
+
+
+ORDER_REVENUE_TOPN_SQL = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def customers_without_orders(customer_ds, orders_ds,
+                             since: str = "1998-06-01",
+                             num_partitions: int | None = None,
+                             approx_bytes: int | None = None):
+    """Customers with no order on/after ``since``, counted per market
+    segment — the distributed anti-join shape (audits: records with no
+    match in a second large table). The date filter keeps the result
+    non-degenerate on TPC-H-ish data, where every customer has SOME
+    order.
+
+    Scale shape: orders is filtered and pruned to its key column
+    map-side, then Ray's native hash ``left_anti`` join (both sides
+    hash-partitioned on the key), then a per-batch count partial +
+    tiny groupby. The bucketed broadcast alternative for a SMALL right
+    key set is ``shuffle.bucketed_anti_join``."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    P = num_partitions or _join_partitions(approx_bytes)
+    cut = pa.scalar(since).cast(pa.timestamp("us"))
+
+    def o_recent(batch: pa.Table) -> pa.Table:
+        return (batch.filter(pc.greater_equal(batch["o_orderdate"], cut))
+                .select(["o_custkey"]))
+
+    recent = orders_ds.map_batches(o_recent, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    anti = customer_ds.join(recent, join_type="left_anti",
+                            num_partitions=P, on=("c_custkey",),
+                            right_on=("o_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.select(["c_mktsegment"]).to_pandas()
+              .groupby("c_mktsegment", sort=False).size()
+              .rename("n_customers").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("n_customers")
+        return batch.set_column(i, "n_customers",
+                                batch["n_customers"].cast(pa.int64()))
+
+    return (anti.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n_customers", alias_name="n_customers"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-06-01')
+GROUP BY c_mktsegment
 """

@@ -420,6 +420,53 @@ class TestJoins:
         assert out.iloc[0]["c_name"] == "five"
         assert pd.isna(out.iloc[1]["c_name"])  # left join null
 
+    def test_order_revenue_topn_vs_pandas(self):
+        """Q3-shaped large-large hash join against a pure-pandas
+        reference on the sf0.001 tables."""
+        from go_fluentd_ray.functions import joins
+        li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_orderkey", "l_extendedprice",
+                                      "l_discount", "l_shipdate"])
+        od = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+        cu = pd.read_parquet(f"{SF}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        cut = pd.Timestamp("1995-03-15")
+        keys = set(cu.loc[cu["c_mktsegment"] == "BUILDING", "c_custkey"])
+        odf = od[(od["o_orderdate"] < cut) & od["o_custkey"].isin(keys)]
+        lif = li[li["l_shipdate"] > cut].copy()
+        lif["rev"] = lif["l_extendedprice"] * (1 - lif["l_discount"])
+        exp = (lif.groupby("l_orderkey")["rev"].sum().reset_index()
+               .merge(odf, left_on="l_orderkey", right_on="o_orderkey"))
+        exp["revenue"] = exp["rev"].round(4)
+        exp = (exp.sort_values(["revenue", "l_orderkey"],
+                               ascending=[False, True]).head(10)
+               [["l_orderkey", "revenue", "o_orderdate",
+                 "o_orderpriority"]].reset_index(drop=True))
+        out = joins.order_revenue_topn(
+            rd.from_pandas(li), rd.from_pandas(od),
+            rd.from_pandas(cu)).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    def test_customers_without_orders_vs_pandas(self):
+        from go_fluentd_ray.functions import joins
+        od = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+        cu = pd.read_parquet(f"{SF}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        since = pd.Timestamp("1998-06-01")
+        recent = set(od.loc[od["o_orderdate"] >= since, "o_custkey"])
+        exp = (cu[~cu["c_custkey"].isin(recent)]
+               .groupby("c_mktsegment").size().rename("n_customers")
+               .reset_index().sort_values("c_mktsegment")
+               .reset_index(drop=True))
+        assert len(exp) > 0  # non-degenerate on this corpus
+        out = (joins.customers_without_orders(
+            rd.from_pandas(cu), rd.from_pandas(od)).to_pandas()
+            .sort_values("c_mktsegment").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
 
 class TestMultimodalStages:
     def test_resize_stub(self):
