@@ -712,11 +712,21 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
     from .shuffle import add_bucket_col, bucketed_attach, \
         bucketed_distinct, default_buckets
 
-    B = num_buckets or default_buckets()
+    # mult=8, not the global default 2: the per-bucket candidate
+    # self-merge has heavy cross-bucket variance (hot shingle groups),
+    # so the wall is the STRAGGLER bucket — finer buckets rebalance it
+    # (measured on the templated sf0.1 corpus at 32 cpus: B=64 17-25 s,
+    # B=128 12.6-13.5 s, B=256 10.2-11.8 s; pairs identical)
+    B = num_buckets or default_buckets(mult=8)
     if collapse_exact:
         reps, members = _exact_text_groups(ds, B)
         rep_pairs = jaccard_join(reps, threshold, B, verify_mode,
                                  collapse_exact=False)
+        # no exact duplicates -> reps IS the corpus and expansion's
+        # extra shuffles are pure overhead; both counts are over
+        # already-materialized skinny blocks (cheap)
+        if members.count() == reps.count():
+            return rep_pairs
         return _expand_exact_pairs(rep_pairs, members, B)
     pct = round(threshold * 100)
 

@@ -169,12 +169,16 @@ def order_revenue_topn(lineitem_ds, orders_ds, customer_ds,
           .groupby("l_orderkey")
           .aggregate(Sum("rev", alias_name="revenue")))
 
+    # replace_schema_metadata(None): parquet pandas-metadata dicts make
+    # Ray's hash-shuffle schema dedup log warnings on every aggregator
     def o_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch["o_orderdate"], cut))
+        return (batch.filter(pc.less(batch["o_orderdate"], cut))
+                .replace_schema_metadata(None))
 
     def c_filter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["c_mktsegment"],
-                                     pa.scalar(segment)))
+        return (batch.filter(pc.equal(batch["c_mktsegment"],
+                                      pa.scalar(segment)))
+                .replace_schema_metadata(None))
 
     orders_f = orders_ds.map_batches(o_filter, batch_format="pyarrow",
                                      zero_copy_batch=True)
@@ -238,13 +242,16 @@ def customers_without_orders(customer_ds, orders_ds,
 
     def o_recent(batch: pa.Table) -> pa.Table:
         return (batch.filter(pc.greater_equal(batch["o_orderdate"], cut))
-                .select(["o_custkey"]))
+                .select(["o_custkey"]).replace_schema_metadata(None))
 
     recent = orders_ds.map_batches(o_recent, batch_format="pyarrow",
                                    zero_copy_batch=True)
-    anti = customer_ds.join(recent, join_type="left_anti",
-                            num_partitions=P, on=("c_custkey",),
-                            right_on=("o_custkey",))
+    cust = customer_ds.map_batches(
+        lambda b: b.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True)
+    anti = cust.join(recent, join_type="left_anti",
+                     num_partitions=P, on=("c_custkey",),
+                     right_on=("o_custkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         df = (batch.select(["c_mktsegment"]).to_pandas()

@@ -43,6 +43,10 @@ _TILE_KEYS = {
     "events": ["event_id"],
     "customer": ["c_custkey"],
     "lineitem": ["l_orderkey"],
+    # orders joins both customer and lineitem: its keys must shift by
+    # the SAME steps as theirs. The fixture guarantees equal per-column
+    # maxima (asserted in prepare()), so per-column max+1 steps agree.
+    "orders": ["o_orderkey", "o_custkey"],
 }
 
 
@@ -52,6 +56,18 @@ def prepare() -> str:
     import pyarrow.parquet as pq
 
     os.makedirs(SF1_DIR, exist_ok=True)
+    # join-key domains must share one tiling step per key family
+    _o = pq.read_table("/root/testdata/sf0.1/orders.parquet",
+                       columns=["o_orderkey", "o_custkey"])
+    _li = pq.read_table("/root/testdata/sf0.1/lineitem.parquet",
+                        columns=["l_orderkey"])
+    _c = pq.read_table("/root/testdata/sf0.1/customer.parquet",
+                       columns=["c_custkey"])
+    assert (pc.max(_o["o_orderkey"]).as_py()
+            == pc.max(_li["l_orderkey"]).as_py()), "orderkey domains differ"
+    assert (pc.max(_o["o_custkey"]).as_py()
+            == pc.max(_c["c_custkey"]).as_py()), "custkey domains differ"
+    del _o, _li, _c
     for table, keys in _TILE_KEYS.items():
         out = os.path.join(SF1_DIR, f"{table}.parquet")
         if os.path.exists(out):
