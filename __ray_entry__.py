@@ -407,6 +407,29 @@ def _q_near_dedup_rows(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Near-dup dedup keeping the HIGHEST-QUALITY doc per cluster
+    (the RefinedWeb/FineWeb curation rule) instead of the min id:
+    minhash pairs -> components -> argmax quality per component ->
+    anti-join. SQL twin = exact minhash CTE + recursive closure +
+    QUALIFY argmax."""
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.minhash_dedup_keep_best(
+        _docs_text(sf_dir), threshold=0.7,
+        min_bands=2).select_columns(["doc_id"])
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Cross-corpus incremental dedup: the new shard (md5(doc_id)%100
+    >= 80) minus exact-hash and verified-minhash matches against the
+    already-ingested 80%. Full-schema output (SELECT * twin)."""
+    from go_fluentd_ray.functions import dedup
+
+    return dedup.incremental_dedup(_docs(sf_dir), seen_pct=80,
+                                   threshold=0.7, min_bands=2)
+
+
 def _q_knn(sf_dir: str):
     from go_fluentd_ray.functions import similarity
 
@@ -1139,6 +1162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_lsh": _q_embedding_dup_lsh,
         "embedding_dedup_rows": _q_embedding_dedup_rows,
         "near_dedup_rows": _q_near_dedup_rows,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "dedup_incremental": _q_dedup_incremental,
         "semantic_dedup": _q_semantic_dedup,
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
@@ -1487,6 +1512,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.lang_id_sql(),
         "dedup_minhash_lsh": _dedup.minhash_dedup_sql(
             threshold=0.7, min_bands=2),
+        "dedup_keep_best": _dedup.minhash_dedup_keep_best_sql(
+            threshold=0.7, min_bands=2),
+        "dedup_incremental": _dedup.incremental_dedup_sql(
+            seen_pct=80, threshold=0.7, min_bands=2),
         "dedup_jaccard": _dedup.jaccard_join_sql(threshold=0.8),
         "dedup_simhash": _dedup.simhash_dedup_sql(),
         "lm_score": T.lm_score_sql(),

@@ -243,3 +243,102 @@ def dedup_rows_by_components(corpus_ds, pairs_ds, id_col: str,
     drop = comp.map_batches(non_roots, batch_format="pyarrow")
     return bucketed_anti_join(corpus_ds, id_col, drop, "n",
                               num_buckets=num_buckets)
+
+
+def keep_best_drops(pairs_ds, scores_ds, id_col: str = "doc_id",
+                    score_col: str = "score",
+                    num_buckets: int | None = None):
+    """Drop set for ARG-MAX-score dedup: connected components over the
+    pair graph, then per component keep the node with the HIGHEST score
+    (tie: min id) and emit every other member as a drop row (n).
+
+    The curation variant of dedup_rows_by_components — real pipelines
+    (RefinedWeb / FineWeb style) keep the best-quality copy of a
+    near-dup cluster, not the lowest id. Two extra PAIR-GRAPH-sized
+    bucket shuffles beyond CC itself: (1) attach each component node's
+    score (the score side is corpus-wide but SKINNY — id + one double;
+    the inner join restricts it to component members), (2) re-co-locate
+    each component by root and pick the argmax. The corpus itself is
+    never touched here."""
+    import pyarrow.compute as pc
+
+    B = num_buckets or default_buckets()
+    comp = connected_components(pairs_ds, num_buckets=num_buckets)
+
+    sides_schema = pa.schema([
+        ("__key", pa.int64()), ("root", pa.int64()),
+        ("__scr", pa.float64()), ("__side", pa.int8()),
+    ])
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "__key": batch["n"].cast(pa.int64()),
+            "root": batch["root"].cast(pa.int64()),
+            "__scr": pa.nulls(n, pa.float64()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        }, schema=sides_schema)
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "__key": batch[id_col].cast(pa.int64()),
+            "root": pa.nulls(n, pa.int64()),
+            "__scr": batch[score_col].cast(pa.float64()),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        }, schema=sides_schema)
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        # re-pin types: an all-empty side (e.g. zero pairs) loses its
+        # schema inside Ray and surfaces null-typed join columns
+        for name in ("__key", "root", "__scr"):
+            idx = tbl.schema.get_field_index(name)
+            want = sides_schema.field(name).type
+            if idx >= 0 and tbl.schema.field(idx).type != want:
+                tbl = tbl.set_column(idx, name, pc.cast(tbl[name], want))
+        side = tbl["__side"]
+        comp_t = tbl.filter(pc.equal(side, 0)).select(["__key", "root"])
+        scr_t = tbl.filter(pc.equal(side, 1)).select(["__key", "__scr"])
+        if comp_t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "root": pa.array([], pa.int64()),
+                             "__scr": pa.array([], pa.float64())})
+        m = comp_t.join(scr_t, keys="__key", join_type="inner")
+        return (m.select(["__key", "root", "__scr"])
+                .rename_columns(["n", "root", "__scr"]))
+
+    unioned = (comp.map_batches(comp_rows, batch_format="pyarrow")
+               .union(scores_ds.map_batches(score_rows,
+                                            batch_format="pyarrow"))
+               .map_batches(lambda t: add_bucket_col(t, ["__key"], B),
+                            batch_format="pyarrow"))
+    attached = unioned.groupby("__bkt").map_groups(
+        attach, batch_format="pyarrow")
+
+    def drops(df) -> "pa.Table":
+        if len(df) == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        df = df.sort_values(["root", "__scr", "n"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        drop = df[df.groupby("root", sort=False).cumcount() > 0]
+        return pa.table({"n": pa.array(
+            drop["n"].to_numpy(dtype=np.int64), pa.int64())})
+
+    rekeyed = attached.map_batches(
+        lambda t: add_bucket_col(t, ["root"], B), batch_format="pyarrow")
+    return rekeyed.groupby("__bkt").map_groups(drops, batch_format="pandas")
+
+
+def dedup_rows_keep_best(corpus_ds, pairs_ds, scores_ds, id_col: str,
+                         score_col: str = "score",
+                         num_buckets: int | None = None):
+    """Keep the HIGHEST-score member of each near-dup component
+    (tie: min id); everything outside a component survives untouched.
+    One corpus shuffle total (the final bucketed anti-join)."""
+    from .shuffle import bucketed_anti_join
+
+    drop = keep_best_drops(pairs_ds, scores_ds, id_col=id_col,
+                           score_col=score_col, num_buckets=num_buckets)
+    return bucketed_anti_join(corpus_ds, id_col, drop, "n",
+                              num_buckets=num_buckets)

@@ -1184,3 +1184,192 @@ def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
 
     out = ds2.groupby("__bkt").map_groups(verify, batch_format="pandas")
     return bucketed_distinct(out, ["a", "b"], num_buckets=B)
+
+
+# ---------------------------------------------------------------------------
+# keep-best-per-cluster dedup and cross-corpus incremental dedup
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_keep_best(ds, threshold: float = 0.7,
+                            min_bands: int = 2,
+                            num_buckets: int | None = None):
+    """Near-dup dedup keeping the HIGHEST-QUALITY doc per cluster (the
+    RefinedWeb / FineWeb curation rule), not the min id: MinHash-LSH
+    verified pairs -> connected components -> per component keep the
+    argmax of the deterministic quality score (tie: min doc_id) ->
+    bucketed anti-join row filter. Returns the kept corpus rows.
+
+    Scale shape: identical to near-dup-to-rows plus two PAIR-GRAPH-sized
+    score shuffles (components.keep_best_drops); the quality score is a
+    map-side pyarrow kernel over the corpus, shipped as a SKINNY
+    (doc_id, quality) projection."""
+    from .components import dedup_rows_keep_best
+    from .text import quality_batch
+
+    pairs = minhash_dedup(ds, threshold=threshold, min_bands=min_bands,
+                          num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return quality_batch(batch).select(["doc_id", "quality"])
+
+    scores = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return dedup_rows_keep_best(ds, pairs, scores, "doc_id",
+                                score_col="quality",
+                                num_buckets=num_buckets)
+
+
+def minhash_dedup_keep_best_sql(threshold: float = 0.7,
+                                min_bands: int = 2,
+                                table: str = "documents") -> str:
+    """DuckDB twin of minhash_dedup_keep_best: the exact minhash pair
+    CTE + recursive component closure (near_dedup_rows' oracle shape),
+    then argmax-quality-per-root via QUALIFY row_number(). The quality
+    expression is text.QUALITY_SQL_EXPRS — op-for-op identical to the
+    pyarrow kernel chain, so float64 comparisons agree bit-for-bit."""
+    from .text import QUALITY_SQL_EXPRS
+
+    return f"""
+WITH RECURSIVE mh AS ({minhash_dedup_sql(threshold, min_bands, table)}),
+e AS (SELECT a AS u, b AS v FROM mh UNION ALL SELECT b, a FROM mh),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS root FROM reach GROUP BY u),
+q AS (SELECT doc_id, quality
+      FROM (SELECT doc_id, {QUALITY_SQL_EXPRS} FROM {table})),
+keep AS (
+  SELECT c.u AS u FROM comp c JOIN q ON q.doc_id = c.u
+  QUALIFY row_number() OVER (PARTITION BY c.root
+                             ORDER BY q.quality DESC, c.u) = 1
+)
+SELECT doc_id FROM {table}
+WHERE doc_id NOT IN (SELECT u FROM comp)
+   OR doc_id IN (SELECT u FROM keep)"""
+
+
+def incremental_dedup(ds, seen_pct: int = 80, threshold: float = 0.7,
+                      min_bands: int = 2,
+                      num_buckets: int | None = None,
+                      id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-corpus incremental dedup — the 'don't re-ingest what the
+    corpus already holds' gate of a growing pipeline (pairs with
+    stages/incremental.py's file-granular exactly-once ingest): rows
+    whose md5(doc_id) % 100 < seen_pct are the already-ingested corpus
+    ('seen', sampling.hash_sample's deterministic rule); the rest are
+    the incoming shard ('new'). A new row is dropped when (a) its exact
+    text hash appears in seen, or (b) it has a verified MinHash-LSH
+    near-dup (Jaccard >= threshold) in seen. Returns the surviving NEW
+    rows with their full schema. New-vs-new duplicates are deliberately
+    kept — within-shard dedup is exact_dedup_rows / near-dup-to-rows.
+
+    Scale shape: the seen/new split is a pure map-side filter; the
+    exact tier moves only (h, doc_id) skinny rows through ONE bucket
+    shuffle; the near tier reuses minhash_dedup's banded pipeline and
+    classifies pair sides map-side (pair rows are skinny); the final
+    filter is one bucketed anti-join over the new shard."""
+    from .sampling import _md5_mod100
+
+    B = num_buckets or default_buckets()
+
+    def _pct(batch: pa.Table) -> np.ndarray:
+        return _md5_mod100(batch[id_col].to_pylist())
+
+    def new_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_pct(batch) >= seen_pct))
+
+    new_ds = ds.map_batches(new_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # --- exact tier: new ids whose text hash appears in seen ---------
+    sides_schema = pa.schema([("h", pa.string()), ("n", pa.int64()),
+                              ("__side", pa.int8())])
+
+    def seen_h(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pa.array(_pct(batch) < seen_pct))
+        hb = md5_batch(keep.select([id_col, text_col]), text_col)
+        n = hb.num_rows
+        return pa.table({"h": hb["h"], "n": pa.nulls(n, pa.int64()),
+                         "__side": pa.array(np.zeros(n, dtype=np.int8))},
+                        schema=sides_schema)
+
+    def new_h(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pa.array(_pct(batch) >= seen_pct))
+        hb = md5_batch(keep.select([id_col, text_col]), text_col)
+        n = hb.num_rows
+        return pa.table({"h": hb["h"],
+                         "n": hb[id_col].cast(pa.int64()),
+                         "__side": pa.array(np.ones(n, dtype=np.int8))},
+                        schema=sides_schema)
+
+    def match(tbl: pa.Table) -> pa.Table:
+        for name in ("h", "n"):
+            idx = tbl.schema.get_field_index(name)
+            want = sides_schema.field(name).type
+            if idx >= 0 and tbl.schema.field(idx).type != want:
+                tbl = tbl.set_column(idx, name, pc.cast(tbl[name], want))
+        side = tbl["__side"]
+        seen_set = tbl.filter(pc.equal(side, 0))["h"]
+        if isinstance(seen_set, pa.ChunkedArray):
+            seen_set = seen_set.combine_chunks()
+        news = tbl.filter(pc.equal(side, 1))
+        hit = news.filter(pc.is_in(news["h"], value_set=seen_set))
+        return hit.select(["n"])
+
+    exact_drops = (ds.map_batches(seen_h, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .union(ds.map_batches(new_h, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+                   .map_batches(lambda t: add_bucket_col(t, ["h"], B),
+                                batch_format="pyarrow")
+                   .groupby("__bkt")
+                   .map_groups(match, batch_format="pyarrow"))
+
+    # --- near tier: verified pairs with exactly one side seen --------
+    pairs = minhash_dedup(ds.select_columns([id_col, text_col]),
+                          threshold=threshold, min_bands=min_bands,
+                          num_buckets=num_buckets)
+
+    def cross_drops(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_seen = _md5_mod100(a) < seen_pct
+        b_seen = _md5_mod100(b) < seen_pct
+        cross = a_seen != b_seen
+        new_side = np.where(a_seen[cross], b[cross], a[cross])
+        return pa.table({"n": pa.array(new_side, pa.int64())})
+
+    near_drops = pairs.map_batches(cross_drops, batch_format="pyarrow")
+
+    from .shuffle import bucketed_anti_join
+
+    return bucketed_anti_join(new_ds, id_col,
+                              exact_drops.union(near_drops), "n",
+                              num_buckets=B)
+
+
+def incremental_dedup_sql(seen_pct: int = 80, threshold: float = 0.7,
+                          min_bands: int = 2,
+                          table: str = "documents") -> str:
+    """DuckDB twin of incremental_dedup (same md5-split rule as
+    sampling.hash_sample_sql, same exact minhash pair CTE)."""
+    pct = ("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+           " % 100")
+    return f"""
+WITH mh AS ({minhash_dedup_sql(threshold, min_bands, table)}),
+lab AS (SELECT doc_id, {pct} < {seen_pct} AS is_seen, text FROM {table}),
+exact_drop AS (
+  SELECT n.doc_id FROM lab n
+  WHERE NOT n.is_seen
+    AND md5(n.text) IN (SELECT md5(text) FROM lab WHERE is_seen)),
+near_drop AS (
+  SELECT CASE WHEN la.is_seen THEN m.b ELSE m.a END AS doc_id
+  FROM mh m JOIN lab la ON la.doc_id = m.a
+            JOIN lab lb ON lb.doc_id = m.b
+  WHERE la.is_seen <> lb.is_seen)
+SELECT t.* FROM {table} t JOIN lab l USING (doc_id)
+WHERE NOT l.is_seen
+  AND t.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND t.doc_id NOT IN (SELECT doc_id FROM near_drop)"""

@@ -2840,3 +2840,86 @@ class TestDailyRoleStats:
                 want[c] = want[c].astype("int64")
         pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
         assert len(got) > 0
+
+
+class TestKeepBestAndIncremental:
+    """dedup.minhash_dedup_keep_best (argmax-quality per near-dup
+    cluster) and dedup.incremental_dedup (new shard vs seen corpus),
+    each against planted cases AND its own DuckDB twin."""
+
+    def _cluster_df(self):
+        base = ("the cat and the dog went to the market in town and "
+                "bought the apples before noon ") * 3
+        texts = [base + "first tail words",
+                 base + "second tail words",
+                 # extra stopwords: highest quality member is NOT min id
+                 base + "the of to in is it and or an a the of to in is"]
+        singles = ["alpha bravo charlie delta echo foxtrot unique doc",
+                   "golf hotel india juliet kilo lima unique words here"]
+        return pd.DataFrame({"doc_id": [0, 1, 2, 10, 11],
+                             "text": texts + singles})
+
+    def test_keep_best_keeps_argmax_quality(self):
+        df = self._cluster_df()
+        qt = T.quality_batch(
+            pa.Table.from_pandas(df[df.doc_id <= 2], preserve_index=False))
+        q = dict(zip(qt["doc_id"].to_pylist(), qt["quality"].to_pylist()))
+        keeper = max(q, key=lambda k: (q[k], -k))
+        assert keeper != 0  # the interesting case: argmax is not min id
+
+        pairs = dedup.minhash_dedup(rd.from_pandas(df), threshold=0.6,
+                                    min_bands=1).to_pandas()
+        nodes = set(pairs.a) | set(pairs.b)
+        assert nodes == {0, 1, 2}  # one cluster, singletons untouched
+
+        out = dedup.minhash_dedup_keep_best(
+            rd.from_pandas(df), threshold=0.6, min_bands=1).to_pandas()
+        assert set(out.doc_id) == {keeper, 10, 11}
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.sql(dedup.minhash_dedup_keep_best_sql(
+            threshold=0.6, min_bands=1)).df()
+        assert sorted(want.doc_id) == sorted(out.doc_id)
+
+    def test_incremental_dedup_planted(self):
+        from go_fluentd_ray.functions.sampling import _md5_mod100
+
+        ids = list(range(200))
+        pct = _md5_mod100(ids)
+        seen_ids = [i for i in ids if pct[i] < 80]
+        new_ids = [i for i in ids if pct[i] >= 80]
+        s0, s1 = seen_ids[0], seen_ids[1]
+        n0, n1, n2, n3 = new_ids[:4]
+        base = ("the quick brown fox jumps over the lazy dog near "
+                "the river bank every single morning ") * 3
+        anchor = ("seen standalone anchor text alpha beta gamma delta "
+                  "epsilon zeta eta theta")
+        survivor = ("brand new content nobody has ever ingested before "
+                    "xylophone quasar nebula")
+        df = pd.DataFrame({
+            "doc_id": [s0, s1, n0, n1, n2, n3],
+            "text": [anchor,                 # seen
+                     base,                   # seen near-dup anchor
+                     anchor,                 # new, exact dup of seen -> drop
+                     base + " extra tail",   # new, near dup of seen -> drop
+                     survivor,               # new, unique -> keep
+                     survivor],              # new, exact dup of ANOTHER NEW
+                                             # doc -> keep (cross-corpus only)
+            "lang": ["en"] * 6, "source": ["t"] * 6,
+        })
+        out = dedup.incremental_dedup(rd.from_pandas(df), seen_pct=80,
+                                      threshold=0.6,
+                                      min_bands=1).to_pandas()
+        assert set(out.doc_id) == {n2, n3}
+        assert set(out.columns) == {"doc_id", "text", "lang", "source"}
+
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.sql(dedup.incremental_dedup_sql(
+            seen_pct=80, threshold=0.6, min_bands=1)).df()
+        assert sorted(want.doc_id) == sorted(out.doc_id)
