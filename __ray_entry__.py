@@ -454,6 +454,23 @@ def _q_knn_ivf_recall(sf_dir: str):
     return similarity.knn_ivf_recall(_emb(sf_dir))
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (ADC scan over m-byte codes + exact
+    re-rank of a tiny shortlist) — the compressed-index scale path.
+    Rows-only (codebook k-means not SQL); gated by knn_pq_recall."""
+    from go_fluentd_ray.functions import similarity
+
+    return similarity.knn_pq(_emb(sf_dir))
+
+
+def _q_knn_pq_recall(sf_dir: str):
+    """recall@k of PQ+re-rank vs exact brute force per query (+ overall
+    mean row, qid=-1) — the knn_ivf_recall pattern."""
+    from go_fluentd_ray.functions import similarity
+
+    return similarity.knn_pq_recall(_emb(sf_dir))
+
+
 def _q_semantic_dedup_recall(sf_dir: str):
     """Pair-set recall of SemDeDup's clustered dup finder vs the exact
     all-pairs path (one summary row). Rows-only: the gate that makes a
@@ -1168,6 +1185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_recall": _q_knn_ivf_recall,
+        "knn_pq": _q_knn_pq,
+        "knn_pq_recall": _q_knn_pq_recall,
         "semantic_dedup_recall": _q_semantic_dedup_recall,
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding,

@@ -363,3 +363,36 @@ def bench_hash_join(sf_dir: str):
 
 
 BENCHES.update({"hash_join": bench_hash_join})
+
+
+def bench_dedup_keep_best(sf_dir: str):
+    """Argmax-quality-per-cluster dedup (minhash pairs + CC + two
+    pair-graph score shuffles + one corpus anti-join)."""
+    from .dedup import minhash_dedup_keep_best
+
+    return minhash_dedup_keep_best(_docs(sf_dir), threshold=0.7,
+                                   min_bands=2).count()
+
+
+def bench_dedup_incremental(sf_dir: str):
+    """Cross-corpus incremental dedup (new shard vs seen corpus,
+    exact-hash + minhash tiers)."""
+    from .dedup import incremental_dedup
+
+    return incremental_dedup(_docs(sf_dir, cols=None),
+                             seen_pct=80, threshold=0.7,
+                             min_bands=2).count()
+
+
+BENCHES.update({"dedup_keep_best": bench_dedup_keep_best,
+                "dedup_incremental": bench_dedup_incremental})
+
+
+def bench_knn_pq(sf_dir: str):
+    """PQ(ADC)+re-rank ANN over the embeddings table."""
+    from .similarity import knn_pq
+
+    return len(knn_pq(_emb(sf_dir, cols=["vec_id", "embedding"])))
+
+
+BENCHES.update({"knn_pq": bench_knn_pq})

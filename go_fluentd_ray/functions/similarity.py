@@ -109,6 +109,10 @@ def deterministic_sample(ds, n: int, id_col: str, cols: "list[str]"):
     import hashlib
 
     def local_min(batch: pa.Table) -> pa.Table:
+        if batch.schema.metadata:
+            # parquet pandas-metadata makes the schema unhashable and
+            # defeats Ray's schema dedup in the repartition reduce
+            batch = batch.replace_schema_metadata(None)
         h = np.array(
             [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
              for i in batch[id_col].to_pylist()], dtype=np.int64)
@@ -363,3 +367,175 @@ def knn_ivf_recall(ds, k: int = 5, **ivf_kwargs) -> pd.DataFrame:
                         "recall_at_k": np.round(
                             recalls + [float(np.mean(recalls))], 4)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN — the compressed-index scale path
+# ---------------------------------------------------------------------------
+
+def fit_pq_codebooks(ds, m: int = 8, ks: int = 128,
+                     sample_n: int = 4096, iters: int = 8,
+                     seed: int = 424242) -> np.ndarray:
+    """Per-subspace PQ codebooks (Jégou et al. 2011): split the
+    (unit-normalized) embedding into m contiguous subvectors and fit ks
+    k-means centroids per subspace on a deterministic min-md5 sample.
+
+    Returns codebooks of shape (m, ks, dim/m). The codebooks are TINY
+    (m*ks*dsub floats — 16 KB at dim=64/m=8/ks=64) so the driver only
+    ever holds the sample and the codebook matrix; at 100 TB the same
+    map-side partial-sum refinement used by fit_centroids applies per
+    subspace, and the knn_pq re-rank stage bounds recall sensitivity to
+    codebook quality either way (gated by knn_pq_recall)."""
+    rows = deterministic_sample(ds, sample_n, "vec_id", ["embedding"])
+    S = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in rows["embedding"]])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    ks = min(ks, len(S))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        X = S[:, j * dsub:(j + 1) * dsub]
+        C = X[rng.choice(len(X), size=ks, replace=False)]
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ks):
+                msk = assign == c
+                if msk.any():
+                    C[c] = X[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _pq_encode(En: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, dim) normalized vectors -> (rows, m) uint8/uint16 codes:
+    per subspace, the centroid minimizing reconstruction L2 — i.e.
+    argmax(x.c - |c|^2/2), one matmul per subspace."""
+    m, ks, dsub = books.shape
+    codes = np.empty((En.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        X = En[:, j * dsub:(j + 1) * dsub]
+        # argmin |x-c|^2 == argmax x.c - |c|^2/2  (|x|^2 constant per row)
+        score = X @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)
+        codes[:, j] = np.argmax(score, axis=1)
+    return codes
+
+
+def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
+           shortlist: int = 64, sample_n: int = 4096):
+    """PQ ANN with asymmetric distance computation (ADC) + exact
+    re-rank — the memory-scale route: each vector is stored as m bytes
+    of codes (64x smaller than a float64 dim=64 embedding), the scan is
+    one LUT gather-sum per query, and only the per-batch top-`shortlist`
+    partial rows ever cross the wire.
+
+    Stages (all map-side; the corpus is never shuffled):
+    1. fit codebooks on a deterministic sample (fit_pq_codebooks);
+    2. precompute per-query LUTs: LUT[q, j, c] = q_subj . codebook[j, c]
+       so approx_sim(q, x) = sum_j LUT[q, j, code_j(x)];
+    3. map_batches: normalize, encode, LUT-sum, emit local
+       top-shortlist partials per query (the knn_bruteforce partial
+       pattern);
+    4. global top-shortlist per query (tiny driver reduce), then ONE
+       map-side filter pass gathers the true embeddings of the <=
+       n_queries*shortlist candidate ids for an exact cosine re-rank.
+    Approximate (rows-only); gated by knn_pq_recall."""
+    import ray
+
+    dim = len(ds.take(1)[0]["embedding"])
+    books = fit_pq_codebooks(ds, m=m, ks=ks, sample_n=sample_n)
+    Q = query_matrix(dim)
+    nq, dsub = Q.shape[0], dim // m
+    lut = np.stack([
+        np.stack([Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                  for j in range(m)], axis=0)])[0]  # (m, nq, ks)
+    bref = ray.put((books, lut))
+
+    class ScanPQ:
+        def __init__(self):
+            self.books, self.lut = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            E = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch["embedding"].to_pylist()])
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes = _pq_encode(En, self.books)           # (rows, m)
+            sl = min(shortlist, len(ids))
+            parts = {"qid": [], "vec_id": [], "sim": []}
+            sub = np.arange(codes.shape[1])[:, None]   # (m, 1)
+            for qid in range(self.lut.shape[1]):
+                # approx sim = sum over subspaces of LUT[j, qid, code_j]
+                sims = self.lut[sub, qid, codes.T].sum(axis=0)
+                top = np.lexsort((ids, -sims))[:sl]
+                parts["qid"].append(np.full(sl, qid, dtype=np.int64))
+                parts["vec_id"].append(ids[top])
+                parts["sim"].append(sims[top])
+            return pa.table({
+                "qid": pa.array(np.concatenate(parts["qid"])),
+                "vec_id": pa.array(np.concatenate(parts["vec_id"]),
+                                   type=pa.int64()),
+                "sim": pa.array(np.concatenate(parts["sim"])),
+            })
+
+    partials = ds.map_batches(ScanPQ, batch_format="pyarrow",
+                              concurrency=2)
+    df = partials.to_pandas()   # shortlist rows per (query, batch): tiny
+    df = df.sort_values(["qid", "sim", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    short = df.groupby("qid", sort=True).head(shortlist)
+    cand = np.unique(short["vec_id"].to_numpy())
+
+    # exact re-rank of the tiny candidate set: one map-side filter pass
+    # (no shuffle), <= n_queries*shortlist rows reach the driver
+    cref = ray.put(cand)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        want = ray.get(cref)
+        keep = pc.is_in(batch["vec_id"],
+                        value_set=pa.array(want, type=pa.int64()))
+        return batch.select(["vec_id", "embedding"]).filter(keep)
+
+    got = ds.map_batches(gather, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    E = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in got["embedding"]])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = got["vec_id"].to_numpy()
+    sims = Q @ En.T                                     # nq x cand
+    rows = []
+    for qid in range(nq):
+        allowed = set(short.loc[short["qid"] == qid, "vec_id"])
+        msk = np.array([i in allowed for i in ids])
+        kk = min(k, int(msk.sum()))
+        mids, msims = ids[msk], sims[qid][msk]
+        top = np.lexsort((mids, -msims))[:kk]
+        rows.append(pd.DataFrame({
+            "qid": np.full(kk, qid, dtype=np.int64),
+            "rank": np.arange(kk, dtype=np.int64),
+            "vec_id": mids[top].astype(np.int64),
+            "sim": np.round(msims[top], 4)}))
+    return pd.concat(rows, ignore_index=True)
+
+
+def knn_pq_recall(ds, k: int = 5, **pq_kwargs) -> pd.DataFrame:
+    """recall@k of the PQ+re-rank path vs exact brute force, per query
+    plus an overall mean row (qid = -1) — same driver-visible gate
+    shape as knn_ivf_recall."""
+    bf = knn_bruteforce(ds, k)
+    pq_ = knn_pq(ds, k, **pq_kwargs)
+    qids = sorted(bf["qid"].unique())
+    recalls = []
+    for qid in qids:
+        truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
+        got = set(pq_.loc[pq_["qid"] == qid, "vec_id"])
+        recalls.append(len(truth & got) / max(len(truth), 1))
+    return pd.DataFrame({"qid": np.array(qids + [-1], dtype=np.int64),
+                         "recall_at_k": np.round(
+                             recalls + [float(np.mean(recalls))], 4)})

@@ -138,6 +138,42 @@ class TestSimilarity:
         assert set(out.columns) == {"qid", "recall_at_k"}
         assert len(out) == similarity.N_QUERIES + 1
 
+    def test_pq_recall(self):
+        """PQ(ADC)+re-rank vs brute force on the random fixture
+        embeddings (the hardest PQ case: no cluster structure). The
+        re-rank shortlist bounds sensitivity to codebook quality."""
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = similarity.knn_pq_recall(ds, k=5)
+        overall = float(out.loc[out.qid == -1, "recall_at_k"].iloc[0])
+        assert overall >= 0.9, overall
+        assert set(out.columns) == {"qid", "recall_at_k"}
+        assert len(out) == similarity.N_QUERIES + 1
+
+    def test_pq_codes_reconstruct(self):
+        """Encoding picks the L2-nearest centroid per subspace: the
+        quantization error must be strictly smaller than against a
+        random other centroid choice, and codes are within [0, ks)."""
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        books = similarity.fit_pq_codebooks(ds, m=8, ks=32, sample_n=256)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        E = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        codes = similarity._pq_encode(En, books)
+        assert codes.min() >= 0 and codes.max() < 32
+        m, ks, dsub = books.shape
+        err = 0.0
+        err_alt = 0.0
+        rng = np.random.default_rng(7)
+        for j in range(m):
+            X = En[:, j * dsub:(j + 1) * dsub]
+            err += ((X - books[j][codes[:, j]]) ** 2).sum()
+            alt = (codes[:, j] + rng.integers(1, ks, len(X))) % ks
+            err_alt += ((X - books[j][alt]) ** 2).sum()
+        assert err < err_alt
+
     def test_fit_centroids_distributed_100k(self):
         """The distributed Lloyd refinement path on a corpus far larger
         than the driver init sample: 100k vectors, auto-scaled
