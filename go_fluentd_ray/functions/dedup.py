@@ -1087,8 +1087,9 @@ def embedding_dup_exact(ds, threshold: float = 0.95):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = batch["vec_id"].to_numpy()
-            E = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in batch["embedding"].to_pylist()])
+            from .similarity import emb_matrix
+
+            E = emb_matrix(batch["embedding"])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
             sims = En @ self.Mn.T
             bi, gj = np.nonzero(sims >= threshold)
@@ -1116,8 +1117,9 @@ def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        E = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["embedding"].to_pylist()])
+        from .similarity import emb_matrix
+
+        E = emb_matrix(batch["embedding"])
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         # vector fingerprint: byte-identical embeddings share it, so
         # over-cap buckets can anchor exact-duplicate clusters (same

@@ -66,8 +66,9 @@ def cluster_pairs(emb_ds, centroids: np.ndarray, threshold: float,
             if len(_CENTROID_CACHE) > 8:   # bound worker memory
                 _CENTROID_CACHE.clear()
             C = _CENTROID_CACHE[key] = ray.get(cref)
-        E = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["embedding"].to_pylist()])
+        from .similarity import emb_matrix
+
+        E = emb_matrix(batch["embedding"])
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         sims = En @ C.T
         if p == 1:

@@ -1,0 +1,141 @@
+"""Scaling evidence for the ANN family: run PQ(ADC)+re-rank and exact
+brute force over the same synthetic embedding corpus at two
+parallelism levels (fresh processes) and report wall, throughput,
+efficiency, and PQ recall vs brute force at the larger level.
+
+The corpus is deterministic (seeded standard normal, unit-normalized,
+float32) and written as many ~64k-row parquet parts so the sized read
+gives healthy blocks. Both paths are map-side-only scans with tiny
+partial reductions — the expected scaling limiter is the fixed
+ray.init + codebook-fit cost, not any shuffle.
+
+    python tools/ann_scaling.py            # orchestrates 8 vs 32
+    python tools/ann_scaling.py --one N    # single timed run, N cpus
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_VECS = int(os.environ.get("GRAFT_ANN_VECS", "200000"))
+DIM = int(os.environ.get("GRAFT_ANN_DIM", "64"))
+
+
+def ensure_embeddings(n: int, dim: int) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_fluentd_ray import synth
+
+    out = os.path.join(synth.CACHE_ROOT, f"emb-v1-{n}x{dim}")
+    if os.path.isdir(out) and os.path.exists(out + ".meta.json"):
+        return out
+    import tempfile
+
+    os.makedirs(synth.CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=synth.CACHE_ROOT,
+                           prefix=f".emb-v1-{n}x{dim}-")
+    rows_per_part = 65536
+    rng = np.random.default_rng(0xE1B)
+    vid = 0
+    part = 0
+    while vid < n:
+        m = min(rows_per_part, n - vid)
+        E = rng.standard_normal((m, dim)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(vid, vid + m), type=pa.int64()),
+            "embedding": pa.array(list(E), type=pa.list_(pa.float32())),
+        }), os.path.join(tmp, f"part-{part:05d}.parquet"))
+        vid += m
+        part += 1
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.isdir(out):
+            raise
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(out + ".meta.json"):
+        with open(out + ".meta.json", "w") as f:
+            json.dump({"n": n, "dim": dim}, f)
+    return out
+
+
+def one(ncpu: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from go_fluentd_ray.functions import similarity
+    from go_fluentd_ray.io_util import sized_read_parquet
+
+    path = ensure_embeddings(N_VECS, DIM)
+
+    def read():
+        return sized_read_parquet(path + "/part-*.parquet")
+
+    t0 = time.time()
+    pq_res = similarity.knn_pq(read())
+    pq_wall = time.time() - t0
+    t0 = time.time()
+    bf = similarity.knn_bruteforce(read())
+    bf_wall = time.time() - t0
+    # recall of the PQ result against the exact one
+    recalls = []
+    for qid in sorted(bf["qid"].unique()):
+        truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
+        got = set(pq_res.loc[pq_res["qid"] == qid, "vec_id"])
+        recalls.append(len(truth & got) / max(len(truth), 1))
+    ray.shutdown()
+    return {"num_cpus": ncpu,
+            "pq_sec": round(pq_wall, 2), "bf_sec": round(bf_wall, 2),
+            "pq_vecs_per_sec": round(N_VECS / pq_wall, 1),
+            "recall_at_5": round(sum(recalls) / len(recalls), 4)}
+
+
+def main() -> None:
+    if "--one" in sys.argv:
+        print(json.dumps(one(int(sys.argv[sys.argv.index("--one") + 1]))))
+        return
+    ensure_embeddings(N_VECS, DIM)  # pre-generate outside timed runs
+    results = {}
+    for ncpu in (8, 32):
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--one", str(ncpu)],
+                capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["pq_sec"] < best["pq_sec"]:
+                best = r
+        results[ncpu] = best
+    print(json.dumps({
+        "metric": "ANN scaling 8->32 cpus (PQ scan + brute force)",
+        "n_vecs": N_VECS, "dim": DIM,
+        "pq_sec_8cpu": results[8]["pq_sec"],
+        "pq_sec_32cpu": results[32]["pq_sec"],
+        "bf_sec_8cpu": results[8]["bf_sec"],
+        "bf_sec_32cpu": results[32]["bf_sec"],
+        "pq_scaling_efficiency": round(
+            (results[8]["pq_sec"] / results[32]["pq_sec"]) / 4, 3),
+        "bf_scaling_efficiency": round(
+            (results[8]["bf_sec"] / results[32]["bf_sec"]) / 4, 3),
+        "recall_at_5": results[32]["recall_at_5"],
+    }))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    main()
