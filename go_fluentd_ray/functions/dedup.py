@@ -1101,7 +1101,10 @@ def embedding_dup_exact(ds, threshold: float = 0.95):
                 "cos": pa.array(np.round(sims[bi, gj][keep], 4)),
             })
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2)
+    from .similarity import scan_pool
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow",
+                          concurrency=scan_pool())
 
 
 def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,

@@ -98,7 +98,10 @@ def broadcast_dim_join(events_ds, dim_df: pd.DataFrame,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.dim, on=key, how="left")
 
-    return events_ds.map_batches(Join, batch_format="pandas", concurrency=2)
+    from .similarity import scan_pool
+
+    return events_ds.map_batches(Join, batch_format="pandas",
+                                 concurrency=scan_pool())
 
 
 DIM_JOIN_SQL = """

@@ -48,6 +48,20 @@ def emb_matrix(col, dtype=np.float64) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=dtype) for v in col.to_pylist()])
 
 
+def scan_pool(frac: int = 2, lo: int = 2) -> "tuple[int, int]":
+    """Autoscaling actor-pool bounds for map-side scan stages:
+    (2, cpus // frac). A fixed concurrency=2 pool was the measured
+    scaling bug at 1M vectors (the scan could never use more than two
+    workers — 32-cpu runs were no faster than 8); capping at cpus//2
+    keeps the livelock rule (a pool sized to ALL cpus starves the
+    upstream read tasks, BASELINE.md)."""
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return (lo, max(lo, cpus // frac))
+
+
 def query_matrix(dim: int, n: int = N_QUERIES, seed: int = 777) -> np.ndarray:
     """Deterministic pseudo-random unit queries (shared with the SQL
     oracle, which receives them as literals)."""
@@ -89,7 +103,11 @@ def knn_bruteforce(ds, k: int = 5):
                 "sim": pa.array(sim),
             })
 
-    partials = ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+    # batch_size=None: whole-block batches — the local top-k partial
+    # only compresses when the batch is much larger than k (small
+    # batches emit nearly every row to the driver reduce)
+    partials = ds.map_batches(Score, batch_format="pyarrow",
+                              batch_size=None, concurrency=scan_pool())
     df = partials.to_pandas()  # k rows per (query, batch): tiny
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
@@ -363,7 +381,8 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 14,
                 "sim": pa.array(np.concatenate(parts["sim"])),
             })
 
-    scored = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+    scored = ds.map_batches(Bucketize, batch_format="pyarrow",
+                            batch_size=None, concurrency=scan_pool())
     df = scored.to_pandas()  # k rows per (query, batch) partials: tiny
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
@@ -425,8 +444,10 @@ def fit_pq_codebooks(ds, m: int = 8, ks: int = 128,
         X = S[:, j * dsub:(j + 1) * dsub]
         C = X[rng.choice(len(X), size=ks, replace=False)]
         for _ in range(iters):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
+            # argmin |x-c|^2 == argmax x.c - |c|^2/2: one matmul, no
+            # (n, ks, dsub) broadcast allocation
+            assign = np.argmax(X @ C.T - 0.5 * (C ** 2).sum(axis=1),
+                               axis=1)
             for c in range(ks):
                 msk = assign == c
                 if msk.any():
@@ -441,16 +462,23 @@ def _pq_encode(En: np.ndarray, books: np.ndarray) -> np.ndarray:
     argmax(x.c - |c|^2/2), one matmul per subspace."""
     m, ks, dsub = books.shape
     codes = np.empty((En.shape[0], m), dtype=np.int64)
+    # float32 throughout: the (rows, ks) score matrix is pure memory
+    # traffic (~ks*8 bytes/row/subspace in float64) and dominates the
+    # encode wall; halving it costs nothing the re-rank doesn't absorb
+    Ef = En.astype(np.float32, copy=False)
+    Bf = books.astype(np.float32)
     for j in range(m):
-        X = En[:, j * dsub:(j + 1) * dsub]
+        # ascontiguousarray: the strided subspace view makes the skinny
+        # matmul 4.5x slower at 65k-row blocks (measured)
+        X = np.ascontiguousarray(Ef[:, j * dsub:(j + 1) * dsub])
         # argmin |x-c|^2 == argmax x.c - |c|^2/2  (|x|^2 constant per row)
-        score = X @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)
+        score = X @ Bf[j].T - 0.5 * (Bf[j] ** 2).sum(axis=1)
         codes[:, j] = np.argmax(score, axis=1)
     return codes
 
 
 def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
-           shortlist: int = 64, sample_n: int = 4096):
+           shortlist: int | None = None, sample_n: int = 4096):
     """PQ ANN with asymmetric distance computation (ADC) + exact
     re-rank — the memory-scale route: each vector is stored as m bytes
     of codes (64x smaller than a float64 dim=64 embedding), the scan is
@@ -467,9 +495,22 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
     4. global top-shortlist per query (tiny driver reduce), then ONE
        map-side filter pass gathers the true embeddings of the <=
        n_queries*shortlist candidate ids for an exact cosine re-rank.
-    Approximate (rows-only); gated by knn_pq_recall."""
+    Approximate (rows-only); gated by knn_pq_recall.
+
+    ``shortlist`` is the recall/cost dial: it must grow with the corpus
+    because ADC quantization noise is constant while the sim gap
+    between rank k and rank `shortlist` shrinks with n. Measured on
+    RANDOM dim-64 vectors (PQ's worst case, no cluster structure) at
+    1M rows: shortlist 2000 -> recall@5 0.775, 4000 -> 0.875,
+    8000 -> 0.95, 16000 (1.6% of corpus) -> 1.0. Default: 8*sqrt(n),
+    floored at 64 (= 8000 at 1M, recall 0.95 worst-case; real
+    clustered corpora reach it far lower); pass an explicit value to
+    pin cost. The driver reduce holds n_queries * shortlist rows per
+    block partial; at extreme n route it through a keyed shuffle."""
     import ray
 
+    if shortlist is None:
+        shortlist = max(64, int(8 * np.sqrt(ds.count())))
     dim = len(ds.take(1)[0]["embedding"])
     books = fit_pq_codebooks(ds, m=m, ks=ks, sample_n=sample_n)
     Q = query_matrix(dim)
@@ -505,9 +546,35 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
                 "sim": pa.array(np.concatenate(parts["sim"])),
             })
 
+    # batch_size=None (whole blocks): with the default 1024-row batches
+    # a corpus-scaled shortlist EXCEEDS the batch, so every batch
+    # emitted all rows x all queries — 8x the corpus reached the
+    # driver reduce (measured 24 s at 1M vecs); whole-block batches
+    # restore the partial's compression (shortlist << block rows)
     partials = ds.map_batches(ScanPQ, batch_format="pyarrow",
-                              concurrency=2)
-    df = partials.to_pandas()   # shortlist rows per (query, batch): tiny
+                              batch_size=None, concurrency=scan_pool())
+
+    # two-level coalesced reduce (the deterministic_sample pattern):
+    # per-block partials are 8 * shortlist rows EACH, and block counts
+    # are outside this operator's control — at 4M vecs the corpus read
+    # yielded ~428 blocks and a direct to_pandas pulled 13.7M partial
+    # rows through the driver (~45 s, serial). Two local top-shortlist
+    # passes over coalesced partitions cap the driver at
+    # <= 4 * n_queries * shortlist rows at any block count.
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qid", "sim", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("qid", sort=False).head(shortlist)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    partials = (partials.repartition(cpus, shuffle=False)
+                .map_batches(local_top, batch_format="pandas",
+                             batch_size=None)
+                .repartition(4, shuffle=False)
+                .map_batches(local_top, batch_format="pandas",
+                             batch_size=None))
+    df = partials.to_pandas()   # <= 4 * nq * shortlist rows
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
     short = df.groupby("qid", sort=True).head(shortlist)

@@ -83,7 +83,7 @@ def one(ncpu: int) -> dict:
     path = ensure_embeddings(N_VECS, DIM)
 
     def read():
-        return sized_read_parquet(path + "/part-*.parquet")
+        return sized_read_parquet(path)
 
     t0 = time.time()
     pq_res = similarity.knn_pq(read())
