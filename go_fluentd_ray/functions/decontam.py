@@ -94,11 +94,17 @@ class Decontaminator:
 
 
 def decontaminate(docs_ds, bench_ds, n: int = 3, col: str = "text",
-                  concurrency: int = 4):
+                  concurrency=None):
     """Drop every document of docs_ds sharing at least one word n-gram
     with bench_ds. Returns the surviving rows with their full schema."""
     import ray
 
+    from .similarity import scan_pool
+
+    if concurrency is None:
+        # the probe stage is the CPU-bound pass; a fixed small pool
+        # capped it regardless of cluster size
+        concurrency = scan_pool()
     gram_ref = ray.put(bench_gram_set(bench_ds, n=n, col=col))
     return docs_ds.map_batches(
         Decontaminator, fn_constructor_kwargs={

@@ -1081,30 +1081,26 @@ def embedding_dup_exact(ds, threshold: float = 0.95):
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((ids, Mn))
 
-    class PairFinder:
-        def __init__(self):
-            self.ids, self.Mn = ray.get(ref)
+    def pair_finder(batch: pa.Table) -> pa.Table:
+        # task mode: the broadcast (ids, matrix) tuple is numpy and so
+        # zero-copy from local plasma per task — no actor pool to ramp
+        gids, Mn_b = ray.get(ref)
+        bids = batch["vec_id"].to_numpy()
+        from .similarity import emb_matrix
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch["vec_id"].to_numpy()
-            from .similarity import emb_matrix
+        E = emb_matrix(batch["embedding"])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = En @ Mn_b.T
+        bi, gj = np.nonzero(sims >= threshold)
+        a, b = bids[bi], gids[gj]
+        keep = a < b
+        return pa.table({
+            "a": pa.array(a[keep], type=pa.int64()),
+            "b": pa.array(b[keep], type=pa.int64()),
+            "cos": pa.array(np.round(sims[bi, gj][keep], 4)),
+        })
 
-            E = emb_matrix(batch["embedding"])
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            sims = En @ self.Mn.T
-            bi, gj = np.nonzero(sims >= threshold)
-            a, b = bids[bi], self.ids[gj]
-            keep = a < b
-            return pa.table({
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-                "cos": pa.array(np.round(sims[bi, gj][keep], 4)),
-            })
-
-    from .similarity import scan_pool
-
-    return ds.map_batches(PairFinder, batch_format="pyarrow",
-                          concurrency=scan_pool())
+    return ds.map_batches(pair_finder, batch_format="pyarrow")
 
 
 def embedding_dup_lsh(ds, threshold: float = 0.95, n_planes: int = 12,

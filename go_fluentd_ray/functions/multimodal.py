@@ -313,9 +313,14 @@ def multimodal_meta(ds):
         return batch.append_column("payload_md5",
                                    pa.array(h, type=pa.string()))
 
+    from .similarity import scan_pool
+
     ds = ds.map_batches(add_md5, batch_format="pyarrow")
+    # decode is the CPU-bound stage at scale; autoscale the pool (a
+    # fixed 2-actor pool capped it regardless of cluster size) but keep
+    # small batches — payload rows are fat
     ds = ds.map_batches(MultimodalExtract, batch_format="pyarrow",
-                        concurrency=2, batch_size=256)
+                        concurrency=scan_pool(), batch_size=256)
     return ds.select_columns(["doc_id", "format", "payload_len",
                               "payload_md5"])
 

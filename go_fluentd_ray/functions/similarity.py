@@ -78,15 +78,16 @@ def knn_bruteforce(ds, k: int = 5):
     Q = query_matrix(dim)
     qref = ray.put(Q)
 
-    class Score:
-        def __init__(self):
-            self.Q = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def score(batch: pa.Table) -> pa.Table:
+            # task mode, not an actor pool: the only state is the
+            # broadcast query matrix, and ray.get of a numpy array from
+            # LOCAL plasma is zero-copy — per-task fetch costs nothing,
+            # while an autoscaling pool's actor ramp-up dominated this
+            # scan (measured 4.3 s pool vs 1.8 s tasks at 4M vectors)
             ids = batch["vec_id"].to_numpy()
             E = emb_matrix(batch["embedding"])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            sims = self.Q @ En.T                      # nq x batch
+            sims = ray.get(qref) @ En.T               # nq x batch
             kk = min(k, sims.shape[1])
             # deterministic tie-break (sim DESC, vec_id ASC): each
             # batch's local top-k under the same TOTAL order the global
@@ -106,8 +107,8 @@ def knn_bruteforce(ds, k: int = 5):
     # batch_size=None: whole-block batches — the local top-k partial
     # only compresses when the batch is much larger than k (small
     # batches emit nearly every row to the driver reduce)
-    partials = ds.map_batches(Score, batch_format="pyarrow",
-                              batch_size=None, concurrency=scan_pool())
+    partials = ds.map_batches(score, batch_format="pyarrow",
+                              batch_size=None)
     df = partials.to_pandas()  # k rows per (query, batch): tiny
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
@@ -344,24 +345,24 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 14,
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # nq x nprobe
     cref = ray.put((C, Q, probes))
 
-    class Bucketize:
-        def __init__(self):
-            self.C, self.Q, self.probes = ray.get(cref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def bucketize(batch: pa.Table) -> pa.Table:
+            # task mode (see knn_bruteforce.score): numpy state is
+            # zero-copy from local plasma, so per-task ray.get is free
+            # and no actor pool has to ramp
+            C, Q, probes = ray.get(cref)
             ids = batch["vec_id"].to_numpy()
             E = emb_matrix(batch["embedding"])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cid = np.argmax(En @ self.C.T, axis=1)
+            cid = np.argmax(En @ C.T, axis=1)
             # per-batch top-k PARTIAL per query (the same pre-aggregation
             # knn_bruteforce's Score does): only k rows per (query,
             # batch) cross the wire, never every scored vector
             parts = {"qid": [], "vec_id": [], "sim": []}
-            for qid in range(self.Q.shape[0]):
-                m = np.isin(cid, self.probes[qid])
+            for qid in range(Q.shape[0]):
+                m = np.isin(cid, probes[qid])
                 if not m.any():
                     continue
-                sims = self.Q[qid] @ En[m].T
+                sims = Q[qid] @ En[m].T
                 mids = ids[m]
                 kk = min(k, len(sims))
                 # same deterministic (sim DESC, vec_id ASC) local top-k
@@ -381,8 +382,8 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 14,
                 "sim": pa.array(np.concatenate(parts["sim"])),
             })
 
-    scored = ds.map_batches(Bucketize, batch_format="pyarrow",
-                            batch_size=None, concurrency=scan_pool())
+    scored = ds.map_batches(bucketize, batch_format="pyarrow",
+                            batch_size=None)
     df = scored.to_pandas()  # k rows per (query, batch) partials: tiny
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
@@ -520,21 +521,20 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
                   for j in range(m)], axis=0)])[0]  # (m, nq, ks)
     bref = ray.put((books, lut))
 
-    class ScanPQ:
-        def __init__(self):
-            self.books, self.lut = ray.get(bref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def scan_pq(batch: pa.Table) -> pa.Table:
+            # task mode (see knn_bruteforce.score): codebooks + LUT are
+            # numpy, zero-copy from local plasma per task
+            books_t, lut = ray.get(bref)
             ids = batch["vec_id"].to_numpy()
             E = emb_matrix(batch["embedding"])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            codes = _pq_encode(En, self.books)           # (rows, m)
+            codes = _pq_encode(En, books_t)              # (rows, m)
             sl = min(shortlist, len(ids))
             parts = {"qid": [], "vec_id": [], "sim": []}
             sub = np.arange(codes.shape[1])[:, None]   # (m, 1)
-            for qid in range(self.lut.shape[1]):
+            for qid in range(lut.shape[1]):
                 # approx sim = sum over subspaces of LUT[j, qid, code_j]
-                sims = self.lut[sub, qid, codes.T].sum(axis=0)
+                sims = lut[sub, qid, codes.T].sum(axis=0)
                 top = np.lexsort((ids, -sims))[:sl]
                 parts["qid"].append(np.full(sl, qid, dtype=np.int64))
                 parts["vec_id"].append(ids[top])
@@ -551,8 +551,8 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
     # emitted all rows x all queries — 8x the corpus reached the
     # driver reduce (measured 24 s at 1M vecs); whole-block batches
     # restore the partial's compression (shortlist << block rows)
-    partials = ds.map_batches(ScanPQ, batch_format="pyarrow",
-                              batch_size=None, concurrency=scan_pool())
+    partials = ds.map_batches(scan_pq, batch_format="pyarrow",
+                              batch_size=None)
 
     # two-level coalesced reduce (the deterministic_sample pattern):
     # per-block partials are 8 * shortlist rows EACH, and block counts
