@@ -457,24 +457,33 @@ def fit_pq_codebooks(ds, m: int = 8, ks: int = 128,
     return books
 
 
-def _pq_encode(En: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """(rows, dim) normalized vectors -> (rows, m) uint8/uint16 codes:
-    per subspace, the centroid minimizing reconstruction L2 — i.e.
-    argmax(x.c - |c|^2/2), one matmul per subspace."""
+def _pq_encode(En: np.ndarray, books: np.ndarray,
+               chunk: int = 8192) -> np.ndarray:
+    """(rows, dim) normalized vectors -> (rows, m) codes: per subspace,
+    the centroid minimizing reconstruction L2 — i.e.
+    argmax(x.c - |c|^2/2), one matmul per subspace.
+
+    Row-chunked so the (chunk, ks) score matrix stays cache-resident:
+    materializing the full (rows, ks) scores is pure DRAM traffic
+    (~ks*4 bytes/row/subspace) and dominated the encode wall —
+    measured 3.8 s -> 0.44 s per 181k-row batch single-threaded, and
+    far better under 32 concurrent scan tasks sharing one node's
+    memory bandwidth (692 -> ~80 cpu-seconds at 8M vectors)."""
     m, ks, dsub = books.shape
-    codes = np.empty((En.shape[0], m), dtype=np.int64)
-    # float32 throughout: the (rows, ks) score matrix is pure memory
-    # traffic (~ks*8 bytes/row/subspace in float64) and dominates the
-    # encode wall; halving it costs nothing the re-rank doesn't absorb
-    Ef = En.astype(np.float32, copy=False)
+    n = En.shape[0]
+    codes = np.empty((n, m), dtype=np.int64)
     Bf = books.astype(np.float32)
-    for j in range(m):
-        # ascontiguousarray: the strided subspace view makes the skinny
-        # matmul 4.5x slower at 65k-row blocks (measured)
-        X = np.ascontiguousarray(Ef[:, j * dsub:(j + 1) * dsub])
-        # argmin |x-c|^2 == argmax x.c - |c|^2/2  (|x|^2 constant per row)
-        score = X @ Bf[j].T - 0.5 * (Bf[j] ** 2).sum(axis=1)
-        codes[:, j] = np.argmax(score, axis=1)
+    half = 0.5 * (Bf ** 2).sum(axis=2)                 # (m, ks)
+    BT = np.ascontiguousarray(Bf.transpose(0, 2, 1))   # (m, dsub, ks)
+    Ef = En.astype(np.float32, copy=False)
+    for lo in range(0, n, chunk):
+        # one contiguous row-chunk copy serves all m subspace matmuls
+        # (a strided subspace view made the skinny matmul 4.5x slower)
+        Xc = np.ascontiguousarray(Ef[lo:lo + chunk])
+        for j in range(m):
+            # argmin |x-c|^2 == argmax x.c - |c|^2/2 (|x|^2 const/row)
+            score = Xc[:, j * dsub:(j + 1) * dsub] @ BT[j] - half[j]
+            codes[lo:lo + chunk, j] = np.argmax(score, axis=1)
     return codes
 
 
@@ -506,53 +515,74 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
     8000 -> 0.95, 16000 (1.6% of corpus) -> 1.0. Default: 8*sqrt(n),
     floored at 64 (= 8000 at 1M, recall 0.95 worst-case; real
     clustered corpora reach it far lower); pass an explicit value to
-    pin cost. The driver reduce holds n_queries * shortlist rows per
-    block partial; at extreme n route it through a keyed shuffle."""
+    pin cost. Each scan batch emits n_queries * shortlist partial rows
+    into a two-level coalesced reduce; because shortlist grows sqrt(n)
+    while batch rows are capped by worker memory, the partial stream is
+    O(n) rows worst-case — still a skinny 3-column table, but at
+    extreme n pin `shortlist` or route the reduce through a keyed
+    shuffle."""
     import ray
 
+    n_rows = ds.count()   # parquet metadata, no scan
     if shortlist is None:
-        shortlist = max(64, int(8 * np.sqrt(ds.count())))
+        shortlist = max(64, int(8 * np.sqrt(n_rows)))
     dim = len(ds.take(1)[0]["embedding"])
     books = fit_pq_codebooks(ds, m=m, ks=ks, sample_n=sample_n)
     Q = query_matrix(dim)
     nq, dsub = Q.shape[0], dim // m
-    lut = np.stack([
-        np.stack([Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
-                  for j in range(m)], axis=0)])[0]  # (m, nq, ks)
+    # (m, ks, nq) float32: the scan gathers lut[j][codes[:, j]] —
+    # one CONTIGUOUS nq-float row per vector per subspace — instead of
+    # nq separate scalar-gather passes (8x better locality, half the
+    # bytes; candidate-boundary ties still break on vec_id)
+    lut = np.stack([books[j] @ Q[:, j * dsub:(j + 1) * dsub].T
+                    for j in range(m)]).astype(np.float32)
     bref = ray.put((books, lut))
 
     def scan_pq(batch: pa.Table) -> pa.Table:
-            # task mode (see knn_bruteforce.score): codebooks + LUT are
-            # numpy, zero-copy from local plasma per task
-            books_t, lut = ray.get(bref)
-            ids = batch["vec_id"].to_numpy()
-            E = emb_matrix(batch["embedding"])
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            codes = _pq_encode(En, books_t)              # (rows, m)
-            sl = min(shortlist, len(ids))
-            parts = {"qid": [], "vec_id": [], "sim": []}
-            sub = np.arange(codes.shape[1])[:, None]   # (m, 1)
-            for qid in range(lut.shape[1]):
-                # approx sim = sum over subspaces of LUT[j, qid, code_j]
-                sims = lut[sub, qid, codes.T].sum(axis=0)
-                top = np.lexsort((ids, -sims))[:sl]
-                parts["qid"].append(np.full(sl, qid, dtype=np.int64))
-                parts["vec_id"].append(ids[top])
-                parts["sim"].append(sims[top])
-            return pa.table({
-                "qid": pa.array(np.concatenate(parts["qid"])),
-                "vec_id": pa.array(np.concatenate(parts["vec_id"]),
-                                   type=pa.int64()),
-                "sim": pa.array(np.concatenate(parts["sim"])),
-            })
+        # task mode (see knn_bruteforce.score): codebooks + LUT are
+        # numpy, zero-copy from local plasma per task
+        books_t, lut_t = ray.get(bref)
+        ids = batch["vec_id"].to_numpy()
+        # float32 end-to-end: the ADC scan is approximate by design
+        # (the exact re-rank below is float64) and float64 here doubles
+        # the normalize + encode memory traffic
+        E = emb_matrix(batch["embedding"], dtype=np.float32)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        codes = _pq_encode(En, books_t)              # (rows, m)
+        # approx sim per (row, query) = sum over subspaces of the
+        # per-query LUT row for that subspace's code
+        acc = lut_t[0][codes[:, 0]].copy()           # (rows, nq)
+        for j in range(1, codes.shape[1]):
+            acc += lut_t[j][codes[:, j]]
+        sl = min(shortlist, len(ids))
+        parts = {"qid": [], "vec_id": [], "sim": []}
+        for qid in range(acc.shape[1]):
+            sims = acc[:, qid]
+            top = np.lexsort((ids, -sims))[:sl]
+            parts["qid"].append(np.full(sl, qid, dtype=np.int64))
+            parts["vec_id"].append(ids[top])
+            parts["sim"].append(sims[top])
+        return pa.table({
+            "qid": pa.array(np.concatenate(parts["qid"])),
+            "vec_id": pa.array(np.concatenate(parts["vec_id"]),
+                               type=pa.int64()),
+            "sim": pa.array(np.concatenate(parts["sim"])),
+        })
 
-    # batch_size=None (whole blocks): with the default 1024-row batches
-    # a corpus-scaled shortlist EXCEEDS the batch, so every batch
-    # emitted all rows x all queries — 8x the corpus reached the
-    # driver reduce (measured 24 s at 1M vecs); whole-block batches
-    # restore the partial's compression (shortlist << block rows)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # The scan batch must DWARF the shortlist or the top-shortlist
+    # partial inverts: shortlist grows with sqrt(n) while parquet-read
+    # blocks stay fixed, and at 8M vecs the sized read yielded ~23k-row
+    # blocks under a 22.6k shortlist — every block emitted every row
+    # for every query (64M partial rows, 8x the corpus, reduce-bound at
+    # 41 s total). An explicit batch_size makes map_batches COALESCE
+    # small blocks into ~8*shortlist-row batches while staying fully
+    # streaming (unlike a repartition, which materializes); capped at
+    # n/cpus so small corpora still fan out across the cluster.
+    scan_rows = max(1024, min(8 * shortlist,
+                              -(-n_rows // cpus)))
     partials = ds.map_batches(scan_pq, batch_format="pyarrow",
-                              batch_size=None)
+                              batch_size=scan_rows)
 
     # two-level coalesced reduce (the deterministic_sample pattern):
     # per-block partials are 8 * shortlist rows EACH, and block counts
@@ -567,7 +597,6 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
                             kind="mergesort")
         return df.groupby("qid", sort=False).head(shortlist)
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
     partials = (partials.repartition(cpus, shuffle=False)
                 .map_batches(local_top, batch_format="pandas",
                              batch_size=None)
@@ -592,17 +621,18 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
                         value_set=pa.array(want, type=pa.int64()))
         return batch.select(["vec_id", "embedding"]).filter(keep)
 
-    got = ds.map_batches(gather, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
-    E = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in got["embedding"]])
+    got = pa.concat_tables(
+        ds.map_batches(gather, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    E = emb_matrix(got["embedding"], dtype=np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     ids = got["vec_id"].to_numpy()
     sims = Q @ En.T                                     # nq x cand
     rows = []
     for qid in range(nq):
-        allowed = set(short.loc[short["qid"] == qid, "vec_id"])
-        msk = np.array([i in allowed for i in ids])
+        allowed = short.loc[short["qid"] == qid, "vec_id"].to_numpy()
+        msk = np.isin(ids, allowed)
         kk = min(k, int(msk.sum()))
         mids, msims = ids[msk], sims[qid][msk]
         top = np.lexsort((mids, -msims))[:kk]
