@@ -76,6 +76,20 @@ def _q_flagship_skewed(sf_dir: str):
     return pipe.drop_columns(["merged_turns", "extra"])
 
 
+def _q_flagship_salted(sf_dir: str):
+    """Same pathological-skew corpus through the head-boundary-salted
+    pipeline (stages/saltconcat.py): the hot conversation is split at
+    head rows across many buckets — the escalation for a conversation
+    exceeding one worker's memory — and the output must stay EXACTLY
+    the unsalted oracle's (same SQL twin as flagship_skewed). A small
+    target_rows_per_salt forces real splitting at sf0.01 scale."""
+    from go_fluentd_ray.stages import saltconcat
+
+    pipe = saltconcat.build_pipeline_salted(
+        _skewed_corpus(sf_dir), hot_frac=0.05, target_rows_per_salt=1500)
+    return pipe.drop_columns(["merged_turns", "extra"])
+
+
 def _q_flagship_json_extra(sf_dir: str):
     """The parse stage's arbitrary-key embedded-JSON flatten (extra
     map column), exploded to one row per flattened key/value."""
@@ -1152,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship log-pipeline family (SURVEY.md §2)
         "flagship": _q_flagship,
         "flagship_skewed": _q_flagship_skewed,
+        "flagship_salted": _q_flagship_salted,
         "flagship_sink_counts": _q_flagship_sink_counts,
         "flagship_tool_role_sink_counts": _q_tool_role_sink_counts,
         "flagship_json_extra": _q_flagship_json_extra,
@@ -1401,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flagship": fsql,
         "flagship_skewed": sql_oracle.flagship_sql(skew_path),
+        "flagship_salted": sql_oracle.flagship_sql(skew_path),
         "flagship_sink_counts": (
             f"SELECT sink, count(*)::BIGINT AS n FROM ({fsql}) GROUP BY sink"),
         "flagship_tool_role_sink_counts": (

@@ -7,8 +7,17 @@ that the vectorized in-bucket segmentation absorbs it, so the skewed
 wall stays within the imbalance bound (hot bucket ~ hot_frac + 1/B of
 rows) rather than stalling on per-row work.
 
-    python tools/skew_bench.py               # uniform vs skewed @32
-    python tools/skew_bench.py --one {uniform|skewed} NCPU
+The third kind, ``salted``, runs the SAME skewed corpus through
+stages/saltconcat.build_pipeline_salted — the head-boundary salting
+escalation — with the two detection passes included in the timed wall
+(that is the price a user actually pays). Compare sec_salted against
+sec_skewed to read the net effect at a given hot_frac; the salted
+path's real justification is the conversation that does NOT fit one
+worker at all, which no single-node wall can show.
+
+    python tools/skew_bench.py               # uniform vs skewed vs salted @32
+    python tools/skew_bench.py --one {uniform|skewed|salted} NCPU
+    GRAFT_SKEW_HOT=0.5 python tools/skew_bench.py   # harsher skew
 """
 
 from __future__ import annotations
@@ -20,13 +29,13 @@ import sys
 import time
 
 N_TURNS = int(os.environ.get("GRAFT_SKEW_TURNS", "2000000"))
-HOT_FRAC = 0.2
+HOT_FRAC = float(os.environ.get("GRAFT_SKEW_HOT", "0.2"))
 
 
 def corpus(kind: str) -> str:
     from go_fluentd_ray import synth
 
-    if kind == "skewed":
+    if kind in ("skewed", "salted"):
         return synth.ensure_skewed_corpus(N_TURNS, hot_frac=HOT_FRAC)
     return synth.ensure_corpus(N_TURNS)
 
@@ -43,8 +52,13 @@ def one(kind: str, ncpu: int) -> dict:
 
     path = corpus(kind)
     t0 = time.time()
-    rows = flagship.build_pipeline(
-        flagship.read_transcripts(path)).count()
+    if kind == "salted":
+        from go_fluentd_ray.stages import saltconcat
+
+        rows = saltconcat.build_pipeline_salted(path).count()
+    else:
+        rows = flagship.build_pipeline(
+            flagship.read_transcripts(path)).count()
     wall = time.time() - t0
     ray.shutdown()
     return {"kind": kind, "num_cpus": ncpu, "sec": round(wall, 2),
@@ -59,7 +73,7 @@ def main() -> None:
     for kind in ("uniform", "skewed"):
         corpus(kind)  # pre-generate outside the timed runs
     results = {}
-    for kind in ("uniform", "skewed"):
+    for kind in ("uniform", "skewed", "salted"):
         best = None
         for _ in range(2):
             out = subprocess.run(
@@ -70,14 +84,18 @@ def main() -> None:
                 best = r
         results[kind] = best
     print(json.dumps({
-        "metric": "flagship wall: uniform vs one-conv-holds-20% skew",
+        "metric": "flagship wall: uniform vs hot-conv skew vs salted",
         "n_turns": N_TURNS, "hot_frac": HOT_FRAC,
         "sec_uniform": results["uniform"]["sec"],
         "sec_skewed": results["skewed"]["sec"],
+        "sec_salted": results["salted"]["sec"],
         "rows_uniform": results["uniform"]["rows"],
         "rows_skewed": results["skewed"]["rows"],
+        "rows_salted": results["salted"]["rows"],
         "skew_slowdown": round(results["skewed"]["sec"]
                                / results["uniform"]["sec"], 3),
+        "salted_vs_skewed": round(results["salted"]["sec"]
+                                  / results["skewed"]["sec"], 3),
     }))
 
 
