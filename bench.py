@@ -118,6 +118,16 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(seconds: float) -> int:
+    """Spin for `seconds` and return iterations done (module-level so
+    multiprocessing can pickle it)."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
 def _cpu_capacity_probe(seconds: float = 2.0) -> float:
     """Measure the host's real 8->32-thread scaling ceiling: per-thread
     spin throughput at 32 busy threads divided by the 8-thread rate.
@@ -126,19 +136,11 @@ def _cpu_capacity_probe(seconds: float = 2.0) -> float:
     on one noisy session); reported alongside the pipeline efficiency
     so the gate number carries its environmental context."""
     import multiprocessing as mp
-    import time as _t
-
-    def _burn(_):
-        t0 = _t.time()
-        x = 0
-        while _t.time() - t0 < seconds:
-            x += 1
-        return x
 
     rates = {}
     for n in (8, 32):
         with mp.Pool(n) as p:
-            r = p.map(_burn, range(n))
+            r = p.map(_burn, [seconds] * n)
         rates[n] = sum(r) / len(r)
     return rates[32] / rates[8]
 
