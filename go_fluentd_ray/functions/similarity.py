@@ -417,19 +417,126 @@ def knn_ivf_recall(ds, k: int = 5, **ivf_kwargs) -> pd.DataFrame:
 # product quantization (PQ) ANN — the compressed-index scale path
 # ---------------------------------------------------------------------------
 
+def _refine_pq_codebooks(ds, books: np.ndarray, refine_iters: int,
+                         id_col: str = "vec_id",
+                         sample_mod: int | None = None) -> np.ndarray:
+    """Distributed Lloyd refinement of PQ codebooks — the per-subspace
+    analogue of _refine_centroids: each pass encodes every row
+    map-side against the broadcast codebooks (one _pq_encode call
+    covers ALL m subspaces), accumulates per-cell (count, subvector
+    sum) partials, merges them per cell in a groupby, and the driver
+    receives at most m*ks rows per iteration (1024 at m=8/ks=128) —
+    never more than the codebook matrix itself. sample_mod=p
+    hash-samples ~1/p of rows map-side so a 100 TB fit touches a
+    bounded subset with zero driver collect.
+
+    Determinism follows _refine_centroids: within a batch subvectors
+    sum in vec_id order, per-cell partials merge in min-vec_id order,
+    and each update rounds through float32; recall is gated by
+    knn_pq_recall regardless. Unlike coarse centroids, PQ codewords
+    are plain L2 means — no unit normalization."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    m, ks, dsub = books.shape
+    for _ in range(refine_iters):
+        bref = ray.put(np.ascontiguousarray(books, dtype=np.float64))
+        key = bref.hex()
+
+        def partials(batch: pa.Table) -> pa.Table:
+            B = _REFINE_CACHE.get(key)
+            if B is None:
+                if len(_REFINE_CACHE) > 8:
+                    _REFINE_CACHE.clear()
+                B = _REFINE_CACHE[key] = ray.get(bref)
+            ids = batch[id_col].to_numpy()
+            if sample_mod and sample_mod > 1:
+                keep = np.array(
+                    [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                     % sample_mod == 0 for i in ids])
+                if not keep.any():
+                    return pa.table({
+                        "cell": pa.array([], pa.int64()),
+                        "mkey": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vec": pa.array([], pa.binary())})
+                batch = batch.filter(pa.array(keep))
+                ids = ids[keep]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            E = emb_matrix(batch["embedding"])[order]
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes = _pq_encode(En, B)                  # (rows, m)
+            out = {"cell": [], "mkey": [], "n": [], "vec": []}
+            for j in range(m):
+                cid = codes[:, j]
+                sums = np.zeros((ks, dsub))
+                # accumulates in vec_id order (ids pre-sorted above)
+                np.add.at(sums, cid, En[:, j * dsub:(j + 1) * dsub])
+                counts = np.bincount(cid, minlength=ks)
+                mkey = np.full(ks, np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mkey, cid, ids)
+                nz = np.nonzero(counts)[0]
+                out["cell"].append((j * ks + nz).astype(np.int64))
+                out["mkey"].append(mkey[nz])
+                out["n"].append(counts[nz].astype(np.int64))
+                out["vec"].extend(sums[i].tobytes() for i in nz)
+            return pa.table({
+                "cell": pa.array(np.concatenate(out["cell"])),
+                "mkey": pa.array(np.concatenate(out["mkey"])),
+                "n": pa.array(np.concatenate(out["n"])),
+                "vec": pa.array(out["vec"], type=pa.binary()),
+            })
+
+        def combine(df: pd.DataFrame) -> pa.Table:
+            df = df.sort_values("mkey", kind="mergesort")
+            v = np.stack([np.frombuffer(x, dtype=np.float64)
+                          for x in df["vec"]])
+            return pa.table({
+                "cell": pa.array([int(df["cell"].iloc[0])],
+                                 type=pa.int64()),
+                "n": pa.array([int(df["n"].sum())], type=pa.int64()),
+                "vec": pa.array([v.sum(axis=0).tobytes()],
+                                type=pa.binary()),
+            })
+
+        rows = (ds.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("cell").map_groups(combine,
+                                            batch_format="pandas")
+                .take_all())                   # <= m*ks rows: tiny
+        for r in rows:
+            j, c = divmod(int(r["cell"]), ks)
+            books[j, c] = (np.frombuffer(r["vec"], dtype=np.float64)
+                           / max(r["n"], 1))
+        books = books.astype(np.float32).astype(np.float64)
+    return books
+
+
 def fit_pq_codebooks(ds, m: int = 8, ks: int = 128,
                      sample_n: int = 4096, iters: int = 8,
-                     seed: int = 424242) -> np.ndarray:
-    """Per-subspace PQ codebooks (Jégou et al. 2011): split the
-    (unit-normalized) embedding into m contiguous subvectors and fit ks
-    k-means centroids per subspace on a deterministic min-md5 sample.
+                     seed: int = 424242, refine_iters: int = 2,
+                     refine_sample_mod: int | None = None) -> np.ndarray:
+    """Per-subspace PQ codebooks (Jégou et al. 2011), fit in two
+    phases like fit_centroids:
+
+    1. INIT — k-means per subspace on a deterministic min-md5 sample
+       (order-free, identical across runs and cluster sizes); the
+       <= sample_n sample is the only row data on the driver.
+    2. REFINE — refine_iters rounds of distributed Lloyd over the
+       (optionally hash-sampled) FULL dataset via _refine_pq_codebooks:
+       map-side per-cell partial sums, groupby merge, driver update
+       over <= m*ks rows. At 100 TB the init sample alone cannot
+       represent the space; the refinement sees every row (or a
+       1/refine_sample_mod hash sample) while the driver never holds
+       more than the codebook matrix.
 
     Returns codebooks of shape (m, ks, dim/m). The codebooks are TINY
-    (m*ks*dsub floats — 16 KB at dim=64/m=8/ks=64) so the driver only
-    ever holds the sample and the codebook matrix; at 100 TB the same
-    map-side partial-sum refinement used by fit_centroids applies per
-    subspace, and the knn_pq re-rank stage bounds recall sensitivity to
-    codebook quality either way (gated by knn_pq_recall)."""
+    (m*ks*dsub floats — 16 KB at dim=64/m=8/ks=64); the knn_pq re-rank
+    stage bounds recall sensitivity to codebook quality either way
+    (gated by knn_pq_recall)."""
     rows = deterministic_sample(ds, sample_n, "vec_id", ["embedding"])
     S = np.stack([np.asarray(v, dtype=np.float64)
                   for v in rows["embedding"]])
@@ -454,6 +561,9 @@ def fit_pq_codebooks(ds, m: int = 8, ks: int = 128,
                 if msk.any():
                     C[c] = X[msk].mean(axis=0)
         books[j] = C
+    if refine_iters > 0:
+        books = _refine_pq_codebooks(ds, books, refine_iters,
+                                     sample_mod=refine_sample_mod)
     return books
 
 
@@ -488,7 +598,9 @@ def _pq_encode(En: np.ndarray, books: np.ndarray,
 
 
 def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
-           shortlist: int | None = None, sample_n: int = 4096):
+           shortlist: int | None = None, sample_n: int = 4096,
+           refine_iters: int = 2,
+           refine_sample_mod: int | None = None):
     """PQ ANN with asymmetric distance computation (ADC) + exact
     re-rank — the memory-scale route: each vector is stored as m bytes
     of codes (64x smaller than a float64 dim=64 embedding), the scan is
@@ -527,7 +639,9 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
     if shortlist is None:
         shortlist = max(64, int(8 * np.sqrt(n_rows)))
     dim = len(ds.take(1)[0]["embedding"])
-    books = fit_pq_codebooks(ds, m=m, ks=ks, sample_n=sample_n)
+    books = fit_pq_codebooks(ds, m=m, ks=ks, sample_n=sample_n,
+                             refine_iters=refine_iters,
+                             refine_sample_mod=refine_sample_mod)
     Q = query_matrix(dim)
     nq, dsub = Q.shape[0], dim // m
     # (m, ks, nq) float32: the scan gathers lut[j][codes[:, j]] —

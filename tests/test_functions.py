@@ -174,6 +174,44 @@ class TestSimilarity:
             err_alt += ((X - books[j][alt]) ** 2).sum()
         assert err < err_alt
 
+    def test_fit_pq_distributed_100k(self):
+        """The distributed PQ-codebook refinement on a corpus far
+        larger than the driver init sample: 100k vectors, one refine
+        pass (plus a hash-sampled pass), driver holding only the
+        (m, ks, dsub) matrix. Refinement must not worsen — and on an
+        under-sampled init should improve — the corpus quantization
+        error measured on a holdout slice."""
+        rng = np.random.default_rng(11)
+        n, dim, m, ks = 100_000, 16, 4, 32
+        V = rng.normal(size=(n, dim))
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.tolist() for v in V],
+        })
+        ds = rd.from_pandas(df).repartition(16)
+        # deliberately tiny init sample so refinement has room to help
+        B0 = similarity.fit_pq_codebooks(ds, m=m, ks=ks, sample_n=128,
+                                         refine_iters=0)
+        B1 = similarity.fit_pq_codebooks(ds, m=m, ks=ks, sample_n=128,
+                                         refine_iters=1)
+        Bs = similarity.fit_pq_codebooks(ds, m=m, ks=ks, sample_n=128,
+                                         refine_iters=1,
+                                         refine_sample_mod=4)
+        assert B0.shape == B1.shape == Bs.shape == (m, ks, dim // m)
+
+        def qerr(B):
+            S = V[:4096]
+            codes = similarity._pq_encode(S, B)
+            dsub = dim // m
+            return sum(((S[:, j * dsub:(j + 1) * dsub]
+                         - B[j][codes[:, j]]) ** 2).sum()
+                       for j in range(m))
+
+        e0, e1, es = qerr(B0), qerr(B1), qerr(Bs)
+        assert e1 <= e0 + 1e-6, (e0, e1)
+        assert es <= e0 + 1e-6, (e0, es)
+
     def test_fit_centroids_distributed_100k(self):
         """The distributed Lloyd refinement path on a corpus far larger
         than the driver init sample: 100k vectors, auto-scaled
