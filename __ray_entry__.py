@@ -968,6 +968,33 @@ def _q_decontaminate(sf_dir: str):
     return decontam.decontaminate(docs, bench, n=3)
 
 
+def _q_semantic_decontaminate(sf_dir: str):
+    """Embedding-space decontamination: drop corpus vectors whose
+    cosine to ANY benchmark vector >= threshold — the paraphrase-level
+    leakage n-gram decontamination misses. Benchmark side here: the
+    deterministic vec_id % 17 == 0 split (standing in for an eval
+    suite; the operator takes any Dataset as the benchmark)."""
+    from go_fluentd_ray.functions import decontam
+
+    emb = _emb(sf_dir)
+
+    def split(is_bench: bool):
+        def fn(b):
+            import numpy as np
+            import pyarrow as pa
+            m = b["vec_id"].to_numpy() % 17 == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return fn
+
+    bench = emb.map_batches(split(True), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    corpus = emb.map_batches(split(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return decontam.semantic_decontaminate(
+        corpus, bench, threshold=_EMB_DUP_THR,
+        keep_cols=["vec_id", "label"])
+
+
 _MIX_RATES = {"en": 100, "de": 60, "fr": 40, "es": 30, "zh": 20}
 
 
@@ -1229,6 +1256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selection_pipeline": _q_selection_pipeline,
         "leakage_audit": _q_leakage_audit,
         "decontaminate": _q_decontaminate,
+        "semantic_decontaminate": _q_semantic_decontaminate,
         "domain_mix_sample": _q_domain_mix_sample,
         "shuffle_shards": _q_shuffle_shards,
         "hash_sample": _q_hash_sample,
@@ -1499,6 +1527,8 @@ def oracle_sql() -> dict[str, str]:
         "selection_pipeline": _curation.selection_pipeline_sql(),
         "leakage_audit": _leakage.leakage_audit_sql(),
         "decontaminate": _decontam.decontaminate_sql(n=3, bench_rate_pct=2),
+        "semantic_decontaminate": _decontam.semantic_decontaminate_sql(
+            threshold=_EMB_DUP_THR, bench_mod=17),
         "domain_mix_sample": _sampling.domain_mix_sample_sql(_MIX_RATES),
         "shuffle_shards": _sampling.shuffle_shards_sql(num_shards=16),
         "hash_sample": _sampling.hash_sample_sql(20),

@@ -138,6 +138,27 @@ def bench_decontaminate(sf_dir: str):
                          n=3).count()
 
 
+def bench_semantic_decontaminate(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from .decontam import semantic_decontaminate
+
+    def split(is_bench: bool):
+        def fn(b):
+            m = b["vec_id"].to_numpy() % 17 == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return fn
+
+    emb = _emb(sf_dir, cols=["vec_id", "embedding", "label"])
+    bench = emb.map_batches(split(True), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    corpus = emb.map_batches(split(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return semantic_decontaminate(corpus, bench, threshold=0.30,
+                                  keep_cols=["vec_id", "label"]).count()
+
+
 def bench_shuffle_shards(sf_dir: str):
     from .sampling import shuffle_shards
 
@@ -152,6 +173,7 @@ def bench_semantic_dedup(sf_dir: str):
 
 BENCHES.update({
     "decontaminate": bench_decontaminate,
+    "semantic_decontaminate": bench_semantic_decontaminate,
     "shuffle_shards": bench_shuffle_shards,
     "semantic_dedup": bench_semantic_dedup,
 })

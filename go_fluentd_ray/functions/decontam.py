@@ -146,3 +146,80 @@ dgram AS (
 SELECT * FROM {table}
 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dgram
                      JOIN bgram USING (gram))"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space (semantic) decontamination
+
+
+def bench_embedding_matrix(bench_ds, col: str = "embedding") -> np.ndarray:
+    """Benchmark embeddings as a unit-normalized float64 matrix. The
+    benchmark side is SMALL by definition (eval suites are 10^3-10^5
+    rows); only the projected embedding column is collected."""
+    from .similarity import emb_matrix
+
+    parts = []
+    for batch in bench_ds.select_columns([col]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        if batch.num_rows:
+            parts.append(emb_matrix(batch[col]))
+    if not parts:
+        raise ValueError("benchmark side has no rows")
+    B = np.concatenate(parts)
+    return B / np.linalg.norm(B, axis=1, keepdims=True)
+
+
+def semantic_decontaminate(corpus_ds, bench_ds, threshold: float = 0.30,
+                           col: str = "embedding", keep_cols=None):
+    """Embedding-space decontamination: drop every corpus row whose
+    cosine similarity to ANY benchmark embedding >= threshold —
+    the paraphrase-level leakage the n-gram rule (decontaminate)
+    cannot see (a reworded benchmark question shares no 3-gram but
+    sits next to it in embedding space).
+
+    Scale design mirrors decontaminate's small-side broadcast: the
+    normalized benchmark matrix is built once and ray.put ONCE; the
+    corpus-side filter is one matmul + rowwise max per batch in task
+    mode (the broadcast matrix is numpy — zero-copy from local plasma
+    per task, no actor pool needed). Zero shuffles; the corpus is read
+    once and never moves. For a benchmark too large for one worker's
+    matrix, chunk the matmul over benchmark slices (the max over
+    slices is associative); the broadcast stays one object either way.
+
+    keep_cols optionally projects the surviving rows (the embedding
+    column itself is usually not wanted downstream)."""
+    import ray
+
+    from .similarity import emb_matrix
+
+    bref = ray.put(bench_embedding_matrix(bench_ds, col=col))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        B = ray.get(bref)                       # zero-copy local plasma
+        E = emb_matrix(batch[col])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        mx = (En @ B.T).max(axis=1)
+        out = batch.filter(pa.array(mx < threshold))
+        return out.select(keep_cols) if keep_cols else out
+
+    return corpus_ds.map_batches(clean, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def semantic_decontaminate_sql(threshold: float = 0.30,
+                               bench_mod: int = 17,
+                               table: str = "embeddings") -> str:
+    """DuckDB twin with the benchmark side defined as the deterministic
+    vec_id % bench_mod == 0 split of the same table (the harness has
+    no external eval table; the operator itself takes any Dataset as
+    the benchmark side)."""
+    return f"""
+WITH bench AS (
+  SELECT embedding FROM {table} WHERE vec_id % {bench_mod} = 0
+)
+SELECT c.vec_id, c.label FROM {table} c
+WHERE c.vec_id % {bench_mod} <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM bench b
+    WHERE list_cosine_similarity(c.embedding, b.embedding)
+          >= {threshold})"""

@@ -1431,6 +1431,34 @@ class TestDecontaminate:
 
         assert all(bloom_hit(g) for g in grams)  # zero false negatives
 
+    def test_semantic_planted_contamination(self):
+        """Embedding-space decontamination: an exact copy (cos=1) and a
+        scaled paraphrase stand-in (cos=1 after normalization) of a
+        benchmark vector are dropped; orthogonal and sub-threshold
+        rows survive. n-gram decontamination would see nothing here."""
+        from go_fluentd_ray.functions import decontam
+
+        e1 = np.array([1.0, 0.0, 0.0, 0.0])
+        e2 = np.array([0.0, 1.0, 0.0, 0.0])
+        near = 0.5 * e1 + 0.02 * e2            # cos(e1) ~ 0.9992
+        faint = 0.2 * e1 + 1.0 * e2            # cos(e1) ~ 0.196 < 0.3
+        corpus = pd.DataFrame({
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [e1.tolist(), e2.tolist(),
+                          near.tolist(), faint.tolist()],
+            "label": np.array([7, 8, 9, 10], dtype=np.int32),
+        })
+        bench = pd.DataFrame({
+            "vec_id": np.array([100], dtype=np.int64),
+            "embedding": [e1.tolist()],
+            "label": np.array([0], dtype=np.int32),
+        })
+        out = decontam.semantic_decontaminate(
+            rd.from_pandas(corpus), rd.from_pandas(bench),
+            threshold=0.30, keep_cols=["vec_id", "label"]).to_pandas()
+        assert sorted(out["vec_id"]) == [1, 3]
+        assert list(out.columns) == ["vec_id", "label"]
+
 
 class TestDomainMixAndShards:
     def test_domain_mix_rates(self):
