@@ -485,6 +485,25 @@ def _q_knn_pq_recall(sf_dir: str):
     return similarity.knn_pq_recall(_emb(sf_dir))
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    """IVF-ADC (Jégou et al. 2011 §V): coarse cells restrict each
+    query's scan to nprobe cells AND the scanned rows are m-byte PQ
+    residual codes — the memory-and-compute composition of knn_ivf and
+    knn_pq, with the same exact re-rank. Rows-only (k-means not SQL);
+    gated by knn_ivfpq_recall."""
+    from go_fluentd_ray.functions import similarity
+
+    return similarity.knn_ivfpq(_emb(sf_dir))
+
+
+def _q_knn_ivfpq_recall(sf_dir: str):
+    """recall@k of IVF-ADC vs exact brute force per query (+ overall
+    mean row, qid=-1) — the knn_ivf_recall pattern."""
+    from go_fluentd_ray.functions import similarity
+
+    return similarity.knn_ivfpq_recall(_emb(sf_dir))
+
+
 def _q_semantic_dedup_recall(sf_dir: str):
     """Pair-set recall of SemDeDup's clustered dup finder vs the exact
     all-pairs path (one summary row). Rows-only: the gate that makes a
@@ -1229,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": _q_knn_ivf_recall,
         "knn_pq": _q_knn_pq,
         "knn_pq_recall": _q_knn_pq_recall,
+        "knn_ivfpq": _q_knn_ivfpq,
+        "knn_ivfpq_recall": _q_knn_ivfpq_recall,
         "semantic_dedup_recall": _q_semantic_dedup_recall,
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding,

@@ -417,4 +417,10 @@ def bench_knn_pq(sf_dir: str):
     return len(knn_pq(_emb(sf_dir, cols=["vec_id", "embedding"])))
 
 
-BENCHES.update({"knn_pq": bench_knn_pq})
+def bench_knn_ivfpq(sf_dir: str):
+    from .similarity import knn_ivfpq
+
+    return len(knn_ivfpq(_emb(sf_dir, cols=["vec_id", "embedding"])))
+
+
+BENCHES.update({"knn_pq": bench_knn_pq, "knn_ivfpq": bench_knn_ivfpq})

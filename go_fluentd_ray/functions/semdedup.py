@@ -70,7 +70,9 @@ def cluster_pairs(emb_ds, centroids: np.ndarray, threshold: float,
 
         E = emb_matrix(batch["embedding"])
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        sims = En @ C.T
+        # f32 assign: this host's f64 GEMM is ~24x slower than f32 and
+        # the cell choice is recall-gated (semantic_dedup_recall)
+        sims = En.astype(np.float32) @ C.astype(np.float32).T
         if p == 1:
             cid = np.argmax(sims, axis=1)[:, None]
         else:

@@ -238,7 +238,11 @@ def _refine_centroids(ds, C: np.ndarray, refine_iters: int,
             ids = ids[order]
             E = emb_matrix(batch["embedding"])[order]
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cid = np.argmax(En @ C_.T, axis=1)
+            # float32 assign: this host's f64 GEMM is ~24x slower than
+            # f32 (measured 1.11 vs 0.046 s at 4096x64x1953); the
+            # assignment is argmax-only and recall-gated, sums stay f64
+            cid = np.argmax(En.astype(np.float32)
+                            @ C_.astype(np.float32).T, axis=1)
             k = C_.shape[0]
             sums = np.zeros((k, dim))
             np.add.at(sums, cid, En)         # accumulates in vec_id order
@@ -353,7 +357,10 @@ def knn_ivf(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 14,
             ids = batch["vec_id"].to_numpy()
             E = emb_matrix(batch["embedding"])
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
-            cid = np.argmax(En @ C.T, axis=1)
+            # f32 assign — this host's f64 GEMM is ~24x slower; the
+            # probed-cell sims below stay exact f64
+            cid = np.argmax(En.astype(np.float32)
+                            @ C.astype(np.float32).T, axis=1)
             # per-batch top-k PARTIAL per query (the same pre-aggregation
             # knn_bruteforce's Score does): only k rows per (query,
             # batch) cross the wire, never every scored vector
@@ -419,7 +426,8 @@ def knn_ivf_recall(ds, k: int = 5, **ivf_kwargs) -> pd.DataFrame:
 
 def _refine_pq_codebooks(ds, books: np.ndarray, refine_iters: int,
                          id_col: str = "vec_id",
-                         sample_mod: int | None = None) -> np.ndarray:
+                         sample_mod: int | None = None,
+                         coarse: np.ndarray | None = None) -> np.ndarray:
     """Distributed Lloyd refinement of PQ codebooks — the per-subspace
     analogue of _refine_centroids: each pass encodes every row
     map-side against the broadcast codebooks (one _pq_encode call
@@ -434,13 +442,18 @@ def _refine_pq_codebooks(ds, books: np.ndarray, refine_iters: int,
     sum in vec_id order, per-cell partials merge in min-vec_id order,
     and each update rounds through float32; recall is gated by
     knn_pq_recall regardless. Unlike coarse centroids, PQ codewords
-    are plain L2 means — no unit normalization."""
+    are plain L2 means — no unit normalization.
+
+    coarse: when set (the IVFPQ residual variant), each row is first
+    assigned to its nearest coarse centroid and the codebooks quantize
+    the RESIDUAL En - coarse[cell] instead of En itself."""
     import hashlib
 
     import pandas as pd
     import ray
 
     m, ks, dsub = books.shape
+    coarse_ref = ray.put(coarse) if coarse is not None else None
     for _ in range(refine_iters):
         bref = ray.put(np.ascontiguousarray(books, dtype=np.float64))
         key = bref.hex()
@@ -468,6 +481,11 @@ def _refine_pq_codebooks(ds, books: np.ndarray, refine_iters: int,
             ids = ids[order]
             E = emb_matrix(batch["embedding"])[order]
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            if coarse_ref is not None:
+                Cc = ray.get(coarse_ref)
+                # f32 assign (see _refine_centroids.partials)
+                En = En - Cc[np.argmax(En.astype(np.float32)
+                                       @ Cc.astype(np.float32).T, axis=1)]
             codes = _pq_encode(En, B)                  # (rows, m)
             out = {"cell": [], "mkey": [], "n": [], "vec": []}
             for j in range(m):
@@ -697,14 +715,27 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
                               -(-n_rows // cpus)))
     partials = ds.map_batches(scan_pq, batch_format="pyarrow",
                               batch_size=scan_rows)
+    return _shortlist_rerank(ds, partials, Q, k, shortlist, cpus)
 
-    # two-level coalesced reduce (the deterministic_sample pattern):
-    # per-block partials are 8 * shortlist rows EACH, and block counts
-    # are outside this operator's control — at 4M vecs the corpus read
-    # yielded ~428 blocks and a direct to_pandas pulled 13.7M partial
-    # rows through the driver (~45 s, serial). Two local top-shortlist
-    # passes over coalesced partitions cap the driver at
-    # <= 4 * n_queries * shortlist rows at any block count.
+
+def _shortlist_rerank(ds, partials, Q: np.ndarray, k: int,
+                      shortlist: int, cpus: int) -> pd.DataFrame:
+    """Shared tail of the compressed-scan ANN paths (knn_pq /
+    knn_ivfpq): coalesced top-shortlist reduce of the per-batch ADC
+    partials, then ONE map-side gather of the candidate embeddings for
+    an exact cosine re-rank.
+
+    Two-level coalesced reduce (the deterministic_sample pattern):
+    per-block partials are up to shortlist rows per query EACH, and
+    block counts are outside this operator's control — at 4M vecs the
+    corpus read yielded ~428 blocks and a direct to_pandas pulled
+    13.7M partial rows through the driver (~45 s, serial). Two local
+    top-shortlist passes over coalesced partitions cap the driver at
+    <= 4 * n_queries * shortlist rows at any block count."""
+    import ray
+
+    nq = Q.shape[0]
+
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["qid", "sim", "vec_id"],
                             ascending=[True, False, True],
@@ -769,6 +800,158 @@ def knn_pq_recall(ds, k: int = 5, **pq_kwargs) -> pd.DataFrame:
     for qid in qids:
         truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
         got = set(pq_.loc[pq_["qid"] == qid, "vec_id"])
+        recalls.append(len(truth & got) / max(len(truth), 1))
+    return pd.DataFrame({"qid": np.array(qids + [-1], dtype=np.int64),
+                         "recall_at_k": np.round(
+                             recalls + [float(np.mean(recalls))], 4)})
+
+
+# ---------------------------------------------------------------------------
+# IVF-ADC (IVFPQ) — coarse cells + PQ residual codes, the production
+# composition (Jégou et al. 2011 §V): scan only the probed cells AND
+# scan them compressed.
+# ---------------------------------------------------------------------------
+
+def fit_residual_codebooks(ds, coarse: np.ndarray, m: int = 8,
+                           ks: int = 128, sample_n: int = 4096,
+                           iters: int = 8, seed: int = 515151,
+                           refine_iters: int = 2,
+                           refine_sample_mod: int | None = None
+                           ) -> np.ndarray:
+    """PQ codebooks over RESIDUALS r = x_norm - coarse[cell(x)] —
+    residual energy is what remains after the coarse quantizer, so
+    quantizing it directly is strictly tighter than quantizing x
+    (IVFADC vs plain ADC). Same two-phase fit as fit_pq_codebooks:
+    deterministic-sample init on the driver, then distributed Lloyd
+    refinement over the (optionally hash-sampled) full dataset with
+    the residual transform applied map-side."""
+    rows = deterministic_sample(ds, sample_n, "vec_id", ["embedding"])
+    S = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in rows["embedding"]])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    S = S - coarse[np.argmax(S @ coarse.T, axis=1)]
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    ks = min(ks, len(S))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        X = S[:, j * dsub:(j + 1) * dsub]
+        C = X[rng.choice(len(X), size=ks, replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(X @ C.T - 0.5 * (C ** 2).sum(axis=1),
+                               axis=1)
+            for c in range(ks):
+                msk = assign == c
+                if msk.any():
+                    C[c] = X[msk].mean(axis=0)
+        books[j] = C
+    if refine_iters > 0:
+        books = _refine_pq_codebooks(ds, books, refine_iters,
+                                     sample_mod=refine_sample_mod,
+                                     coarse=coarse)
+    return books
+
+
+def knn_ivfpq(ds, k: int = 5, n_centroids: int = 16, nprobe: int = 14,
+              m: int = 8, ks: int = 128, shortlist: int | None = None,
+              sample_n: int = 4096, refine_iters: int = 2,
+              refine_sample_mod: int | None = None):
+    """IVF-ADC: the composition of the two approximate tiers — coarse
+    centroids restrict each query's scan to its nprobe nearest cells
+    (IVF), and within those cells the scan reads m-byte PQ codes of
+    the RESIDUAL instead of the embedding (ADC), followed by the same
+    exact re-rank as knn_pq. This is the memory-AND-compute scale
+    route: scan cost drops by ~nprobe/n_centroids and the scanned
+    bytes by dim*8/m vs brute force, while the residual decomposition
+    sim(q, x) ~= q . coarse[cell] + sum_j LUT_cell[q, j, code_j]
+    needs one extra scalar per row on top of the plain ADC gather.
+
+    All map-side, corpus never shuffled; the only driver state is the
+    centroid matrix + codebooks + the two-level-reduced shortlist.
+    Approximate (rows-only); gated by knn_ivfpq_recall. Defaults are
+    sized for the random testdata fixture (the worst case for BOTH
+    tiers — no cluster structure, where residuals are actually LONGER
+    than the vectors: |x - C[cell]|^2 = 2 - 2 cos(x, C) > 1 when few
+    centroids serve uniform directions — the exact re-rank absorbs
+    the extra quantization noise); real clustered corpora get both
+    shorter residuals and far smaller nprobe/shortlist at the same
+    recall (see test_residual_codebooks_tighter_than_plain)."""
+    import ray
+
+    n_rows = ds.count()
+    if shortlist is None:
+        shortlist = max(64, int(8 * np.sqrt(n_rows)))
+    dim = len(ds.take(1)[0]["embedding"])
+    C = fit_centroids(ds, n_centroids, sample_n=min(sample_n, 2048))
+    books = fit_residual_codebooks(
+        ds, C, m=m, ks=ks, sample_n=sample_n,
+        refine_iters=refine_iters, refine_sample_mod=refine_sample_mod)
+    Q = query_matrix(dim)
+    nq, dsub = Q.shape[0], dim // m
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]   # (nq, nprobe)
+    qC = (Q @ C.T).astype(np.float32)                     # (nq, cells)
+    # residual LUT is cell-independent: LUT[j, c, q] = q_subj . book[j,c]
+    lut = np.stack([books[j] @ Q[:, j * dsub:(j + 1) * dsub].T
+                    for j in range(m)]).astype(np.float32)
+    bref = ray.put((C, books, lut, qC, probes))
+
+    def scan_ivfpq(batch: pa.Table) -> pa.Table:
+        C_, books_t, lut_t, qC_t, probes_t = ray.get(bref)
+        ids = batch["vec_id"].to_numpy()
+        E = emb_matrix(batch["embedding"], dtype=np.float32)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cid = np.argmax(En @ C_.astype(np.float32).T, axis=1)
+        codes = _pq_encode(En - C_[cid].astype(np.float32), books_t)
+        # ADC over residual codes + the per-row coarse term
+        acc = lut_t[0][codes[:, 0]].copy()                # (rows, nq)
+        for j in range(1, codes.shape[1]):
+            acc += lut_t[j][codes[:, j]]
+        acc += qC_t[:, cid].T                             # coarse term
+        parts = {"qid": [], "vec_id": [], "sim": []}
+        for qid in range(acc.shape[1]):
+            mask = np.isin(cid, probes_t[qid])
+            if not mask.any():
+                continue
+            sims = acc[mask, qid]
+            mids = ids[mask]
+            sl = min(shortlist, len(mids))
+            top = np.lexsort((mids, -sims))[:sl]
+            parts["qid"].append(np.full(sl, qid, dtype=np.int64))
+            parts["vec_id"].append(mids[top])
+            parts["sim"].append(sims[top])
+        if not parts["qid"]:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float32())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(parts["qid"])),
+            "vec_id": pa.array(np.concatenate(parts["vec_id"]),
+                               type=pa.int64()),
+            "sim": pa.array(np.concatenate(parts["sim"])),
+        })
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # same batch-coalescing rule as knn_pq (see there): the scan batch
+    # must dwarf the shortlist or the partial inverts
+    scan_rows = max(1024, min(8 * shortlist, -(-n_rows // cpus)))
+    partials = ds.map_batches(scan_ivfpq, batch_format="pyarrow",
+                              batch_size=scan_rows)
+    return _shortlist_rerank(ds, partials, Q, k, shortlist, cpus)
+
+
+def knn_ivfpq_recall(ds, k: int = 5, **kwargs) -> pd.DataFrame:
+    """recall@k of IVF-ADC vs exact brute force — the driver-visible
+    quality gate, same shape as knn_ivf_recall / knn_pq_recall."""
+    bf = knn_bruteforce(ds, k)
+    iv = knn_ivfpq(ds, k, **kwargs)
+    qids = sorted(bf["qid"].unique())
+    recalls = []
+    for qid in qids:
+        truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
+        got = set(iv.loc[iv["qid"] == qid, "vec_id"])
         recalls.append(len(truth & got) / max(len(truth), 1))
     return pd.DataFrame({"qid": np.array(qids + [-1], dtype=np.int64),
                          "recall_at_k": np.round(

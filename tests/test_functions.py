@@ -149,6 +149,57 @@ class TestSimilarity:
         assert set(out.columns) == {"qid", "recall_at_k"}
         assert len(out) == similarity.N_QUERIES + 1
 
+    def test_ivfpq_recall(self):
+        """IVF-ADC (coarse cells + PQ residual codes + exact re-rank)
+        vs brute force on the random fixture — the worst case for both
+        tiers (no cluster structure)."""
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        out = similarity.knn_ivfpq_recall(ds, k=5)
+        overall = float(out.loc[out.qid == -1, "recall_at_k"].iloc[0])
+        assert overall >= 0.9, overall
+        assert len(out) == similarity.N_QUERIES + 1
+
+    def test_residual_codebooks_tighter_than_plain(self):
+        """On CLUSTERED data (IVFPQ's use case) residual quantization
+        reconstructs tighter than plain PQ at the same (m, ks): the
+        coarse quantizer absorbs the cluster-center energy, leaving
+        short residuals. (On uniform-random vectors the opposite holds
+        — |x - C[cell]|^2 = 2 - 2 cos(x, C) > 1 when the nearest of
+        few centroids is nearly orthogonal — which is why knn_ivfpq's
+        recall gate runs on the random fixture but THIS property needs
+        cluster structure.)"""
+        rng = np.random.default_rng(23)
+        n, dim, m, ks = 20_000, 16, 4, 32
+        centers = rng.normal(size=(8, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        V = centers[rng.integers(0, 8, n)] + 0.15 * rng.normal(
+            size=(n, dim))
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        df = pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.tolist() for v in V],
+        })
+        ds = rd.from_pandas(df).repartition(8)
+        C = similarity.fit_centroids(ds, 8, sample_n=512, refine_iters=1)
+        plain = similarity.fit_pq_codebooks(ds, m=m, ks=ks, sample_n=512,
+                                            refine_iters=1)
+        resid = similarity.fit_residual_codebooks(ds, C, m=m, ks=ks,
+                                                  sample_n=512,
+                                                  refine_iters=1)
+        S = V[:4096]
+        dsub = dim // m
+
+        def qerr(X, B):
+            codes = similarity._pq_encode(X, B)
+            return sum(((X[:, j * dsub:(j + 1) * dsub]
+                         - B[j][codes[:, j]]) ** 2).sum()
+                       for j in range(m))
+
+        e_plain = qerr(S, plain)
+        R = S - C[np.argmax(S @ C.T, axis=1)]
+        e_resid = qerr(R, resid)
+        assert e_resid <= e_plain * 1.05, (e_plain, e_resid)
+
     def test_pq_codes_reconstruct(self):
         """Encoding picks the L2-nearest centroid per subspace: the
         quantization error must be strictly smaller than against a

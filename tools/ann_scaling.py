@@ -25,28 +25,41 @@ N_VECS = int(os.environ.get("GRAFT_ANN_VECS", "200000"))
 DIM = int(os.environ.get("GRAFT_ANN_DIM", "64"))
 
 
-def ensure_embeddings(n: int, dim: int) -> str:
+def ensure_embeddings(n: int, dim: int, clusters: int = 0) -> str:
+    """clusters=0: uniform-random unit vectors (the PQ/brute-force
+    corpus — IVF's worst case by construction). clusters=k: k seeded
+    cluster centers + 0.15 noise, the IVFPQ use case — real embedding
+    corpora are clustered, and probing nprobe nearest cells is only
+    meaningful when cells capture structure."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from go_fluentd_ray import synth
 
-    out = os.path.join(synth.CACHE_ROOT, f"emb-v1-{n}x{dim}")
+    tag = f"emb-v1-{n}x{dim}" + (f"-c{clusters}" if clusters else "")
+    out = os.path.join(synth.CACHE_ROOT, tag)
     if os.path.isdir(out) and os.path.exists(out + ".meta.json"):
         return out
     import tempfile
 
     os.makedirs(synth.CACHE_ROOT, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=synth.CACHE_ROOT,
-                           prefix=f".emb-v1-{n}x{dim}-")
+    tmp = tempfile.mkdtemp(dir=synth.CACHE_ROOT, prefix=f".{tag}-")
     rows_per_part = 65536
     rng = np.random.default_rng(0xE1B)
+    centers = None
+    if clusters:
+        centers = rng.standard_normal((clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     vid = 0
     part = 0
     while vid < n:
         m = min(rows_per_part, n - vid)
-        E = rng.standard_normal((m, dim)).astype(np.float32)
+        if clusters:
+            E = (centers[rng.integers(0, clusters, m)]
+                 + 0.15 * rng.standard_normal((m, dim))).astype(np.float32)
+        else:
+            E = rng.standard_normal((m, dim)).astype(np.float32)
         E /= np.linalg.norm(E, axis=1, keepdims=True)
         pq.write_table(pa.table({
             "vec_id": pa.array(range(vid, vid + m), type=pa.int64()),
@@ -81,27 +94,50 @@ def one(ncpu: int) -> dict:
     from go_fluentd_ray.io_util import sized_read_parquet
 
     path = ensure_embeddings(N_VECS, DIM)
+    # IVFPQ runs on a CLUSTERED corpus (its use case): on uniform-
+    # random vectors probing nprobe of ~n/1024 auto cells cannot find
+    # scattered neighbors by construction (measured recall 0.175 at 2M
+    # — data-hostile, not a code defect), while PQ full-scan + re-rank
+    # stays exact-recall there. Cluster count is decoupled from the
+    # index's cell count (4x cells per cluster below).
+    cpath = ensure_embeddings(N_VECS, DIM,
+                              clusters=max(64, N_VECS // 4096))
 
-    def read():
-        return sized_read_parquet(path)
+    def read(p=path):
+        return sized_read_parquet(p)
 
     t0 = time.time()
     pq_res = similarity.knn_pq(read())
     pq_wall = time.time() - t0
     t0 = time.time()
+    ivfpq_res = similarity.knn_ivfpq(
+        read(cpath), n_centroids=similarity.auto_centroid_count(N_VECS),
+        nprobe=56)
+    ivfpq_wall = time.time() - t0
+    t0 = time.time()
     bf = similarity.knn_bruteforce(read())
     bf_wall = time.time() - t0
-    # recall of the PQ result against the exact one
-    recalls = []
-    for qid in sorted(bf["qid"].unique()):
-        truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
-        got = set(pq_res.loc[pq_res["qid"] == qid, "vec_id"])
-        recalls.append(len(truth & got) / max(len(truth), 1))
+    t0 = time.time()
+    cbf = similarity.knn_bruteforce(read(cpath))
+    cbf_wall = time.time() - t0
+
+    def recall(res, truth_df) -> float:
+        recalls = []
+        for qid in sorted(truth_df["qid"].unique()):
+            truth = set(truth_df.loc[truth_df["qid"] == qid, "vec_id"])
+            got = set(res.loc[res["qid"] == qid, "vec_id"])
+            recalls.append(len(truth & got) / max(len(truth), 1))
+        return round(sum(recalls) / len(recalls), 4)
+
     ray.shutdown()
     return {"num_cpus": ncpu,
-            "pq_sec": round(pq_wall, 2), "bf_sec": round(bf_wall, 2),
+            "pq_sec": round(pq_wall, 2),
+            "ivfpq_sec": round(ivfpq_wall, 2),
+            "bf_sec": round(bf_wall, 2),
+            "cbf_sec": round(cbf_wall, 2),
             "pq_vecs_per_sec": round(N_VECS / pq_wall, 1),
-            "recall_at_5": round(sum(recalls) / len(recalls), 4)}
+            "recall_at_5": recall(pq_res, bf),
+            "ivfpq_recall_at_5": recall(ivfpq_res, cbf)}
 
 
 def main() -> None:
@@ -125,13 +161,18 @@ def main() -> None:
         "n_vecs": N_VECS, "dim": DIM,
         "pq_sec_8cpu": results[8]["pq_sec"],
         "pq_sec_32cpu": results[32]["pq_sec"],
+        "ivfpq_sec_8cpu": results[8]["ivfpq_sec"],
+        "ivfpq_sec_32cpu": results[32]["ivfpq_sec"],
         "bf_sec_8cpu": results[8]["bf_sec"],
         "bf_sec_32cpu": results[32]["bf_sec"],
         "pq_scaling_efficiency": round(
             (results[8]["pq_sec"] / results[32]["pq_sec"]) / 4, 3),
+        "ivfpq_scaling_efficiency": round(
+            (results[8]["ivfpq_sec"] / results[32]["ivfpq_sec"]) / 4, 3),
         "bf_scaling_efficiency": round(
             (results[8]["bf_sec"] / results[32]["bf_sec"]) / 4, 3),
         "recall_at_5": results[32]["recall_at_5"],
+        "ivfpq_recall_at_5": results[32]["ivfpq_recall_at_5"],
     }))
 
 
