@@ -145,6 +145,7 @@ def main() -> None:
         print(json.dumps(one(int(sys.argv[sys.argv.index("--one") + 1]))))
         return
     ensure_embeddings(N_VECS, DIM)  # pre-generate outside timed runs
+    ensure_embeddings(N_VECS, DIM, clusters=max(64, N_VECS // 4096))
     results = {}
     for ncpu in (8, 32):
         best = None
