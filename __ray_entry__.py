@@ -246,6 +246,30 @@ def _q_bpe_token_count(sf_dir: str):
         zero_copy_batch=True).select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer TRAINING (Sennrich 2016): the merge
+    table learned over the documents corpus — one skinny distinct-word
+    shuffle, then vectorized merge iterations over the word-frequency
+    table only. Rows-only (iterative argmax is not SQL-expressible);
+    pinned to the published naive algorithm by pytest equality on both
+    the local and the chunked-distributed path."""
+    from go_fluentd_ray.functions import bpetrain
+
+    return bpetrain.bpe_train(_docs(sf_dir, ["text"]), n_merges=120)
+
+
+def _q_bpe_token_lens(sf_dir: str):
+    """Per-document token count under a corpus-trained BPE vocabulary
+    (the sizing pass an SFT/pretrain exporter runs before packing).
+    Train once (60 merges), then a zero-shuffle map-side encode of
+    distinct words per batch. Rows-only; hand-case + naive-equality
+    pytests gate the kernel."""
+    from go_fluentd_ray.functions import bpetrain
+
+    merges = bpetrain.bpe_train(_docs(sf_dir, ["text"]), n_merges=60)
+    return bpetrain.bpe_token_lens(_docs_text(sf_dir), merges)
+
+
 def _q_token_count(sf_dir: str):
     from go_fluentd_ray.functions import text as T
 
@@ -1224,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_token_lens": _q_bpe_token_lens,
         "quality_score": _q_quality,
         "quality_prune": _q_quality_prune,
         "tfidf_keywords": _q_tfidf_keywords,

@@ -424,3 +424,14 @@ def bench_knn_ivfpq(sf_dir: str):
 
 
 BENCHES.update({"knn_pq": bench_knn_pq, "knn_ivfpq": bench_knn_ivfpq})
+
+
+def bench_bpe_train(sf_dir: str):
+    """BPE tokenizer training: one skinny distinct-word shuffle + 120
+    vectorized merge iterations over the word-frequency table."""
+    from .bpetrain import bpe_train
+
+    return len(bpe_train(_docs(sf_dir, cols=("text",)), n_merges=120))
+
+
+BENCHES.update({"bpe_train": bench_bpe_train})

@@ -3076,3 +3076,113 @@ class TestKeepBestAndIncremental:
         want = con.sql(dedup.incremental_dedup_sql(
             seen_pct=80, threshold=0.6, min_bands=1)).df()
         assert sorted(want.doc_id) == sorted(out.doc_id)
+
+
+class TestBpeTrain:
+    """Distributed BPE trainer vs the published naive algorithm."""
+
+    @staticmethod
+    def _corpus_df():
+        # the classic Sennrich fig.1 word frequencies, expressed as
+        # documents so the corpus word-count pass is exercised too
+        words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                 + ["widest"] * 3)
+        rng = np.random.default_rng(7)
+        rng.shuffle(words)
+        docs = [" ".join(words[i::4]) for i in range(4)]
+        return pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                             "text": docs})
+
+    def test_matches_naive_sennrich(self):
+        from go_fluentd_ray.functions import bpetrain
+
+        df = self._corpus_df()
+        out = bpetrain.bpe_train(rd.from_pandas(df).repartition(3),
+                                 n_merges=10)
+        want = bpetrain.naive_bpe(
+            {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 10)
+        got = list(zip(out["left"], out["right"], out["n"]))
+        assert got == want, (got, want)
+        # the textbook first merges: ('e','s') then ('es','t') ...
+        assert got[0][0] == "e" and got[0][1] == "s" and got[0][2] == 9
+        assert (out["merged"] == out["left"] + out["right"]).all()
+
+    def test_distributed_chunked_path_identical(self):
+        """Force the multi-chunk ray-task path (local_max_rows=0) and a
+        different partitioning — the merge table must be identical:
+        pair counts are additive across chunks."""
+        from go_fluentd_ray.functions import bpetrain
+
+        df = self._corpus_df()
+        a = bpetrain.bpe_train(rd.from_pandas(df).repartition(2),
+                               n_merges=8)
+        b = bpetrain.bpe_train(rd.from_pandas(df).repartition(7),
+                               n_merges=8, local_max_rows=0,
+                               num_buckets=5)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_naive_real_corpus(self):
+        """Real sf0.001 documents (both paths) vs naive on the same
+        word counts."""
+        import re
+
+        from go_fluentd_ray.functions import bpetrain
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["text"])
+        wc: dict[str, int] = {}
+        for t in docs["text"]:
+            for w in re.findall(r"\w+", t):
+                wc[w] = wc.get(w, 0) + 1
+        want = bpetrain.naive_bpe(wc, 25)
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["text"])
+        out = bpetrain.bpe_train(ds, n_merges=25)
+        got = list(zip(out["left"], out["right"], out["n"]))
+        assert got == want
+        out2 = bpetrain.bpe_train(ds, n_merges=25, local_max_rows=0)
+        assert list(zip(out2["left"], out2["right"], out2["n"])) == want
+
+    def test_overlap_greedy_leftmost(self):
+        """Runs of an identical pair merge leftmost-greedy: 'aaaa'
+        -> two 'aa' symbols, 'aaa' -> 'aa' + 'a'."""
+        from go_fluentd_ray.functions import bpetrain
+
+        df = pd.DataFrame({"doc_id": [0], "text": ["aaaa aaaa aaa"]})
+        out = bpetrain.bpe_train(rd.from_pandas(df), n_merges=2)
+        want = bpetrain.naive_bpe({"aaaa": 2, "aaa": 1}, 2)
+        assert list(zip(out["left"], out["right"], out["n"])) == want
+
+    def test_token_lens(self):
+        from go_fluentd_ray.functions import bpetrain
+
+        df = self._corpus_df()
+        merges = bpetrain.bpe_train(rd.from_pandas(df), n_merges=10)
+        test = pd.DataFrame({
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": ["low lowest", "newest", "zzz unseen-chars"]})
+        out = bpetrain.bpe_token_lens(
+            rd.from_pandas(test), merges).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+        # reference: naive encode with the same merges
+        def enc(word):
+            syms = list(word) + ["</w>"]
+            for ls, rs, _ in zip(merges["left"], merges["right"],
+                                 merges["n"]):
+                i, out_s = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == ls
+                            and syms[i + 1] == rs):
+                        out_s.append(ls + rs)
+                        i += 2
+                    else:
+                        out_s.append(syms[i])
+                        i += 1
+                syms = out_s
+            return len(syms)
+
+        import re
+        want = [sum(enc(w) for w in re.findall(r"\w+", t))
+                for t in test["text"]]
+        assert out["n_bpe"].tolist() == want
