@@ -528,6 +528,26 @@ def _q_knn_ivfpq_recall(sf_dir: str):
     return similarity.knn_ivfpq_recall(_emb(sf_dir))
 
 
+def _q_knn_ivfpq_indexed(sf_dir: str):
+    """The build/query split of IVF-ADC: the compressed index
+    (vec_id, cell, PQ residual codes — 20 bytes/row) persists as
+    cell-sorted hive-sharded parquet and queries read ONLY the probed
+    shards (build-once cached under /tmp). This is the production
+    shape: build amortizes over every query batch. Rows-only; gated by
+    knn_ivfpq_indexed_recall."""
+    from go_fluentd_ray.functions import annindex
+
+    return annindex.knn_ivfpq_indexed(sf_dir, _emb(sf_dir))
+
+
+def _q_knn_ivfpq_indexed_recall(sf_dir: str):
+    """recall@k of the persisted-index query path vs exact brute
+    force per query (+ overall mean row, qid=-1)."""
+    from go_fluentd_ray.functions import annindex
+
+    return annindex.knn_ivfpq_indexed_recall(sf_dir, _emb(sf_dir))
+
+
 def _q_semantic_dedup_recall(sf_dir: str):
     """Pair-set recall of SemDeDup's clustered dup finder vs the exact
     all-pairs path (one summary row). Rows-only: the gate that makes a
@@ -1276,6 +1296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq_recall": _q_knn_pq_recall,
         "knn_ivfpq": _q_knn_ivfpq,
         "knn_ivfpq_recall": _q_knn_ivfpq_recall,
+        "knn_ivfpq_indexed": _q_knn_ivfpq_indexed,
+        "knn_ivfpq_indexed_recall": _q_knn_ivfpq_indexed_recall,
         "semantic_dedup_recall": _q_semantic_dedup_recall,
         "events_hourly": _q_events_hourly,
         "events_sliding_3h": _q_events_sliding,

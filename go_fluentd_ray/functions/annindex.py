@@ -1,0 +1,255 @@
+"""Persistent IVF-PQ index: the build/query split that makes IVF-ADC
+pay off in a batch engine.
+
+The one-shot `similarity.knn_ivfpq` re-fits and re-encodes the corpus
+on every call, so its wall is dominated by index-construction passes
+(coarse assignment GEMMs + PQ encodes over every row) — measured 335 s
+vs plain PQ's 39 s at 8M vectors, because plain PQ pays one encode
+pass while IVF-ADC pays ~five. That is not how inverted-file indexes
+are used: in production the index is built ONCE and amortized over
+every query batch (Jégou et al. 2011 build/search split; FAISS's
+add/search). This module persists the compressed index as skinny
+parquet and makes the query path touch ONLY it:
+
+- build: fit coarse centroids + residual codebooks (distributed Lloyd
+  refinement), then ONE corpus pass assigns + encodes every row to
+  (vec_id int64, cell int32, c0..c{m-1} uint8) — 20 bytes/row at m=8
+  vs 512 for the raw float64 embedding — sorts by cell (a skinny
+  all-to-all; this IS the "inverted file"), and writes hive-partitioned
+  parquet sharded by cell range with a numpy sidecar for the model.
+- query: compute each query's nprobe cells, read ONLY the shards
+  holding probed cells (hive partition pruning — the IO analogue of
+  an inverted list seek) under an `isin` row filter, ADC-scan the
+  codes, and exact-re-rank the tiny shortlist against the embeddings
+  table (the one full-table pass left; at 100 TB replace the gather
+  with a point-lookup store keyed vec_id).
+
+Scale shape: build = fit passes + one encode pass + one skinny
+shuffle, all distributed, driver holds only the model; query =
+pruned skinny scan + the two-level shortlist reduce. Both recall-gated
+(>= 0.9 pytest + `knn_ivfpq_indexed_recall` driver query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .similarity import (_pq_encode, _shortlist_rerank, auto_centroid_count,
+                         emb_matrix, fit_centroids, fit_residual_codebooks,
+                         knn_bruteforce, query_matrix)
+
+N_SHARDS = 64
+
+
+def auto_nprobe(n_centroids: int, frac: float = 0.05,
+                lo: int = 8) -> int:
+    """Probe a constant FRACTION of cells (min lo): cell counts scale
+    with the corpus (auto_centroid_count), so a fixed nprobe silently
+    decays coverage — 56 probes were 58% of a 97-cell index but 2.7%
+    of a 2048-cell one (measured recall 0.7 at 8M until this rule)."""
+    return min(n_centroids, max(lo, int(round(frac * n_centroids))))
+
+
+def build_ivfpq_index(ds, out_dir: str, n_centroids: int | None = None,
+                      m: int = 8, ks: int = 128, sample_n: int = 4096,
+                      centroid_refine_iters: int = 1,
+                      book_refine_iters: int = 1,
+                      refine_sample_mod: int | None = None) -> dict:
+    """Fit + encode + sort + write. Returns the meta dict (also written
+    to out_dir/meta.json; model matrices to out_dir/model.npz).
+    Defaults refine each model ONCE over the full corpus — at build
+    time every extra Lloyd pass is a full-corpus GEMM, and recall is
+    gated downstream."""
+    import ray
+
+    n_rows = ds.count()
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(n_rows)
+    dim = len(ds.take(1)[0]["embedding"])
+    C = fit_centroids(ds, n_centroids, sample_n=min(sample_n, 2048),
+                      refine_iters=centroid_refine_iters,
+                      refine_sample_mod=refine_sample_mod)
+    books = fit_residual_codebooks(ds, C, m=m, ks=ks, sample_n=sample_n,
+                                   refine_iters=book_refine_iters,
+                                   refine_sample_mod=refine_sample_mod)
+    n_cells = C.shape[0]
+    cells_per_shard = -(-n_cells // N_SHARDS)
+    mref = ray.put((C.astype(np.float32), books))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        C32, books_ = ray.get(mref)
+        ids = batch["vec_id"].to_numpy()
+        E = emb_matrix(batch["embedding"], dtype=np.float32)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cid = np.argmax(En @ C32.T, axis=1).astype(np.int32)
+        codes = _pq_encode(En - C32[cid], books_)
+        cols = {"vec_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(cid, type=pa.int32()),
+                "shard": pa.array((cid // cells_per_shard).astype(
+                    np.int32), type=pa.int32())}
+        for j in range(codes.shape[1]):
+            cols[f"c{j}"] = pa.array(codes[:, j], type=pa.uint8())
+        return pa.table(cols)
+
+    code_ds = ds.map_batches(encode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # skinny all-to-all: cell-contiguous layout IS the inverted file —
+    # each written block covers a narrow cell range, so the hive shard
+    # dirs stay pure and parquet row-group stats stay tight
+    code_ds.sort("cell").write_parquet(os.path.join(out_dir, "codes"),
+                                       partition_cols=["shard"])
+    np.savez(os.path.join(out_dir, "model.npz"), C=C, books=books)
+    meta = {"n_rows": int(n_rows), "dim": int(dim), "m": int(m),
+            "ks": int(ks), "n_centroids": int(n_cells),
+            "cells_per_shard": int(cells_per_shard)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probed_shard_files(index_dir: str, shards) -> "list[str]":
+    """Parquet files of exactly the probed shard directories — the
+    dir-level pruning the query path reads."""
+    import glob
+
+    return [f for s in shards for f in sorted(glob.glob(
+        os.path.join(index_dir, "codes", f"shard={int(s)}", "*.parquet")))]
+
+
+def all_shard_files(index_dir: str) -> "list[str]":
+    import glob
+
+    return sorted(glob.glob(
+        os.path.join(index_dir, "codes", "shard=*", "*.parquet")))
+
+
+def knn_ivfpq_query(index_dir: str, emb_ds, k: int = 5,
+                    nprobe: int | None = None,
+                    shortlist: int | None = None) -> pd.DataFrame:
+    """ADC top-k over a persisted index: reads ONLY the code shards
+    containing probed cells. emb_ds supplies the exact re-rank
+    embeddings (and must be the table the index was built from)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    model = np.load(os.path.join(index_dir, "model.npz"))
+    C, books = model["C"], model["books"]
+    m, dim = meta["m"], meta["dim"]
+    n_rows, n_cells = meta["n_rows"], meta["n_centroids"]
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
+    if shortlist is None:
+        shortlist = max(64, int(8 * np.sqrt(n_rows)))
+    Q = query_matrix(dim)
+    nq, dsub = Q.shape[0], dim // m
+    qC = (Q @ C.T).astype(np.float32)                 # (nq, cells)
+    probes = np.argsort(-qC, axis=1)[:, :nprobe]
+    probed = np.unique(probes)
+    shards = np.unique(probed // meta["cells_per_shard"])
+    lut = np.stack([books[j] @ Q[:, j * dsub:(j + 1) * dsub].T
+                    for j in range(m)]).astype(np.float32)
+    bref = ray.put((lut, qC, probes))
+    code_cols = [f"c{j}" for j in range(m)]
+
+    # dir-level pruning: list ONLY the shard directories holding probed
+    # cells (ray's parquet filter binds against the file schema, so a
+    # hive-partition-column filter can't prune — explicit paths can),
+    # then a row-level isin on cell within the touched shards
+    shard_files = probed_shard_files(index_dir, shards)
+    flt = pc.field("cell").isin(pa.array(probed.astype(np.int32)))
+    idx = rd.read_parquet(shard_files,
+                          columns=["vec_id", "cell"] + code_cols,
+                          filter=flt)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        lut_t, qC_t, probes_t = ray.get(bref)
+        ids = batch["vec_id"].to_numpy()
+        cid = batch["cell"].to_numpy()
+        acc = lut_t[0][batch[code_cols[0]].to_numpy()].copy()
+        for j in range(1, m):
+            acc += lut_t[j][batch[code_cols[j]].to_numpy()]
+        acc += qC_t[:, cid].T                         # coarse term
+        parts = {"qid": [], "vec_id": [], "sim": []}
+        for qid in range(acc.shape[1]):
+            mask = np.isin(cid, probes_t[qid])
+            if not mask.any():
+                continue
+            sims = acc[mask, qid]
+            mids = ids[mask]
+            sl = min(shortlist, len(mids))
+            top = np.lexsort((mids, -sims))[:sl]
+            parts["qid"].append(np.full(sl, qid, dtype=np.int64))
+            parts["vec_id"].append(mids[top])
+            parts["sim"].append(sims[top])
+        if not parts["qid"]:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float32())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(parts["qid"])),
+            "vec_id": pa.array(np.concatenate(parts["vec_id"]),
+                               type=pa.int64()),
+            "sim": pa.array(np.concatenate(parts["sim"]))})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    scan_rows = max(1024, min(8 * shortlist, -(-n_rows // cpus)))
+    partials = idx.map_batches(scan, batch_format="pyarrow",
+                               batch_size=scan_rows)
+    return _shortlist_rerank(emb_ds, partials, Q, k, shortlist, cpus)
+
+
+def ensure_index(sf_dir: str, emb_ds, cache_root: str = "/tmp/graft_ann_index",
+                 **build_kwargs) -> str:
+    """Build-once cache for query entry points: one index per
+    (sf_dir, params) key. Concurrent builders race benignly — build
+    into a tmp dir, atomic rename, loser discards."""
+    import shutil
+    import tempfile
+
+    parts = [os.path.basename(os.path.normpath(sf_dir))] + [
+        f"{k}={v}" for k, v in sorted(build_kwargs.items())]
+    out = os.path.join(cache_root, "-".join(parts).replace("/", "_"))
+    if os.path.exists(os.path.join(out, "meta.json")):
+        return out
+    os.makedirs(cache_root, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=cache_root, prefix=".build-")
+    build_ivfpq_index(emb_ds, tmp, **build_kwargs)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def knn_ivfpq_indexed(sf_dir: str, emb_ds, k: int = 5,
+                      **build_kwargs) -> pd.DataFrame:
+    """Query entry point: build-once (cached) + query."""
+    idx = ensure_index(sf_dir, emb_ds, **build_kwargs)
+    return knn_ivfpq_query(idx, emb_ds, k=k)
+
+
+def knn_ivfpq_indexed_recall(sf_dir: str, emb_ds, k: int = 5,
+                             **build_kwargs) -> pd.DataFrame:
+    """recall@k of the persisted-index query path vs exact brute
+    force — the driver-visible gate."""
+    bf = knn_bruteforce(emb_ds, k)
+    iv = knn_ivfpq_indexed(sf_dir, emb_ds, k=k, **build_kwargs)
+    qids = sorted(bf["qid"].unique())
+    recalls = []
+    for qid in qids:
+        truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
+        got = set(iv.loc[iv["qid"] == qid, "vec_id"])
+        recalls.append(len(truth & got) / max(len(truth), 1))
+    return pd.DataFrame({"qid": np.array(qids + [-1], dtype=np.int64),
+                         "recall_at_k": np.round(
+                             recalls + [float(np.mean(recalls))], 4)})

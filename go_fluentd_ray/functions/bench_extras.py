@@ -435,3 +435,23 @@ def bench_bpe_train(sf_dir: str):
 
 
 BENCHES.update({"bpe_train": bench_bpe_train})
+
+
+def bench_ivfpq_index(sf_dir: str):
+    """Build the persistent IVF-PQ index fresh + one query batch —
+    the production build/query split (build amortizes in real use)."""
+    import shutil
+    import tempfile
+
+    from .annindex import build_ivfpq_index, knn_ivfpq_query
+
+    idx = tempfile.mkdtemp(prefix="annidx-bench-")
+    try:
+        ds = _emb(sf_dir, cols=["vec_id", "embedding"])
+        build_ivfpq_index(ds, idx)
+        return len(knn_ivfpq_query(idx, ds))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+BENCHES.update({"ivfpq_index": bench_ivfpq_index})

@@ -318,7 +318,11 @@ def fit_centroids(ds, n_centroids: int | None, sample_n: int = 2048,
     rng = np.random.default_rng(seed)
     C = S[rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)]
     for _ in range(iters):
-        assign = np.argmax(S @ C.T, axis=1)
+        # f32 assign (argmax-only; see _refine_centroids) — at
+        # n_centroids=2048 this loop is 5 driver-serial GEMMs and this
+        # host's f64 path is ~24x slower
+        assign = np.argmax(S.astype(np.float32)
+                           @ C.astype(np.float32).T, axis=1)
         for c in range(len(C)):
             m = assign == c
             if m.any():
@@ -829,7 +833,9 @@ def fit_residual_codebooks(ds, coarse: np.ndarray, m: int = 8,
     S = np.stack([np.asarray(v, dtype=np.float64)
                   for v in rows["embedding"]])
     S = S / np.linalg.norm(S, axis=1, keepdims=True)
-    S = S - coarse[np.argmax(S @ coarse.T, axis=1)]
+    # f32 assign (argmax-only, driver-serial at sample_n x cells)
+    S = S - coarse[np.argmax(S.astype(np.float32)
+                             @ coarse.astype(np.float32).T, axis=1)]
     dim = S.shape[1]
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")

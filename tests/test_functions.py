@@ -3186,3 +3186,73 @@ class TestBpeTrain:
         want = [sum(enc(w) for w in re.findall(r"\w+", t))
                 for t in test["text"]]
         assert out["n_bpe"].tolist() == want
+
+
+class TestAnnIndex:
+    """Persistent IVF-PQ index: build/query split, shard pruning."""
+
+    def test_indexed_recall(self, tmp_path):
+        from go_fluentd_ray.functions import annindex
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        # build into a throwaway dir so code changes never hit a
+        # stale /tmp index
+        idx = str(tmp_path / "idx")
+        annindex.build_ivfpq_index(ds, idx)
+        from go_fluentd_ray.functions.similarity import knn_bruteforce
+        bf = knn_bruteforce(ds, 5)
+        iv = annindex.knn_ivfpq_query(idx, ds, k=5)
+        recalls = []
+        for qid in sorted(bf["qid"].unique()):
+            truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
+            got = set(iv.loc[iv["qid"] == qid, "vec_id"])
+            recalls.append(len(truth & got) / max(len(truth), 1))
+        assert float(np.mean(recalls)) >= 0.9, recalls
+
+    def test_shard_pruning_clustered(self, tmp_path):
+        """On clustered data a small nprobe reads a strict subset of
+        the shard files AND still recovers the true neighbors (they
+        live in the probed cells)."""
+        from go_fluentd_ray.functions import annindex
+        from go_fluentd_ray.functions.similarity import knn_bruteforce
+
+        rng = np.random.default_rng(41)
+        n, dim = 30_000, 16
+        centers = rng.normal(size=(16, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        V = centers[rng.integers(0, 16, n)] + 0.05 * rng.normal(
+            size=(n, dim))
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                           "embedding": [v.tolist() for v in V]})
+        ds = rd.from_pandas(df).repartition(8)
+        idx = str(tmp_path / "idx")
+        meta = annindex.build_ivfpq_index(ds, idx, n_centroids=16,
+                                          m=4, ks=64)
+        assert meta["n_centroids"] == 16
+        # probes for nprobe=3: strictly fewer shard files than total
+        from go_fluentd_ray.functions.similarity import query_matrix
+        model = np.load(f"{idx}/model.npz")
+        Q = query_matrix(dim)
+        probes = np.argsort(-(Q @ model["C"].T), axis=1)[:, :3]
+        shards = np.unique(np.unique(probes) // meta["cells_per_shard"])
+        pruned = annindex.probed_shard_files(idx, shards)
+        everything = annindex.all_shard_files(idx)
+        assert len(pruned) < len(everything), (len(pruned),
+                                               len(everything))
+        # and the pruned query still finds the true neighbors
+        bf = knn_bruteforce(ds, 5)
+        iv = annindex.knn_ivfpq_query(idx, ds, k=5, nprobe=3)
+        recalls = []
+        for qid in sorted(bf["qid"].unique()):
+            truth = set(bf.loc[bf["qid"] == qid, "vec_id"])
+            got = set(iv.loc[iv["qid"] == qid, "vec_id"])
+            recalls.append(len(truth & got) / max(len(truth), 1))
+        assert float(np.mean(recalls)) >= 0.9, recalls
+
+    def test_auto_nprobe_fraction(self):
+        from go_fluentd_ray.functions.annindex import auto_nprobe
+
+        assert auto_nprobe(2048) == 102      # 5% of cells
+        assert auto_nprobe(16) == 8          # floor
+        assert auto_nprobe(4) == 4           # capped at n_centroids
