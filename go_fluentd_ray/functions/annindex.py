@@ -44,6 +44,10 @@ from .similarity import (_pq_encode, _shortlist_rerank, auto_centroid_count,
                          knn_bruteforce, query_matrix)
 
 N_SHARDS = 64
+# bump when build/encode semantics change: the ensure_index cache key
+# includes it, so a persisted /tmp index can never serve results from
+# an older codec
+INDEX_VERSION = 1
 
 
 def auto_nprobe(n_centroids: int, frac: float = 0.05,
@@ -214,7 +218,8 @@ def ensure_index(sf_dir: str, emb_ds, cache_root: str = "/tmp/graft_ann_index",
     import shutil
     import tempfile
 
-    parts = [os.path.basename(os.path.normpath(sf_dir))] + [
+    parts = [f"v{INDEX_VERSION}",
+             os.path.basename(os.path.normpath(sf_dir))] + [
         f"{k}={v}" for k, v in sorted(build_kwargs.items())]
     out = os.path.join(cache_root, "-".join(parts).replace("/", "_"))
     if os.path.exists(os.path.join(out, "meta.json")):
