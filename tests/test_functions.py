@@ -3256,3 +3256,34 @@ class TestAnnIndex:
         assert auto_nprobe(2048) == 102      # 5% of cells
         assert auto_nprobe(16) == 8          # floor
         assert auto_nprobe(4) == 4           # capped at n_centroids
+
+    def test_fused_local_loop_matches_naive_randomized(self):
+        """Harden the fused fast path: a 3000-word randomized table
+        with repeated-char runs ('aaaa'), shared prefixes/suffixes and
+        Zipf-ish counts must reproduce the naive algorithm exactly
+        over 80 merges."""
+        import random
+
+        from go_fluentd_ray.functions import bpetrain
+
+        rnd = random.Random(99)
+        alpha = "abcdefgh"
+        wc = {}
+        for _ in range(3000):
+            n = rnd.randint(1, 10)
+            w = "".join(rnd.choice(alpha) for _ in range(n))
+            if rnd.random() < 0.2:
+                w += rnd.choice(alpha) * rnd.randint(2, 5)  # runs
+            wc[w] = wc.get(w, 0) + rnd.randint(1, 50)
+        want = bpetrain.naive_bpe(wc, 80)
+        # one doc per word repeated count times is too big; feed the
+        # words table directly through the fused loop
+        words = np.asarray(sorted(wc), dtype=object)
+        counts = np.array([wc[w] for w in sorted(wc)], dtype=np.int64)
+        chars = sorted(set("".join(sorted(wc))))
+        vocab = chars + [bpetrain.EOW]
+        syms, wid = bpetrain._explode(
+            words, {c: i for i, c in enumerate(chars)}, len(vocab) - 1)
+        got = bpetrain._local_merge_loop(syms, wid, counts, vocab,
+                                         80, 2)
+        assert [(m[1], m[2], m[4]) for m in got] == want
