@@ -39,7 +39,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 EOW = "</w>"
-LOCAL_MAX_ROWS = 200_000
+# single-chunk threshold, MEASURED crossover on this host: at 168k
+# words (1.7M symbols) the fused local loop runs ~4 s for 120 merges
+# while the chunked path pays ~60 ms of task-barrier per merge; at
+# 668k words (6.9M symbols) the local loop's ~10 full-stream
+# allocations per iteration cost 33 s while the chunked loop
+# parallelizes the same work in ~8 s. Memory is NOT the binding
+# constraint — per-iteration allocation traffic is.
+LOCAL_MAX_ROWS = 300_000
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +253,8 @@ def _best_pair(codes: np.ndarray, sums: np.ndarray,
 
 def bpe_train(ds, n_merges: int = 200, col: str = "text",
               min_count: int = 2, num_buckets: int | None = None,
-              local_max_rows: int = LOCAL_MAX_ROWS) -> pd.DataFrame:
+              local_max_rows: int = LOCAL_MAX_ROWS,
+              timings: dict | None = None) -> pd.DataFrame:
     """Learn n_merges BPE merges over the corpus; returns one row per
     merge: (rank, left, right, merged, n) under the deterministic
     (count desc, left asc, right asc) selection order. Stops early
@@ -257,14 +265,21 @@ def bpe_train(ds, n_merges: int = 200, col: str = "text",
     only per-chunk (pair, count) partials; the driver holds the symbol
     table and the merged pair-count vector (bounded by the live pair
     diversity, ~O(alphabet^2 + n_merges)), never words or text."""
+    import time as _time
+
     import ray
 
+    t0 = _time.time()
     # materialize: the distinct-word table is the SMALL side (bounded
     # by vocabulary, not corpus) and is consumed twice (count + chunk
     # gather) — without this the corpus word-count pass runs twice
     words_ds = word_count_table(ds, col=col,
                                 num_buckets=num_buckets).materialize()
     n_rows = words_ds.count()
+    if timings is not None:
+        timings["word_count_sec"] = round(_time.time() - t0, 2)
+        timings["word_rows"] = int(n_rows)
+        t0 = _time.time()
 
     # ---- gather chunks ------------------------------------------------
     if n_rows <= local_max_rows:
@@ -276,8 +291,11 @@ def bpe_train(ds, n_merges: int = 200, col: str = "text",
         chunk_tables = [tbl.select(["word", "n"])]
         local = True
     else:
+        # one chunk per cpu: per-merge wall = barrier latency + the
+        # slowest chunk's recount; more chunks than cpus only adds
+        # submission overhead to every one of the n_merges barriers
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk_rows = max(4096, -(-n_rows // (2 * cpus)))
+        chunk_rows = max(4096, -(-n_rows // cpus))
         chunk_tables = None
         local = False
 
@@ -320,6 +338,8 @@ def bpe_train(ds, n_merges: int = 200, col: str = "text",
             # fused fast loop (the common case: bounded alphabet)
             mlist = _local_merge_loop(state[0], state[1], state[2],
                                       vocab, n_merges, min_count)
+            if timings is not None:
+                timings["merge_loop_sec"] = round(_time.time() - t0, 2)
             return pd.DataFrame({
                 "rank": np.array([m[0] for m in mlist], dtype=np.int64),
                 "left": [m[1] for m in mlist],
@@ -370,6 +390,8 @@ def bpe_train(ds, n_merges: int = 200, col: str = "text",
             states = [o[0] for o in outs]
             parts = ray.get([o[1] for o in outs])
 
+    if timings is not None:
+        timings["merge_loop_sec"] = round(_time.time() - t0, 2)
     return pd.DataFrame({
         "rank": np.array(merges["rank"], dtype=np.int64),
         "left": merges["left"], "right": merges["right"],

@@ -39,12 +39,13 @@ def one(ncpu: int) -> dict:
     path = ensure_docs(N_DOCS)
     ds = rd.read_parquet(path, columns=["text"])
     t0 = time.time()
-    merges = bpetrain.bpe_train(ds, n_merges=N_MERGES)
+    timings: dict = {}
+    merges = bpetrain.bpe_train(ds, n_merges=N_MERGES, timings=timings)
     wall = time.time() - t0
     ray.shutdown()
     return {"num_cpus": ncpu, "sec": round(wall, 2),
             "n_merges": len(merges),
-            "docs_per_sec": round(N_DOCS / wall, 1)}
+            "docs_per_sec": round(N_DOCS / wall, 1), **timings}
 
 
 def main() -> None:
@@ -66,11 +67,18 @@ def main() -> None:
                 best = r
         results[ncpu] = best
     eff = (results[8]["sec"] / results[32]["sec"]) / (32 / 8)
+    wc_eff = (results[8].get("word_count_sec", 0)
+              / max(results[32].get("word_count_sec", 1), 1e-9)) / 4
     print(json.dumps({
         "metric": "bpe_train scaling 8->32 cpus",
         "n_docs": N_DOCS, "n_merges": results[32]["n_merges"],
         "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
         "scaling_efficiency": round(eff, 3),
+        "word_count_sec_8cpu": results[8].get("word_count_sec"),
+        "word_count_sec_32cpu": results[32].get("word_count_sec"),
+        "word_count_scaling_efficiency": round(wc_eff, 3),
+        "merge_loop_sec_32cpu": results[32].get("merge_loop_sec"),
+        "word_rows": results[32].get("word_rows"),
     }))
 
 
