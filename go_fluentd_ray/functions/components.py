@@ -102,6 +102,15 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         return pa.table({"u": pa.array(np.concatenate([a, b])),
                          "v": pa.array(np.concatenate([b, a]))})
 
+    # Pin the pair set ONCE: CC consumes pairs_ds at least twice (the
+    # path-choice count plus the chosen path), and callers routinely
+    # hand in the LAZY tail of an expensive pipeline (minhash banding +
+    # verify) — without this, every consumption re-executes that whole
+    # pipeline (measured 3x the minhash wall inside
+    # minhash_dedup_keep_best at sf0.1). Pair tables are skinny (2-3
+    # int64/float64 columns, orders below the corpus), so holding the
+    # blocks in the object store is the cheap side of the trade.
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs <= small_graph_edges:
         if stats is not None:
