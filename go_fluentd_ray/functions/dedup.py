@@ -496,6 +496,12 @@ _BCAST_TEXT_CACHE: dict = {}
 # pairs outnumber docs — but only while the corpus fits a broadcast
 # (the embedding_dup_exact regime). Beyond this, always attach.
 JACCARD_BROADCAST_MAX_DOCS = 200_000
+# below this, broadcast unconditionally: the text map is small enough
+# (~tens of MB) that shipping it can never lose badly, while DECIDING
+# by pair count requires a full execution barrier of the candidate
+# pipeline (cands.materialize + count) that measured MORE expensive
+# than the whole streamed join at sf0.1 (12.6 s barrier vs 7.8 s total)
+JACCARD_BROADCAST_SURE_DOCS = 50_000
 
 
 def _exact_text_groups(ds, B: int):
@@ -685,12 +691,14 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
 
     Verify is cost-based (``verify_mode="auto"``): attaching text to
     pair rows (bucketed_attach) moves O(pairs * text) bytes, while
-    broadcasting the doc->text map moves O(corpus) per worker — when
-    pairs >= docs AND the corpus is broadcast-sized
-    (JACCARD_BROADCAST_MAX_DOCS), the broadcast path wins and the
-    per-worker shingle cache amortizes across every pair a doc is in.
-    Unbounded corpora always take the attach path ("attach" /
-    "broadcast" force a path, for tests).
+    broadcasting the doc->text map moves O(corpus) per worker. Corpus
+    size settles the mode at both ends without executing candidates —
+    <= JACCARD_BROADCAST_SURE_DOCS always broadcasts (the map is tens
+    of MB; the per-worker shingle cache amortizes across every pair a
+    doc is in), > JACCARD_BROADCAST_MAX_DOCS always attaches — and
+    only the mid band pays a candidate-pipeline barrier to compare
+    pairs vs docs exactly ("attach" / "broadcast" force a path, for
+    tests).
 
     ``collapse_exact`` (default on, exactness-preserving): exact
     duplicate texts are canonicalized FIRST (one skinny-keyed corpus
@@ -841,12 +849,20 @@ def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
     nonce = uuid.uuid4().hex
 
     if verify_mode == "auto":
-        cands = cands.materialize()   # pairs only (2 int64 cols)
-        n_pairs = cands.count()
+        # corpus size alone settles the mode at both ends; only the mid
+        # band pays the candidate-pipeline barrier for an exact count
+        # (the barrier costs more than the streamed join on small
+        # corpora — see JACCARD_BROADCAST_SURE_DOCS)
         n_docs = ds.count()
-        verify_mode = ("broadcast" if n_pairs >= n_docs
-                       and n_docs <= JACCARD_BROADCAST_MAX_DOCS
-                       else "attach")
+        if n_docs <= JACCARD_BROADCAST_SURE_DOCS:
+            verify_mode = "broadcast"
+        elif n_docs > JACCARD_BROADCAST_MAX_DOCS:
+            verify_mode = "attach"
+        else:
+            cands = cands.materialize()   # pairs only (2 int64 cols)
+            n_pairs = cands.count()
+            verify_mode = ("broadcast" if n_pairs >= n_docs
+                           else "attach")
 
     if verify_mode == "broadcast":
         rows = ds.select_columns(["doc_id", "text"]).take_all()
