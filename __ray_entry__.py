@@ -975,6 +975,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25.bm25_topk(_docs_text(sf_dir))
 
 
+def _q_bm25_indexed(sf_dir: str):
+    """BM25 over a PERSISTED inverted index (build-once hive-sharded
+    postings, dir-pruned query reads) — value-identical to bm25_topk
+    and checked against the same SQL twin."""
+    from go_fluentd_ray.functions import bm25index
+
+    return bm25index.bm25_indexed(sf_dir, _docs_text(sf_dir))
+
+
 def _q_badwords_filter(sf_dir: str):
     """C4-style blocklist document filter: token-level case-insensitive
     membership, pure map-side."""
@@ -1316,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines_within": _q_dedup_lines_within,
         "dedup_spans": _q_dedup_spans,
         "bm25_topk": _q_bm25_topk,
+        "bm25_indexed": _q_bm25_indexed,
         "badwords_filter": _q_badwords_filter,
         "gopher_quality": _q_gopher_quality,
         "dsir_scores": _q_dsir_scores,
@@ -1588,6 +1598,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_within": _dedup_lines_within_oracle(),
         "dedup_spans": _spandedup.span_dedup_sql(),
         "bm25_topk": _bm25.bm25_topk_sql(),
+        # the indexed path must reproduce the one-shot ranking exactly
+        "bm25_indexed": _bm25.bm25_topk_sql(),
         "badwords_filter": _textclean.badwords_filter_sql(),
         "split_assign": ("SELECT doc_id, split FROM ("
                          + _sampling.split_assign_sql() + ")"),

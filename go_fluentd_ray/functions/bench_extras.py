@@ -455,3 +455,22 @@ def bench_ivfpq_index(sf_dir: str):
 
 
 BENCHES.update({"ivfpq_index": bench_ivfpq_index})
+
+
+def bench_bm25_index(sf_dir: str):
+    """Build the persistent BM25 inverted index fresh + one query
+    batch — lexical build/query split (build amortizes in real use)."""
+    import shutil
+    import tempfile
+
+    from .bm25index import bm25_index_query, build_bm25_index
+
+    idx = tempfile.mkdtemp(prefix="bm25idx-bench-")
+    try:
+        build_bm25_index(_docs(sf_dir, cols=("doc_id", "text")), idx)
+        return len(bm25_index_query(idx))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+BENCHES.update({"bm25_index": bench_bm25_index})

@@ -1954,6 +1954,52 @@ class TestBm25:
         pd.testing.assert_frame_equal(got, want)
 
 
+class TestBm25Index:
+    """Persisted inverted index: build/query split parity with the
+    one-shot scorer, shard pruning, and missing-term handling."""
+
+    def _build(self, docs, tmp_path):
+        from go_fluentd_ray.functions import bm25index
+
+        idx = str(tmp_path / "idx")
+        bm25index.build_bm25_index(rd.from_pandas(docs), idx)
+        return idx
+
+    def test_matches_one_shot_exactly(self, tmp_path):
+        from go_fluentd_ray.functions import bm25, bm25index
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        idx = self._build(docs, tmp_path)
+        got = bm25index.bm25_index_query(idx).reset_index(drop=True)
+        want = bm25.bm25_topk(rd.from_pandas(docs)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_query_reads_only_probed_shards(self, tmp_path):
+        from go_fluentd_ray.functions import bm25index
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        idx = self._build(docs, tmp_path)
+        total = len(bm25index._shard_files(
+            idx, range(bm25index.N_SHARDS)))
+        probed = len(bm25index._shard_files(
+            idx, bm25index._term_shard(["scan", "filter"])))
+        assert 0 < probed < total  # dir-level pruning is real
+
+    def test_missing_and_partial_terms(self, tmp_path):
+        from go_fluentd_ray.functions import bm25index
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["needle pad", "pad pad", "needle needle"]})
+        idx = self._build(docs, tmp_path)
+        # absent term alone -> empty; absent term mixed in -> ignored
+        assert bm25index.bm25_index_query(
+            idx, queries=("zzz_absent",)).empty
+        out = bm25index.bm25_index_query(
+            idx, queries=("needle zzz_absent",), k=3)
+        assert list(out["doc_id"]) == [2, 0]
+
+
 class TestBadwordsFilter:
     def test_token_not_substring(self):
         from go_fluentd_ray.functions import textclean
