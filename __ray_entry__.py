@@ -984,6 +984,25 @@ def _q_bm25_indexed(sf_dir: str):
     return bm25index.bm25_indexed(sf_dir, _docs_text(sf_dir))
 
 
+def _q_embed_docs(sf_dir: str):
+    """Feature-hash text embeddings (signed hashing trick): model-free
+    unit vectors from raw text, pure map-side. Rows-only (the vector
+    construction is not SQL-expressible); pytest gates determinism,
+    unit norm, and near-dup-ranks-first."""
+    from go_fluentd_ray.functions import embed
+
+    return embed.embed_docs(_docs_text(sf_dir))
+
+
+def _q_text_knn(sf_dir: str):
+    """Similarity search over RAW TEXT without an embedding column:
+    embed + brute-force cosine + local top-k fused into one corpus
+    pass (zero shuffles, zero fit passes)."""
+    from go_fluentd_ray.functions import embed
+
+    return embed.text_knn(_docs_text(sf_dir))
+
+
 def _q_badwords_filter(sf_dir: str):
     """C4-style blocklist document filter: token-level case-insensitive
     membership, pure map-side."""
@@ -1326,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _q_dedup_spans,
         "bm25_topk": _q_bm25_topk,
         "bm25_indexed": _q_bm25_indexed,
+        "embed_docs": _q_embed_docs,
+        "text_knn": _q_text_knn,
         "badwords_filter": _q_badwords_filter,
         "gopher_quality": _q_gopher_quality,
         "dsir_scores": _q_dsir_scores,

@@ -474,3 +474,14 @@ def bench_bm25_index(sf_dir: str):
 
 
 BENCHES.update({"bm25_index": bench_bm25_index})
+
+
+def bench_text_knn(sf_dir: str):
+    """Fused embed + brute-force cosine top-k over raw text: one
+    streaming corpus pass, zero shuffles, zero fit passes."""
+    from .embed import text_knn
+
+    return len(text_knn(_docs(sf_dir, cols=("doc_id", "text"))))
+
+
+BENCHES.update({"text_knn": bench_text_knn})

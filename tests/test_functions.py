@@ -2000,6 +2000,59 @@ class TestBm25Index:
         assert list(out["doc_id"]) == [2, 0]
 
 
+class TestHashEmbed:
+    """Feature-hash text embeddings + fused text kNN."""
+
+    def test_deterministic_unit_norm(self):
+        from go_fluentd_ray.functions import embed
+
+        texts = ["the quick brown fox", "jumps over", ""]
+        a = embed.hash_embed(texts)
+        b = embed.hash_embed(texts)
+        np.testing.assert_array_equal(a, b)
+        norms = np.linalg.norm(a, axis=1)
+        np.testing.assert_allclose(norms[:2], 1.0, rtol=1e-5)
+        # degenerate short input still embeds (padded shingle)
+        assert norms[2] >= 0.0
+
+    def test_near_dup_ranks_above_random(self):
+        from go_fluentd_ray.functions import embed
+
+        base = ("hash join table scan filter row window sort merge "
+                "batch customer column value query group order")
+        near = base.replace("filter", "filter extra")
+        rand = ("completely unrelated words zebra quantum mahogany "
+                "tundra oscillate vermilion cascade")
+        E = embed.hash_embed([base, near, rand])
+        assert E[0] @ E[1] > 0.9
+        assert E[0] @ E[1] > E[0] @ E[2] + 0.3
+
+    def test_embed_docs_matches_direct(self):
+        from go_fluentd_ray.functions import embed
+
+        df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                           "text": [f"doc number {i} words" for i
+                                    in range(5)]})
+        out = (embed.embed_docs(rd.from_pandas(df)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = embed.hash_embed(list(df["text"]))
+        got = np.stack(out["embedding"].to_numpy())
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_text_knn_finds_planted_doc(self):
+        from go_fluentd_ray.functions import embed
+
+        q = "hash join table scan"
+        docs = pd.DataFrame({
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": [q if i == 7 else
+                     f"noise filler text row {i} batch value column"
+                     for i in range(20)]})
+        out = embed.text_knn(rd.from_pandas(docs), query_texts=(q,), k=3)
+        assert out.iloc[0]["doc_id"] == 7
+        assert out.iloc[0]["sim"] > 0.99
+
+
 class TestBadwordsFilter:
     def test_token_not_substring(self):
         from go_fluentd_ray.functions import textclean
