@@ -645,9 +645,19 @@ def _expand_exact_pairs(rep_pairs, members, B: int):
     j2 = s2.groupby("__bkt").map_groups(
         join_bucket(("db", "da", "jac")), batch_format="pandas")
     cross = j2.map_batches(renorm, batch_format="pyarrow")
+
+    # emit ARROW blocks so the union with `cross` carries one block
+    # type (a pandas/arrow mix spams "RefBundle with a different
+    # schema" warnings even when the logical schema agrees)
+    def within_to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
+            "jac": pa.array(df["jac"].to_numpy(np.float64),
+                            pa.float64())})
+
     return within_pairs.map_batches(
-        lambda df: df[["a", "b", "jac"]], batch_format="pandas") \
-        .union(cross)
+        within_to_arrow, batch_format="pandas").union(cross)
 
 
 def jaccard_join(ds, threshold: float = 0.8, num_buckets: int | None = None,
