@@ -232,3 +232,24 @@ def test_collapse_and_loop_match_naive_runs(rows):
                 r["text"], r["n_repeats"]) == (conv, ti, role, text, n)
     for conv, mx in exp_max.items():
         assert loops.loc[conv, "max_run"] == mx
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=0, max_size=20),
+       st.sampled_from([16, 64, 256]))
+def test_hash_embed_properties(texts, dim):
+    """Feature-hash embedder invariants on ARBITRARY text: shape,
+    determinism, unit (or exactly-zero) norm, and batch-composition
+    independence (a row's vector can't depend on its batch-mates)."""
+    import numpy as np
+
+    from go_fluentd_ray.functions.embed import hash_embed
+
+    E = hash_embed(texts, dim)
+    assert E.shape == (len(texts), dim) and E.dtype == np.float32
+    np.testing.assert_array_equal(E, hash_embed(texts, dim))
+    norms = np.linalg.norm(E, axis=1)
+    for n in norms:
+        assert abs(n - 1.0) < 1e-4 or n == 0.0
+    for i, t in enumerate(texts):  # row-independence
+        np.testing.assert_array_equal(E[i], hash_embed([t], dim)[0])
