@@ -975,6 +975,16 @@ def _q_bm25_topk(sf_dir: str):
     return bm25.bm25_topk(_docs_text(sf_dir))
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top-k adjacent word pairs by PMI with
+    min-count support — the word_topk bucketed-exact pattern over
+    (key, kind, n) count partials; the driver sees candidates + two
+    total rows, never the vocabulary."""
+    from go_fluentd_ray.functions import ngrams
+
+    return ngrams.bigram_pmi(_docs_text(sf_dir))
+
+
 def _q_bm25_indexed(sf_dir: str):
     """BM25 over a PERSISTED inverted index (build-once hive-sharded
     postings, dir-pruned query reads) — value-identical to bm25_topk
@@ -1347,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_indexed": _q_bm25_indexed,
         "embed_docs": _q_embed_docs,
         "text_knn": _q_text_knn,
+        "bigram_pmi": _q_bigram_pmi,
         "badwords_filter": _q_badwords_filter,
         "gopher_quality": _q_gopher_quality,
         "dsir_scores": _q_dsir_scores,
@@ -1519,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import dedup as _dedup
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import bm25 as _bm25
+    from go_fluentd_ray.functions import ngrams as _ngrams
     from go_fluentd_ray.functions import dsir as _dsir
     from go_fluentd_ray.functions import convstats as _convstats
     from go_fluentd_ray.functions import turnflow as _turnflow
@@ -1621,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25.bm25_topk_sql(),
         # the indexed path must reproduce the one-shot ranking exactly
         "bm25_indexed": _bm25.bm25_topk_sql(),
+        "bigram_pmi": _ngrams.bigram_pmi_sql(),
         "badwords_filter": _textclean.badwords_filter_sql(),
         "split_assign": ("SELECT doc_id, split FROM ("
                          + _sampling.split_assign_sql() + ")"),

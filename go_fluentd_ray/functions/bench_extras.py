@@ -485,3 +485,14 @@ def bench_text_knn(sf_dir: str):
 
 
 BENCHES.update({"text_knn": bench_text_knn})
+
+
+def bench_bigram_pmi(sf_dir: str):
+    """Collocation mining: bucketed-exact bigram/unigram counts, PMI
+    on the candidate-sized driver table."""
+    from .ngrams import bigram_pmi
+
+    return len(bigram_pmi(_docs(sf_dir, cols=("doc_id", "text"))))
+
+
+BENCHES.update({"bigram_pmi": bench_bigram_pmi})

@@ -142,7 +142,8 @@ def bm25_index_query(index_dir: str, queries=BM25_QUERIES, k: int = 10,
     doc_id) under (score DESC, doc_id ASC)."""
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Max, Sum
+
+    from .shuffle import add_bucket_col, default_buckets
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
@@ -198,15 +199,35 @@ def bm25_index_query(index_dir: str, queries=BM25_QUERIES, k: int = 10,
                            / (dfs[f"sum(df_{i})"] + 0.5))
                     for i in range(T)])
 
-    # candidates: docs matching >= 1 query term, tf per term exact
-    cand = idx.map_batches(pivot, batch_format="pyarrow").groupby(
-        "doc_id").aggregate(Max("dl"),
-                            *[Sum(f"tf_{i}") for i in range(T)])
+    # candidates: docs matching >= 1 query term, tf per term exact.
+    # Bucketed hash(doc_id) % B map_groups sum, NOT Dataset.aggregate —
+    # the stop-word worst case makes the candidate set corpus-sized
+    # (measured 14.4 s aggregate vs 1.0 s bucketed at 1M docs where
+    # EVERY query term is a stop word), and a doc's postings all land
+    # in one bucket so the bucket sums are exact
+    B = default_buckets()
+
+    def bucket_sum(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = df.groupby("doc_id", sort=False).agg(
+            {"dl": "max", **{f"tf_{i}": "sum" for i in range(T)}})
+        g = g.reset_index()
+        return pa.table(
+            {"doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+             "dl": pa.array(g["dl"].to_numpy(), pa.int64()),
+             **{f"tf_{i}": pa.array(g[f"tf_{i}"].to_numpy(), pa.int64())
+                for i in range(T)}})
+
+    cand = (idx.map_batches(pivot, batch_format="pyarrow")
+            .map_batches(lambda t: add_bucket_col(t, ["doc_id"], B),
+                         batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(bucket_sum, batch_format="pyarrow"))
 
     def score_partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        dl = batch["max(dl)"].to_numpy().astype(np.float64)
-        tf = np.stack([batch[f"sum(tf_{i})"].to_numpy().astype(np.float64)
+        dl = batch["dl"].to_numpy().astype(np.float64)
+        tf = np.stack([batch[f"tf_{i}"].to_numpy().astype(np.float64)
                        for i in range(T)])
         denom_base = k1 * (1.0 - b + b * dl / avgdl)
         out_qid, out_id, out_score = [], [], []

@@ -2000,6 +2000,46 @@ class TestBm25Index:
         assert list(out["doc_id"]) == [2, 0]
 
 
+class TestBigramPmi:
+    """Collocation mining: PMI math, support filter, SQL twin."""
+
+    def test_planted_collocation_wins(self):
+        from go_fluentd_ray.functions import ngrams
+
+        # "new york" always adjacent; "the the" frequent but both
+        # words ubiquitous -> low PMI
+        rows = ["new york " + "the a " * 5] * 6
+        df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                           "text": rows})
+        out = ngrams.bigram_pmi(rd.from_pandas(df), k=5, min_count=3)
+        assert (out.iloc[0]["w1"], out.iloc[0]["w2"]) == ("new", "york")
+        assert out.iloc[0]["n"] == 6
+
+    def test_min_count_filters(self):
+        from go_fluentd_ray.functions import ngrams
+
+        df = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64),
+                           "text": ["rare pair", "x y x y x y"]})
+        out = ngrams.bigram_pmi(rd.from_pandas(df), k=10, min_count=2)
+        pairs = set(zip(out["w1"], out["w2"]))
+        assert ("rare", "pair") not in pairs  # count 1 < 2
+        assert ("x", "y") in pairs
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import ngrams
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = (ngrams.bigram_pmi(rd.from_pandas(docs))
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.execute(ngrams.bigram_pmi_sql()).df()
+        want["n"] = want["n"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
 class TestHashEmbed:
     """Feature-hash text embeddings + fused text kNN."""
 
