@@ -975,6 +975,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25.bm25_topk(_docs_text(sf_dir))
 
 
+def _q_corpus_drift(sf_dir: str):
+    """Drift report between two corpus halves (md5 split): word-level
+    Jensen-Shannon divergence + per-side mass/vocab counters; the
+    vocabulary never leaves the cluster (per-bucket JSD partials)."""
+    from go_fluentd_ray.functions import drift
+
+    return drift.corpus_drift(_docs(sf_dir, cols=["doc_id", "text"]))
+
+
 def _q_bigram_pmi(sf_dir: str):
     """Collocation mining: top-k adjacent word pairs by PMI with
     min-count support — the word_topk bucketed-exact pattern over
@@ -1358,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": _q_embed_docs,
         "text_knn": _q_text_knn,
         "bigram_pmi": _q_bigram_pmi,
+        "corpus_drift": _q_corpus_drift,
         "badwords_filter": _q_badwords_filter,
         "gopher_quality": _q_gopher_quality,
         "dsir_scores": _q_dsir_scores,
@@ -1530,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
     from go_fluentd_ray.functions import dedup as _dedup
     from go_fluentd_ray.functions import sampling as _sampling
     from go_fluentd_ray.functions import bm25 as _bm25
+    from go_fluentd_ray.functions import drift as _drift
     from go_fluentd_ray.functions import ngrams as _ngrams
     from go_fluentd_ray.functions import dsir as _dsir
     from go_fluentd_ray.functions import convstats as _convstats
@@ -1634,6 +1645,7 @@ def oracle_sql() -> dict[str, str]:
         # the indexed path must reproduce the one-shot ranking exactly
         "bm25_indexed": _bm25.bm25_topk_sql(),
         "bigram_pmi": _ngrams.bigram_pmi_sql(),
+        "corpus_drift": _drift.corpus_drift_sql(),
         "badwords_filter": _textclean.badwords_filter_sql(),
         "split_assign": ("SELECT doc_id, split FROM ("
                          + _sampling.split_assign_sql() + ")"),

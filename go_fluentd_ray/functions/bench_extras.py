@@ -496,3 +496,14 @@ def bench_bigram_pmi(sf_dir: str):
 
 
 BENCHES.update({"bigram_pmi": bench_bigram_pmi})
+
+
+def bench_corpus_drift(sf_dir: str):
+    """Word-distribution JSD between md5-split corpus halves: one
+    count-partial pass + bucketed per-word reduce to B partial rows."""
+    from .drift import corpus_drift
+
+    return len(corpus_drift(_docs(sf_dir, cols=("doc_id", "text"))))
+
+
+BENCHES.update({"corpus_drift": bench_corpus_drift})

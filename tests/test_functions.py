@@ -2000,6 +2000,52 @@ class TestBm25Index:
         assert list(out["doc_id"]) == [2, 0]
 
 
+class TestCorpusDrift:
+    """JSD drift report between md5-split corpus halves."""
+
+    def _sides(self, n=40):
+        from go_fluentd_ray.functions.sampling import _md5_mod100
+
+        ids = np.arange(n, dtype=np.int64)
+        return ids, _md5_mod100(ids) < 50
+
+    def test_identical_distributions_near_zero(self):
+        from go_fluentd_ray.functions import drift
+
+        ids, _ = self._sides()
+        df = pd.DataFrame({"doc_id": ids,
+                           "text": ["same words here"] * len(ids)})
+        out = drift.corpus_drift(rd.from_pandas(df))
+        assert out.iloc[0]["jsd"] == 0.0
+        assert out.iloc[0]["n_vocab_a"] == out.iloc[0]["n_vocab_b"] == 3
+
+    def test_disjoint_vocab_maxes_out(self):
+        import math
+
+        from go_fluentd_ray.functions import drift
+
+        ids, a = self._sides()
+        df = pd.DataFrame({"doc_id": ids,
+                           "text": np.where(a, "alpha beta",
+                                            "gamma delta")})
+        out = drift.corpus_drift(rd.from_pandas(df))
+        assert abs(out.iloc[0]["jsd"] - math.log(2)) < 1e-6
+        assert out.iloc[0]["n_vocab_a"] == 2
+
+    def test_matches_sql_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import drift
+
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        got = drift.corpus_drift(rd.from_pandas(docs))
+        con = duckdb.connect()
+        con.register("documents", docs)
+        want = con.execute(drift.corpus_drift_sql()).df()
+        for c in got.columns:
+            assert got.iloc[0][c] == want.iloc[0][c], c
+
+
 class TestBigramPmi:
     """Collocation mining: PMI math, support filter, SQL twin."""
 
