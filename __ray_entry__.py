@@ -984,6 +984,15 @@ def _q_corpus_drift(sf_dir: str):
     return drift.corpus_drift(_docs(sf_dir, cols=["doc_id", "text"]))
 
 
+def _q_drift_topk(sf_dir: str):
+    """Which words drifted: top-k by absolute probability shift
+    between the two md5-split halves; per-bucket local top-k under
+    the global order, driver merges B*k rows."""
+    from go_fluentd_ray.functions import drift
+
+    return drift.drift_topk(_docs(sf_dir, cols=["doc_id", "text"]))
+
+
 def _q_bigram_pmi(sf_dir: str):
     """Collocation mining: top-k adjacent word pairs by PMI with
     min-count support — the word_topk bucketed-exact pattern over
@@ -1368,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_knn": _q_text_knn,
         "bigram_pmi": _q_bigram_pmi,
         "corpus_drift": _q_corpus_drift,
+        "drift_topk": _q_drift_topk,
         "badwords_filter": _q_badwords_filter,
         "gopher_quality": _q_gopher_quality,
         "dsir_scores": _q_dsir_scores,
@@ -1646,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_indexed": _bm25.bm25_topk_sql(),
         "bigram_pmi": _ngrams.bigram_pmi_sql(),
         "corpus_drift": _drift.corpus_drift_sql(),
+        "drift_topk": _drift.drift_topk_sql(),
         "badwords_filter": _textclean.badwords_filter_sql(),
         "split_assign": ("SELECT doc_id, split FROM ("
                          + _sampling.split_assign_sql() + ")"),

@@ -149,3 +149,112 @@ SELECT (SELECT na FROM tot)::BIGINT AS n_tokens_a,
                + 0.5 * CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END),
              6) AS jsd
 FROM terms"""
+
+
+def drift_topk(ds, k: int = 20, split_pct: int = 50,
+               id_col: str = "doc_id", col: str = "text",
+               num_buckets: int | None = None) -> pd.DataFrame:
+    """The actionable half of the drift report: top-k words by
+    absolute probability shift |ca/na - cb/nb| (which words drifted),
+    with per-side counts. Same partials + bucketed-exact shape as
+    corpus_drift; each bucket emits its LOCAL top-k under the global
+    (shift DESC, word ASC) total order, the driver merges B*k rows.
+    Ranking is by a 6-dp-rounded shift (integer-derived, engine-
+    agnostic) so the SQL twin orders identically."""
+    from .shuffle import add_bucket_col, default_buckets
+
+    B = num_buckets or default_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a_mask = _md5_mod100(batch[id_col].to_pylist()) < split_pct
+        out_w, out_s, out_n = [], [], []
+        for side, m in (("a", a_mask), ("b", ~a_mask)):
+            flat, _ = _flat_tokens_arrow(batch.filter(pa.array(m))[col])
+            if len(flat) == 0:
+                continue
+            vc = pc.value_counts(flat)
+            out_w.append(vc.field("values"))
+            out_s.append(np.full(len(vc), side, dtype=object))
+            out_n.append(vc.field("counts").to_numpy(
+                zero_copy_only=False))
+        if not out_w:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "side": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "w": pa.concat_arrays([x.combine_chunks() if isinstance(
+                x, pa.ChunkedArray) else x for x in out_w]),
+            "side": pa.array(np.concatenate(out_s), pa.string()),
+            "n": pa.array(np.concatenate(out_n).astype(np.int64))})
+
+    parts = ds.select_columns([id_col, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = parts.materialize()
+
+    def totals_partial(tbl: pa.Table) -> pa.Table:
+        am = pc.equal(tbl["side"], "a")
+        n = tbl["n"]
+        na = pc.sum(pc.if_else(am, n, pa.scalar(0, pa.int64()))).as_py()
+        nb = pc.sum(pc.if_else(am, pa.scalar(0, pa.int64()), n)).as_py()
+        return pa.table({"na": [int(na or 0)], "nb": [int(nb or 0)]})
+
+    tot = parts.map_batches(totals_partial,
+                            batch_format="pyarrow").sum(["na", "nb"])
+    n_a = float(tot["sum(na)"]) if tot else 0.0
+    n_b = float(tot["sum(nb)"]) if tot else 0.0
+    empty = pd.DataFrame({"w": pd.Series(dtype=object),
+                          "n_a": pd.Series(dtype=np.int64),
+                          "n_b": pd.Series(dtype=np.int64),
+                          "shift": pd.Series(dtype=np.float64)})
+    if n_a == 0.0 or n_b == 0.0:
+        return empty
+
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        g = (df.pivot_table(index="w", columns="side", values="n",
+                            aggfunc="sum", fill_value=0)
+             .reindex(columns=["a", "b"], fill_value=0).reset_index())
+        ca = g["a"].to_numpy(np.float64)
+        cb = g["b"].to_numpy(np.float64)
+        g["shift"] = np.round(np.abs(ca / n_a - cb / n_b), 6)
+        g = g.sort_values(["shift", "w"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return pa.table({
+            "w": pa.array(g["w"], pa.string()),
+            "n_a": pa.array(g["a"].to_numpy(np.int64), pa.int64()),
+            "n_b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+            "shift": pa.array(g["shift"].to_numpy(np.float64))})
+
+    out = (parts.map_batches(
+        lambda t: add_bucket_col(t, ["w"], B), batch_format="pyarrow")
+        .groupby("__bkt").map_groups(bucket_topk,
+                                     batch_format="pyarrow")
+        .to_pandas())  # <= B*k rows
+    out = out.sort_values(["shift", "w"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+def drift_topk_sql(k: int = 20, split_pct: int = 50,
+                   table: str = "documents") -> str:
+    """DuckDB twin of drift_topk (same split, tokenization, rounded
+    shift, total order)."""
+    return rf"""
+WITH t AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 100 < {split_pct}
+              THEN 'a' ELSE 'b' END AS side,
+         unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM {table}
+), counts AS (
+  SELECT w,
+         sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b
+  FROM t GROUP BY w
+), tot AS (
+  SELECT sum(n_a)::DOUBLE AS na, sum(n_b)::DOUBLE AS nb FROM counts
+)
+SELECT w, n_a, n_b,
+       round(abs(n_a / t.na - n_b / t.nb), 6) AS shift
+FROM counts c CROSS JOIN tot t
+ORDER BY shift DESC, w LIMIT {k}"""

@@ -2045,6 +2045,26 @@ class TestCorpusDrift:
         for c in got.columns:
             assert got.iloc[0][c] == want.iloc[0][c], c
 
+    def test_topk_planted_shift_and_twin(self):
+        import duckdb
+
+        from go_fluentd_ray.functions import drift
+
+        ids, a = self._sides(60)
+        # one word exclusive to side a, shared filler on both
+        df = pd.DataFrame({"doc_id": ids,
+                           "text": np.where(a, "drifted filler filler",
+                                            "filler filler filler")})
+        out = drift.drift_topk(rd.from_pandas(df), k=3)
+        assert out.iloc[0]["w"] == "drifted"
+        assert out.iloc[0]["n_b"] == 0
+        con = duckdb.connect()
+        con.register("documents", df)
+        want = con.execute(drift.drift_topk_sql(k=3)).df()
+        want["n_a"] = want["n_a"].astype("int64")
+        want["n_b"] = want["n_b"].astype("int64")
+        pd.testing.assert_frame_equal(out, want)
+
 
 class TestBigramPmi:
     """Collocation mining: PMI math, support filter, SQL twin."""
