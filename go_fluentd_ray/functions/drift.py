@@ -81,13 +81,17 @@ def corpus_drift(ds, split_pct: int = 50, id_col: str = "doc_id",
 
     tot = parts.map_batches(totals_partial,
                             batch_format="pyarrow").sum(["na", "nb"])
-    n_a = float(tot["sum(na)"]) if tot else 0.0
-    n_b = float(tot["sum(nb)"]) if tot else 0.0
-    if n_a == 0.0 or n_b == 0.0:
+    n_a = float(tot["sum(na)"] or 0) if tot else 0.0
+    n_b = float(tot["sum(nb)"] or 0) if tot else 0.0
+    if n_a == 0.0 and n_b == 0.0:  # zero tokens anywhere
         return pd.DataFrame({
-            "n_tokens_a": [int(n_a)], "n_tokens_b": [int(n_b)],
-            "n_vocab_a": [0], "n_vocab_b": [0],
-            "jsd": [0.0]})
+            "n_tokens_a": [0], "n_tokens_b": [0],
+            "n_vocab_a": [0], "n_vocab_b": [0], "jsd": [0.0]})
+    # one empty side: vocab/mass counters stay real, jsd is DEFINED
+    # as 0.0 (there is no second distribution to diverge from) — the
+    # SQL twin encodes the same contract
+    one_sided = n_a == 0.0 or n_b == 0.0
+    den_a, den_b = (n_a or 1.0), (n_b or 1.0)
 
     def bucket_jsd(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
@@ -96,8 +100,8 @@ def corpus_drift(ds, split_pct: int = 50, id_col: str = "doc_id",
              .reindex(columns=["a", "b"], fill_value=0))
         ca = g["a"].to_numpy(np.float64)
         cb = g["b"].to_numpy(np.float64)
-        p = ca / n_a
-        q = cb / n_b
+        p = ca / den_a
+        q = cb / den_b
         m = 0.5 * (p + q)
         with np.errstate(divide="ignore", invalid="ignore"):
             term = (0.5 * np.where(p > 0, p * np.log(p / m), 0.0)
@@ -115,7 +119,8 @@ def corpus_drift(ds, split_pct: int = 50, id_col: str = "doc_id",
         "n_tokens_a": [int(n_a)], "n_tokens_b": [int(n_b)],
         "n_vocab_a": [int(agg["vocab_a"].sum())],
         "n_vocab_b": [int(agg["vocab_b"].sum())],
-        "jsd": [round(float(agg["jsd_part"].sum()), 6)]})
+        "jsd": [0.0 if one_sided
+                else round(float(agg["jsd_part"].sum()), 6)]})
 
 
 def corpus_drift_sql(split_pct: int = 50, table: str = "documents") -> str:
@@ -141,13 +146,21 @@ WITH t AS (
          0.5 * (c.ca / t.na + c.cb / t.nb) AS m
   FROM counts c CROSS JOIN tot t
 )
-SELECT (SELECT na FROM tot)::BIGINT AS n_tokens_a,
-       (SELECT nb FROM tot)::BIGINT AS n_tokens_b,
-       sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS n_vocab_a,
-       sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_vocab_b,
-       round(sum(0.5 * CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END
-               + 0.5 * CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END),
-             6) AS jsd
+SELECT coalesce((SELECT na FROM tot), 0)::BIGINT AS n_tokens_a,
+       coalesce((SELECT nb FROM tot), 0)::BIGINT AS n_tokens_b,
+       coalesce(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END),
+                0)::BIGINT AS n_vocab_a,
+       coalesce(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END),
+                0)::BIGINT AS n_vocab_b,
+       -- one-sided or empty corpora: jsd is DEFINED as 0.0 (the
+       -- kernel's contract); the div-by-zero p/q are NULL and the
+       -- CASE never reads them
+       CASE WHEN coalesce((SELECT na FROM tot), 0) = 0
+              OR coalesce((SELECT nb FROM tot), 0) = 0 THEN 0.0
+            ELSE round(
+              sum(0.5 * CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END
+                + 0.5 * CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END),
+              6) END AS jsd
 FROM terms"""
 
 
@@ -200,8 +213,8 @@ def drift_topk(ds, k: int = 20, split_pct: int = 50,
 
     tot = parts.map_batches(totals_partial,
                             batch_format="pyarrow").sum(["na", "nb"])
-    n_a = float(tot["sum(na)"]) if tot else 0.0
-    n_b = float(tot["sum(nb)"]) if tot else 0.0
+    n_a = float(tot["sum(na)"] or 0) if tot else 0.0
+    n_b = float(tot["sum(nb)"] or 0) if tot else 0.0
     empty = pd.DataFrame({"w": pd.Series(dtype=object),
                           "n_a": pd.Series(dtype=np.int64),
                           "n_b": pd.Series(dtype=np.int64),
@@ -257,4 +270,7 @@ WITH t AS (
 SELECT w, n_a, n_b,
        round(abs(n_a / t.na - n_b / t.nb), 6) AS shift
 FROM counts c CROSS JOIN tot t
+-- one-sided split: shift is undefined, return no rows (the kernel's
+-- contract — drift_topk returns an empty frame)
+WHERE t.na > 0 AND t.nb > 0
 ORDER BY shift DESC, w LIMIT {k}"""

@@ -99,6 +99,12 @@ def bigram_pmi(ds, k: int = 30, min_count: int = 5, col: str = "text",
     cand = (bucketed.groupby("__bkt")
             .map_groups(bucket_candidates, batch_format="pyarrow")
             .to_pandas())  # candidates + 2 total rows: small
+    if cand.empty or "kind" not in cand.columns:
+        # zero tokens in the whole corpus: no totals rows were emitted
+        return pd.DataFrame({"w1": pd.Series(dtype=object),
+                             "w2": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "pmi": pd.Series(dtype=np.float64)})
     n_uni = float(cand.loc[cand["kind"] == "TU", "n"].sum())
     n_big = float(cand.loc[cand["kind"] == "TB", "n"].sum())
     cand = cand[cand["kind"] == "b"]

@@ -253,3 +253,41 @@ def test_hash_embed_properties(texts, dim):
         assert abs(n - 1.0) < 1e-4 or n == 0.0
     for i, t in enumerate(texts):  # row-independence
         np.testing.assert_array_equal(E[i], hash_embed([t], dim)[0])
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                         min_size=0, max_size=8),
+                min_size=1, max_size=25))
+def test_bigram_pmi_and_drift_match_sql_on_random_corpora(docs):
+    """Random small corpora through bigram_pmi, corpus_drift and
+    drift_topk must equal their DuckDB twins — tokenize/count/round
+    parity beyond the seeded fixture."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from go_fluentd_ray.functions import drift, ngrams
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(docs), dtype=np.int64),
+        "text": [" ".join(words) for words in docs]})
+    con = duckdb.connect()
+    con.register("documents", df)
+    ds = rd.from_pandas(df)
+
+    got = ngrams.bigram_pmi(ds, k=10, min_count=2).reset_index(drop=True)
+    want = con.execute(ngrams.bigram_pmi_sql(k=10, min_count=2)).df()
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+    gd = drift.corpus_drift(ds)
+    wd = con.execute(drift.corpus_drift_sql()).df()
+    for c in gd.columns:
+        assert gd.iloc[0][c] == wd.iloc[0][c], c
+
+    gt = drift.drift_topk(ds, k=5).reset_index(drop=True)
+    wt = con.execute(drift.drift_topk_sql(k=5)).df()
+    for c in ("n_a", "n_b"):
+        wt[c] = wt[c].astype("int64")
+    pd.testing.assert_frame_equal(gt, wt)
