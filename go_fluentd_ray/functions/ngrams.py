@@ -40,8 +40,19 @@ _TOTAL_KEY = "\x02"    # sorts into one bucket; kind disambiguates
 
 
 def bigram_pmi(ds, k: int = 30, min_count: int = 5, col: str = "text",
-               num_buckets: int | None = None) -> pd.DataFrame:
-    """(w1, w2, n, pmi) top-k by (pmi DESC, w1 ASC, w2 ASC)."""
+               num_buckets: int | None = None,
+               min_count_ppm: float | None = None) -> pd.DataFrame:
+    """(w1, w2, n, pmi) top-k by (pmi DESC, w1 ASC, w2 ASC).
+
+    min_count is an ABSOLUTE support floor; the driver-side candidate
+    table holds every bigram above it, so a fixed floor is corpus-
+    RELATIVE in cost: at 100 TB pass `min_count_ppm` instead and the
+    effective floor becomes max(min_count, ppm-of-total-bigram-mass),
+    computed from the totals BEFORE the candidate filter (one extra
+    bytes-per-block pass over the already-materialized partials) —
+    candidate count then tracks the support ratio, not the corpus
+    size. The default (None) keeps the absolute floor, which is what
+    the SQL twin expresses."""
     from .shuffle import add_bucket_col, default_buckets
 
     B = num_buckets or default_buckets()
@@ -83,12 +94,28 @@ def bigram_pmi(ds, k: int = 30, min_count: int = 5, col: str = "text",
     # the SKINNY partials rather than re-tokenizing the corpus
     parts = parts.materialize()
 
+    thr = min_count
+    if min_count_ppm is not None:
+        # scale the support floor with total bigram mass (one cheap
+        # pass over the materialized skinny partials)
+        def tb_partial(tbl: pa.Table) -> pa.Table:
+            m = pc.equal(tbl["kind"], "TB")
+            s = pc.sum(pc.if_else(m, tbl["n"],
+                                  pa.scalar(0, pa.int64()))).as_py()
+            return pa.table({"tb": [int(s or 0)]})
+
+        tbs = parts.map_batches(tb_partial,
+                                batch_format="pyarrow").sum("tb")
+        total_bigrams = int(tbs or 0)
+        thr = max(min_count,
+                  int(np.ceil(min_count_ppm * total_bigrams / 1e6)))
+
     def bucket_candidates(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
         g = df.groupby(["key", "kind"], sort=False)["n"].sum()
         g = g.reset_index()
         keep = (g["kind"].isin(["TU", "TB"])
-                | ((g["kind"] == "b") & (g["n"] >= min_count)))
+                | ((g["kind"] == "b") & (g["n"] >= thr)))
         g = g[keep]
         return pa.table({"key": pa.array(g["key"], pa.string()),
                          "kind": pa.array(g["kind"], pa.string()),

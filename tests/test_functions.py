@@ -3492,3 +3492,28 @@ class TestAnnIndex:
         got = bpetrain._local_merge_loop(syms, wid, counts, vocab,
                                          80, 2)
         assert [(m[1], m[2], m[4]) for m in got] == want
+
+
+class TestBigramPmiPpm:
+    """Relative (ppm) support floor for corpus-proportional candidate
+    cost at scale."""
+
+    def test_ppm_floor_scales_with_mass(self):
+        from go_fluentd_ray.functions import ngrams
+
+        # 10 docs x 11 tokens = 100 bigrams; 'new york' appears 10x
+        # (100k ppm), 'rare pair' once (10k ppm)
+        rows = ["new york " + "a b c d e f g h i" for _ in range(9)]
+        rows.append("new york rare pair a b c d e f g")
+        df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                           "text": rows})
+        lo = ngrams.bigram_pmi(rd.from_pandas(df), k=50, min_count=1,
+                               min_count_ppm=5_000)
+        hi = ngrams.bigram_pmi(rd.from_pandas(df), k=50, min_count=1,
+                               min_count_ppm=50_000)
+        lo_pairs = set(zip(lo["w1"], lo["w2"]))
+        hi_pairs = set(zip(hi["w1"], hi["w2"]))
+        assert ("rare", "pair") in lo_pairs      # above 5k ppm
+        assert ("rare", "pair") not in hi_pairs  # below 50k ppm
+        assert ("new", "york") in hi_pairs       # 100k ppm survives
+        assert hi_pairs < lo_pairs               # floor only tightens
