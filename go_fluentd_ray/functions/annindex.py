@@ -20,9 +20,22 @@ parquet and makes the query path touch ONLY it:
 - query: compute each query's nprobe cells, read ONLY the shards
   holding probed cells (hive partition pruning — the IO analogue of
   an inverted list seek) under an `isin` row filter, ADC-scan the
-  codes, and exact-re-rank the tiny shortlist against the embeddings
-  table (the one full-table pass left; at 100 TB replace the gather
-  with a point-lookup store keyed vec_id).
+  codes, and exact-re-rank the tiny shortlist against the index's own
+  vec_id-sharded embedding store (see below) — no full-corpus pass
+  anywhere in the query path.
+
+The embedding store is the point-lookup side of the index: at build
+time the raw embeddings are written hive-partitioned by
+hash(vec_id) % V_SHARDS with each batch pre-sorted by (vshard,
+vec_id), so (a) the re-rank reads only the shard DIRS holding
+candidate ids (a strict subset whenever the candidate set is small
+relative to V_SHARDS), and (b) within a touched shard, per-file
+vec_id min/max stats stay tight (input arrives roughly id-ordered),
+letting the `isin` filter prune row groups — the parquet approximation
+of a point-lookup KV store. The candidate set per query batch is
+O(n_queries * shortlist), independent of corpus width, so at 100 TB
+the re-rank read is bounded by candidates-touched row groups, not
+corpus size.
 
 Scale shape: build = fit passes + one encode pass + one skinny
 shuffle, all distributed, driver holds only the model; query =
@@ -39,15 +52,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .similarity import (_pq_encode, _shortlist_rerank, auto_centroid_count,
-                         emb_matrix, fit_centroids, fit_residual_codebooks,
-                         knn_bruteforce, query_matrix)
+from .similarity import (_exact_rerank, _pq_encode, _reduce_shortlist,
+                         auto_centroid_count, emb_matrix, fit_centroids,
+                         fit_residual_codebooks, knn_bruteforce, query_matrix)
 
 N_SHARDS = 64
+V_SHARDS = 64          # embedding-store dirs, keyed hash(vec_id)
 # bump when build/encode semantics change: the ensure_index cache key
 # includes it, so a persisted /tmp index can never serve results from
-# an older codec
-INDEX_VERSION = 1
+# an older codec (v2: added the vec_id-sharded embedding store)
+INDEX_VERSION = 2
+
+# test hook: the exact file list the last re-rank read (None when the
+# legacy full-gather fallback ran)
+LAST_RERANK_FILES: "list[str] | None" = None
+
+
+def _vshard(ids: np.ndarray) -> np.ndarray:
+    """Deterministic shard of a vec_id array: Knuth multiplicative
+    hash so strided/sequential id layouts still spread uniformly."""
+    return ((ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(2 ** 32) % np.uint64(V_SHARDS)).astype(np.int32)
 
 
 def auto_nprobe(n_centroids: int, frac: float = 0.05,
@@ -107,10 +132,26 @@ def build_ivfpq_index(ds, out_dir: str, n_centroids: int | None = None,
     # dirs stay pure and parquet row-group stats stay tight
     code_ds.sort("cell").write_parquet(os.path.join(out_dir, "codes"),
                                        partition_cols=["shard"])
+
+    # point-lookup embedding store: map-side only (no shuffle) — each
+    # block sorts itself by (vshard, vec_id) and hive-writes; dirs stay
+    # pure and per-file vec_id stats stay tight for isin pushdown
+    def emb_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        vs = _vshard(ids)
+        order = np.lexsort((ids, vs))
+        return (batch.select(["vec_id", "embedding"])
+                .append_column("vshard", pa.array(vs, type=pa.int32()))
+                .take(pa.array(order)))
+
+    (ds.map_batches(emb_shard, batch_format="pyarrow",
+                    zero_copy_batch=True)
+       .write_parquet(os.path.join(out_dir, "emb"),
+                      partition_cols=["vshard"]))
     np.savez(os.path.join(out_dir, "model.npz"), C=C, books=books)
     meta = {"n_rows": int(n_rows), "dim": int(dim), "m": int(m),
             "ks": int(ks), "n_centroids": int(n_cells),
-            "cells_per_shard": int(cells_per_shard)}
+            "cells_per_shard": int(cells_per_shard), "emb_store": True}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -132,12 +173,30 @@ def all_shard_files(index_dir: str) -> "list[str]":
         os.path.join(index_dir, "codes", "shard=*", "*.parquet")))
 
 
-def knn_ivfpq_query(index_dir: str, emb_ds, k: int = 5,
+def candidate_emb_files(index_dir: str, cand: np.ndarray) -> "list[str]":
+    """Embedding-store files of exactly the shard dirs holding the
+    candidate vec_ids — the re-rank's dir-level pruning."""
+    import glob
+
+    shards = np.unique(_vshard(np.asarray(cand, dtype=np.int64)))
+    return [f for s in shards for f in sorted(glob.glob(
+        os.path.join(index_dir, "emb", f"vshard={int(s)}", "*.parquet")))]
+
+
+def all_emb_files(index_dir: str) -> "list[str]":
+    import glob
+
+    return sorted(glob.glob(
+        os.path.join(index_dir, "emb", "vshard=*", "*.parquet")))
+
+
+def knn_ivfpq_query(index_dir: str, emb_ds=None, k: int = 5,
                     nprobe: int | None = None,
                     shortlist: int | None = None) -> pd.DataFrame:
     """ADC top-k over a persisted index: reads ONLY the code shards
-    containing probed cells. emb_ds supplies the exact re-rank
-    embeddings (and must be the table the index was built from)."""
+    containing probed cells, then exact-re-ranks the shortlist from
+    the index's own vec_id-sharded embedding store (emb_ds is only
+    needed as a fallback for legacy pre-v2 indexes without a store)."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
@@ -207,16 +266,52 @@ def knn_ivfpq_query(index_dir: str, emb_ds, k: int = 5,
     scan_rows = max(1024, min(8 * shortlist, -(-n_rows // cpus)))
     partials = idx.map_batches(scan, batch_format="pyarrow",
                                batch_size=scan_rows)
-    return _shortlist_rerank(emb_ds, partials, Q, k, shortlist, cpus)
+    short, cand = _reduce_shortlist(partials, shortlist, cpus)
+
+    global LAST_RERANK_FILES
+    if meta.get("emb_store"):
+        # point-lookup re-rank: read ONLY the emb-store shards holding
+        # candidate ids, isin-filtered — no full-corpus pass
+        emb_files = candidate_emb_files(index_dir, cand)
+        LAST_RERANK_FILES = emb_files
+        cflt = pc.field("vec_id").isin(pa.array(cand, type=pa.int64()))
+        got = pa.concat_tables(
+            rd.read_parquet(emb_files, columns=["vec_id", "embedding"],
+                            filter=cflt)
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        return _exact_rerank(got, short, Q, k)
+
+    # legacy (pre-v2) index without an embedding store: map-side
+    # filter pass over the caller's embeddings table
+    LAST_RERANK_FILES = None
+    cref = ray.put(cand)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        want = ray.get(cref)
+        keep = pc.is_in(batch["vec_id"],
+                        value_set=pa.array(want, type=pa.int64()))
+        return batch.select(["vec_id", "embedding"]).filter(keep)
+
+    got = pa.concat_tables(
+        emb_ds.map_batches(gather, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    return _exact_rerank(got, short, Q, k)
 
 
 def ensure_index(sf_dir: str, emb_ds, cache_root: str = "/tmp/graft_ann_index",
                  **build_kwargs) -> str:
     """Build-once cache for query entry points: one index per
-    (sf_dir, params) key. Concurrent builders race benignly — build
-    into a tmp dir, atomic rename, loser discards."""
+    (sf_dir, params) key. Concurrent schedulers are serialized by the
+    same O_EXCL lease the incremental-ingest path uses
+    (stages/incremental.py): the loser WAITS instead of paying a
+    second full build (65.7 s at 8M vectors), then finds the winner's
+    meta.json and returns. The tmp-dir + atomic-rename write is kept
+    so a crashed builder never leaves a half-written index visible."""
     import shutil
     import tempfile
+
+    from ..stages.incremental import ingest_lease
 
     parts = [f"v{INDEX_VERSION}",
              os.path.basename(os.path.normpath(sf_dir))] + [
@@ -224,15 +319,19 @@ def ensure_index(sf_dir: str, emb_ds, cache_root: str = "/tmp/graft_ann_index",
     out = os.path.join(cache_root, "-".join(parts).replace("/", "_"))
     if os.path.exists(os.path.join(out, "meta.json")):
         return out
-    os.makedirs(cache_root, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=cache_root, prefix=".build-")
-    build_ivfpq_index(emb_ds, tmp, **build_kwargs)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        if not os.path.exists(os.path.join(out, "meta.json")):
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
+    lock_dir = out + ".lock"
+    os.makedirs(lock_dir, exist_ok=True)
+    with ingest_lease(lock_dir, ttl_sec=3600.0, timeout_sec=3600.0):
+        if os.path.exists(os.path.join(out, "meta.json")):
+            return out          # a concurrent builder finished first
+        tmp = tempfile.mkdtemp(dir=cache_root, prefix=".build-")
+        build_ivfpq_index(emb_ds, tmp, **build_kwargs)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.exists(os.path.join(out, "meta.json")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

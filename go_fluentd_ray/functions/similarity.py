@@ -722,12 +722,9 @@ def knn_pq(ds, k: int = 5, m: int = 8, ks: int = 128,
     return _shortlist_rerank(ds, partials, Q, k, shortlist, cpus)
 
 
-def _shortlist_rerank(ds, partials, Q: np.ndarray, k: int,
-                      shortlist: int, cpus: int) -> pd.DataFrame:
-    """Shared tail of the compressed-scan ANN paths (knn_pq /
-    knn_ivfpq): coalesced top-shortlist reduce of the per-batch ADC
-    partials, then ONE map-side gather of the candidate embeddings for
-    an exact cosine re-rank.
+def _reduce_shortlist(partials, shortlist: int, cpus: int):
+    """Coalesced top-shortlist reduce of per-batch ADC partials.
+    Returns (short_df, cand_ids).
 
     Two-level coalesced reduce (the deterministic_sample pattern):
     per-block partials are up to shortlist rows per query EACH, and
@@ -736,9 +733,6 @@ def _shortlist_rerank(ds, partials, Q: np.ndarray, k: int,
     13.7M partial rows through the driver (~45 s, serial). Two local
     top-shortlist passes over coalesced partitions cap the driver at
     <= 4 * n_queries * shortlist rows at any block count."""
-    import ray
-
-    nq = Q.shape[0]
 
     def local_top(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["qid", "sim", "vec_id"],
@@ -757,6 +751,21 @@ def _shortlist_rerank(ds, partials, Q: np.ndarray, k: int,
                         ascending=[True, False, True], kind="mergesort")
     short = df.groupby("qid", sort=True).head(shortlist)
     cand = np.unique(short["vec_id"].to_numpy())
+    return short, cand
+
+
+def _shortlist_rerank(ds, partials, Q: np.ndarray, k: int,
+                      shortlist: int, cpus: int) -> pd.DataFrame:
+    """Shared tail of the one-shot compressed-scan ANN paths (knn_pq /
+    knn_ivfpq): coalesced top-shortlist reduce of the per-batch ADC
+    partials, then ONE map-side gather of the candidate embeddings for
+    an exact cosine re-rank. The persisted-index path (annindex) skips
+    the full-corpus gather entirely: it reads candidates from the
+    vec_id-sharded embedding store written at build time and calls
+    _exact_rerank directly."""
+    import ray
+
+    short, cand = _reduce_shortlist(partials, shortlist, cpus)
 
     # exact re-rank of the tiny candidate set: one map-side filter pass
     # (no shuffle), <= n_queries*shortlist rows reach the driver
@@ -774,6 +783,15 @@ def _shortlist_rerank(ds, partials, Q: np.ndarray, k: int,
         ds.map_batches(gather, batch_format="pyarrow",
                        zero_copy_batch=True)
         .iter_batches(batch_size=None, batch_format="pyarrow"))
+    return _exact_rerank(got, short, Q, k)
+
+
+def _exact_rerank(got: pa.Table, short: pd.DataFrame, Q: np.ndarray,
+                  k: int) -> pd.DataFrame:
+    """Exact cosine top-k over a gathered candidate table
+    (vec_id, embedding) — the common tail of both the map-side-gather
+    and the sharded-store re-rank paths."""
+    nq = Q.shape[0]
     E = emb_matrix(got["embedding"], dtype=np.float64)
     En = E / np.linalg.norm(E, axis=1, keepdims=True)
     ids = got["vec_id"].to_numpy()

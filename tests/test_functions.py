@@ -3,6 +3,8 @@ simhash, embedding), similarity search, text analysis, events, and
 multimodal plumbing. Approximate operators are tested against planted
 duplicates and exact brute-force oracles."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3454,6 +3456,68 @@ class TestAnnIndex:
             got = set(iv.loc[iv["qid"] == qid, "vec_id"])
             recalls.append(len(truth & got) / max(len(truth), 1))
         assert float(np.mean(recalls)) >= 0.9, recalls
+
+    def test_rerank_reads_candidate_shards_only(self, tmp_path):
+        """The exact re-rank must read a STRICT subset of the
+        embedding-store files (dir pruning by hash(vec_id)) and return
+        byte-identical output to the legacy full-corpus-gather path."""
+        import json as _json
+        import shutil
+
+        from go_fluentd_ray.functions import annindex
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        idx = str(tmp_path / "idx")
+        annindex.build_ivfpq_index(ds, idx)
+        # small shortlist -> few candidates -> some vshard dirs untouched
+        iv = annindex.knn_ivfpq_query(idx, k=5, shortlist=8)
+        read_files = annindex.LAST_RERANK_FILES
+        assert read_files is not None
+        everything = annindex.all_emb_files(idx)
+        assert set(read_files) < set(everything), (
+            len(read_files), len(everything))
+        # legacy path (index without a store) must agree exactly
+        legacy = str(tmp_path / "legacy")
+        shutil.copytree(idx, legacy)
+        with open(f"{legacy}/meta.json") as f:
+            meta = _json.load(f)
+        meta.pop("emb_store")
+        with open(f"{legacy}/meta.json", "w") as f:
+            _json.dump(meta, f)
+        iv2 = annindex.knn_ivfpq_query(legacy, ds, k=5, shortlist=8)
+        assert annindex.LAST_RERANK_FILES is None
+        pd.testing.assert_frame_equal(iv.reset_index(drop=True),
+                                      iv2.reset_index(drop=True))
+
+    def test_ensure_index_concurrent_single_build(self, tmp_path,
+                                                  monkeypatch):
+        """Two concurrent ensure_index calls on the same key must pay
+        ONE build: the loser blocks on the O_EXCL lease, then returns
+        the winner's index."""
+        import threading
+
+        from go_fluentd_ray.functions import annindex
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        builds = []
+        real = annindex.build_ivfpq_index
+
+        def counting(*a, **kw):
+            builds.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(annindex, "build_ivfpq_index", counting)
+        results = []
+        threads = [threading.Thread(target=lambda: results.append(
+            annindex.ensure_index(SF, ds, cache_root=str(tmp_path))))
+            for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(builds) == 1, builds
+        assert len(set(results)) == 1 and os.path.exists(
+            os.path.join(results[0], "meta.json"))
 
     def test_auto_nprobe_fraction(self):
         from go_fluentd_ray.functions.annindex import auto_nprobe
