@@ -93,12 +93,51 @@ def cluster_pairs(emb_ds, centroids: np.ndarray, threshold: float,
         ids = df[id_col].to_numpy()
         E = np.stack([np.asarray(v, dtype=np.float64)
                       for v in df["embedding"]])
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        S = En @ En.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = S[iu, ju] >= threshold
-        a, b = ids[iu[hit]], ids[ju[hit]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+
+        # exact-dup collapse (the jaccard_join collapse_exact treatment):
+        # byte-identical embeddings form a clique at any threshold <= 1,
+        # so STAR edges to each group's min-id representative preserve
+        # connected components exactly (an identical member reaches any
+        # external x iff its rep does — same vector, same cosine) while
+        # the O(u^2) scan runs over UNIQUE embeddings only. This is what
+        # kills the boilerplate/tiled-corpus hot cell: the sf1 rehearsal
+        # fixture (10x exact-tiled sf0.1) previously ran O(cell^2) over
+        # 10 identical copies of every vector — 108 s / 13.4 GB vs ~2 s
+        # at sf0.1 — and now collapses 10x before pairing.
+        star_a = star_b = np.empty(0, dtype=np.int64)
+        uniq, inv = np.unique(E, axis=0, return_inverse=True)
+        if uniq.shape[0] < len(ids):
+            order = np.lexsort((ids, inv))
+            gids, ginv = ids[order], inv[order]
+            first = np.r_[True, ginv[1:] != ginv[:-1]]
+            reps = gids[first]                  # min id per group
+            rep_of = np.repeat(reps, np.diff(
+                np.r_[np.flatnonzero(first), len(gids)]))
+            dup = ~first
+            star_a, star_b = rep_of[dup], gids[dup]   # rep < member
+            ids_u, E_u = reps, uniq
+        else:
+            ids_u, E_u = ids, E
+        En = E_u / np.linalg.norm(E_u, axis=1, keepdims=True)
+        u = En.shape[0]
+
+        # chunked upper-triangle scan: the full u x u f64 sim matrix is
+        # the other half of the hot-cell blowup (3.2 GB at u=20k);
+        # 2048-row strips bound peak memory at 2048*u*8 bytes while
+        # keeping the exact f64 >= threshold test (DuckDB double math)
+        CH = 2048
+        a_parts, b_parts = [star_a], [star_b]
+        col = np.arange(u)
+        for i0 in range(0, u, CH):
+            strip = En[i0:i0 + CH] @ En.T
+            mask = (strip >= threshold) & (
+                col[None, :] > (i0 + np.arange(strip.shape[0]))[:, None])
+            ii, jj = np.nonzero(mask)
+            a, b = ids_u[i0 + ii], ids_u[jj]
+            a_parts.append(np.minimum(a, b))
+            b_parts.append(np.maximum(a, b))
+        lo = np.concatenate(a_parts)
+        hi = np.concatenate(b_parts)
         # arrow out (not pandas) keeps every downstream block an
         # ArrowBlock — mixed block kinds defeat Ray's schema dedup
         return pa.table({"a": pa.array(lo, type=pa.int64()),

@@ -1597,6 +1597,49 @@ class TestSemanticDedup:
         # cosine 0.99)
         assert set(range(24, 44)) <= kept
 
+    def test_exact_dup_collapse_preserves_components(self):
+        """The hot-cell fix (collapse byte-identical embeddings to star
+        edges + chunked strips) must leave survivor sets EXACTLY equal
+        to the naive all-pairs components on a tiled corpus — the shape
+        of the sf1 rehearsal fixture that previously ran O(cell^2) over
+        every exact copy."""
+        from go_fluentd_ray.functions import semdedup
+
+        rng = np.random.default_rng(23)
+        base = rng.normal(size=(80, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        V = np.tile(base, (5, 1))               # 5 exact copies of each
+        ids = np.arange(400, dtype=np.int64)
+        df = pd.DataFrame({"vec_id": ids,
+                           "embedding": [v.tolist() for v in V]})
+        thr = 0.30
+        # naive truth: all-pairs cosine >= thr, union-find, min-id kept
+        S = V @ V.T
+        parent = list(range(400))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        iu, ju = np.triu_indices(400, k=1)
+        for a, b in zip(iu[S[iu, ju] >= thr], ju[S[iu, ju] >= thr]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict = {}
+        for i in range(400):
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        want = sorted(comp_min[find(i)] for i in set(find(i)
+                                                     for i in range(400)))
+        # n_centroids=1 -> within-cell == all-pairs, so equality is exact
+        out = semdedup.semantic_dedup(
+            rd.from_pandas(df).repartition(7), threshold=thr,
+            n_centroids=1, sample_n=400).to_pandas()
+        assert sorted(out["vec_id"]) == want
+
     def test_no_dups_is_identity(self):
         from go_fluentd_ray.functions import semdedup
 
