@@ -34,6 +34,15 @@ Scale shape: build = one corpus pass + one skinny postings shuffle
 scan + a candidate-sized groupby + a k-rows-per-batch reduce. A
 stop-word query term still costs its full posting list — as in any
 inverted index — but the list is postings, never documents.
+
+Incremental maintenance (append_bm25_index): new ingest batches fold
+in as NEW posting files inside the existing term-shard dirs plus exact
+integer (n_docs, sum_dl) meta deltas — the sink-side analogue of the
+reference journal's tailing continuous operation (journal.go:495-511):
+the index absorbs each batch for one batch-sized pass, and queries over
+the appended index equal a full rebuild over the union corpus exactly
+(df/tf/avgdl all commute as integer sums). A staleness counter triggers
+a full rebuild once appends exceed STALENESS_REBUILD_FRAC of the base.
 """
 
 from __future__ import annotations
@@ -53,8 +62,18 @@ from .bm25 import (BM25_B, BM25_K1, BM25_QUERIES, _flat_tokens_arrow,
 N_SHARDS = 64
 # bump when postings/tokenize semantics change: ensure_bm25_index's
 # cache key includes it so a persisted /tmp index can never serve
-# results from an older layout
-INDEX_VERSION = 1
+# results from an older layout (v2: meta carries exact sum_dl +
+# append counters so incremental appends stay avgdl-exact)
+INDEX_VERSION = 2
+
+# incremental staleness: once appended docs exceed this fraction of
+# the docs the index was last FULLY built over, the maintainer
+# (stages/indexingest.run_index_ingest) pays a full rebuild. For BM25
+# appends are EXACT (postings/df/avgdl all sum), so the trigger only
+# bounds file-count fragmentation of the shard dirs; for IVF-PQ it
+# also bounds frozen-centroid decay (appended rows are encoded against
+# the base model, which drifts from the union distribution).
+STALENESS_REBUILD_FRAC = 0.5
 
 
 def _term_shard(terms: "list[str]") -> np.ndarray:
@@ -66,10 +85,10 @@ def _term_shard(terms: "list[str]") -> np.ndarray:
          for t in terms], dtype=np.int32)
 
 
-def build_bm25_index(ds, out_dir: str, col: str = "text",
-                     id_col: str = "doc_id") -> dict:
-    """Tokenize + postings + shard sort + hive write. Returns the
-    meta dict (also written to out_dir/meta.json)."""
+def _postings_ds(ds, col: str, id_col: str):
+    """Skinny postings dataset (term, doc_id, tf, dl, shard) — shared
+    by full build and incremental append so both write byte-compatible
+    shard files."""
 
     def postings(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -100,6 +119,13 @@ def build_bm25_index(ds, out_dir: str, col: str = "text",
             "dl": pa.array(dl[urow]),
             "shard": pa.array(shard_of[ucode])})
 
+    return ds.select_columns([id_col, col]).map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _corpus_sums(ds, col: str) -> "tuple[int, int]":
+    """Exact (n_docs, sum_dl) integer totals for a corpus slice."""
+
     def stats_partial(batch: pa.Table) -> pa.Table:
         flat, _ = _flat_tokens_arrow(batch[col])
         return pa.table({"n_docs": [len(batch)], "sum_dl": [len(flat)]})
@@ -107,20 +133,81 @@ def build_bm25_index(ds, out_dir: str, col: str = "text",
     sums = ds.select_columns([col]).map_batches(
         stats_partial, batch_format="pyarrow",
         zero_copy_batch=True).sum(["n_docs", "sum_dl"])
-    n_docs = int(sums["sum(n_docs)"])
-    avgdl = float(sums["sum(sum_dl)"]) / max(n_docs, 1)
+    if sums is None:          # empty slice
+        return 0, 0
+    return int(sums["sum(n_docs)"]), int(sums["sum(sum_dl)"])
 
-    post = ds.select_columns([id_col, col]).map_batches(
-        postings, batch_format="pyarrow", zero_copy_batch=True)
+
+def _write_postings(ds, out_dir: str, col: str, id_col: str) -> None:
     # skinny all-to-all: shard-contiguous layout keeps hive dirs pure,
     # term-sorted row groups keep min/max stats tight for the isin scan
-    post.sort(["shard", "term"]).write_parquet(
+    _postings_ds(ds, col, id_col).sort(["shard", "term"]).write_parquet(
         os.path.join(out_dir, "postings"), partition_cols=["shard"])
-    meta = {"n_docs": n_docs, "avgdl": avgdl, "n_shards": N_SHARDS,
-            "version": INDEX_VERSION}
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+
+
+def _save_meta(out_dir: str, meta: dict) -> None:
+    """Atomic meta write: appends update meta in place and a reader
+    must never see a torn file."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".mtmp")
+    os.close(fd)
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.rename(tmp, os.path.join(out_dir, "meta.json"))
+
+
+def build_bm25_index(ds, out_dir: str, col: str = "text",
+                     id_col: str = "doc_id") -> dict:
+    """Tokenize + postings + shard sort + hive write. Returns the
+    meta dict (also written to out_dir/meta.json)."""
+    n_docs, sum_dl = _corpus_sums(ds, col)
+    _write_postings(ds, out_dir, col, id_col)
+    meta = {"n_docs": n_docs, "sum_dl": sum_dl,
+            "avgdl": float(sum_dl) / max(n_docs, 1),
+            "n_shards": N_SHARDS, "version": INDEX_VERSION,
+            "base_docs": n_docs, "appended_docs": 0}
+    _save_meta(out_dir, meta)
     return meta
+
+
+def append_bm25_index(index_dir: str, ds, col: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """Incremental maintenance: fold a NEW batch of docs into an
+    existing index — new posting files land in the existing
+    blake2b(term) shard dirs (write_parquet appends; per-write uuid
+    filenames can't collide), and meta folds exact integer
+    (n_docs, sum_dl) deltas, so avgdl/df/tf all equal a full rebuild
+    over the union corpus bit-for-bit (asserted in pytest). The daily-
+    ingest user pays one corpus-slice pass per batch instead of the
+    full build wall; stages/indexingest.run_index_ingest drives this
+    under the ingest lease with the staleness rebuild trigger."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if "sum_dl" not in meta:
+        raise ValueError(
+            f"index at {index_dir} predates v2 (no exact sum_dl); "
+            "rebuild before appending")
+    n_new, dl_new = _corpus_sums(ds, col)
+    if n_new == 0:
+        return meta
+    _write_postings(ds, index_dir, col, id_col)
+    meta["n_docs"] += n_new
+    meta["sum_dl"] += dl_new
+    meta["avgdl"] = float(meta["sum_dl"]) / max(meta["n_docs"], 1)
+    meta["appended_docs"] = meta.get("appended_docs", 0) + n_new
+    _save_meta(index_dir, meta)
+    return meta
+
+
+def needs_rebuild(index_dir: str,
+                  frac: float = STALENESS_REBUILD_FRAC) -> bool:
+    """Staleness trigger: appended docs exceed `frac` of the last full
+    build's corpus."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    return meta.get("appended_docs", 0) > frac * max(
+        meta.get("base_docs", meta["n_docs"]), 1)
 
 
 def _shard_files(index_dir: str, shards) -> "list[str]":
