@@ -3403,6 +3403,73 @@ class TestBpeTrain:
         want = bpetrain.naive_bpe({"aaaa": 2, "aaa": 1}, 2)
         assert list(zip(out["left"], out["right"], out["n"])) == want
 
+    def test_delta_engine_matches_naive_and_recount(self):
+        """The O(matches)/iteration delta engine (bpedelta) must
+        reproduce bpe_train and naive_bpe exactly on the textbook
+        corpus, on both its local and chunked (actor) paths."""
+        from go_fluentd_ray.functions import bpedelta, bpetrain
+
+        df = self._corpus_df()
+        want = bpetrain.bpe_train(rd.from_pandas(df).repartition(3),
+                                  n_merges=10)
+        got = bpedelta.bpe_train_delta(
+            rd.from_pandas(df).repartition(3), n_merges=10)
+        pd.testing.assert_frame_equal(got, want)
+        got2 = bpedelta.bpe_train_delta(
+            rd.from_pandas(df).repartition(5), n_merges=10,
+            local_max_rows=0, num_buckets=3)
+        pd.testing.assert_frame_equal(got2, want)
+
+    def test_delta_engine_overlap_runs(self):
+        """Greedy-leftmost parity in link space: self-pair runs
+        ('aaaa', 'aaaaa') keep even ordinals exactly like the
+        recount path."""
+        from go_fluentd_ray.functions import bpedelta, bpetrain
+
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["aaaa aaaa aaa", "aaaaa baab"]})
+        want = bpetrain.naive_bpe({"aaaa": 2, "aaa": 1, "aaaaa": 1,
+                                   "baab": 1}, 6, min_count=1)
+        out = bpedelta.bpe_train_delta(rd.from_pandas(df), n_merges=6,
+                                       min_count=1)
+        assert list(zip(out["left"], out["right"], out["n"])) == want
+
+    def test_delta_engine_randomized_long(self):
+        """80 merges over a randomized 3000-word Zipf-ish table with
+        repeated-char runs and shared affixes — the fused-loop
+        hardening corpus — must equal naive exactly on BOTH delta
+        paths (the long horizon catches any count-drift a windowed
+        delta bug would accumulate)."""
+        from go_fluentd_ray.functions import bpedelta, bpetrain
+
+        rng = np.random.default_rng(13)
+        frags = ["ab", "ba", "aa", "bb", "ca", "ac", "abc", "cab"]
+        words = {}
+        for _ in range(3000):
+            w = "".join(rng.choice(frags)
+                        for _ in range(rng.integers(1, 6)))
+            if rng.random() < 0.2:
+                w += "a" * int(rng.integers(2, 6))
+            words[w] = words.get(w, 0) + int(rng.zipf(1.7))
+        want = bpetrain.naive_bpe(words, 80)
+        docs, cur = [], []
+        for w, c in words.items():
+            cur.extend([w] * c)
+            if len(cur) >= 50:
+                docs.append(" ".join(cur))
+                cur = []
+        if cur:
+            docs.append(" ".join(cur))
+        df = pd.DataFrame({"doc_id": np.arange(len(docs),
+                                               dtype=np.int64),
+                           "text": docs})
+        out = bpedelta.bpe_train_delta(rd.from_pandas(df), n_merges=80)
+        assert list(zip(out["left"], out["right"], out["n"])) == want
+        out2 = bpedelta.bpe_train_delta(
+            rd.from_pandas(df).repartition(9), n_merges=80,
+            local_max_rows=0)
+        assert list(zip(out2["left"], out2["right"], out2["n"])) == want
+
     def test_token_lens(self):
         from go_fluentd_ray.functions import bpetrain
 
