@@ -1031,6 +1031,24 @@ def _q_text_knn(sf_dir: str):
     return embed.text_knn(_docs_text(sf_dir))
 
 
+def _q_text_knn_indexed(sf_dir: str):
+    """Indexed tier of text_knn: embed_docs -> persisted IVF-PQ index
+    (build-once cache) -> pruned ADC query with hash-embedded query
+    strings. Rows-only; gated by text_knn_indexed_recall and the
+    golden anchor."""
+    from go_fluentd_ray.functions import embed
+
+    return embed.text_knn_indexed(sf_dir, _docs_text(sf_dir))
+
+
+def _q_text_knn_indexed_recall(sf_dir: str):
+    """recall@k of the indexed text-kNN tier vs the fused brute-force
+    scan (>= 0.9 pytest gate)."""
+    from go_fluentd_ray.functions import embed
+
+    return embed.text_knn_indexed_recall(sf_dir, _docs_text(sf_dir))
+
+
 def _q_badwords_filter(sf_dir: str):
     """C4-style blocklist document filter: token-level case-insensitive
     membership, pure map-side."""
@@ -1375,6 +1393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_indexed": _q_bm25_indexed,
         "embed_docs": _q_embed_docs,
         "text_knn": _q_text_knn,
+        "text_knn_indexed": _q_text_knn_indexed,
+        "text_knn_indexed_recall": _q_text_knn_indexed_recall,
         "bigram_pmi": _q_bigram_pmi,
         "corpus_drift": _q_corpus_drift,
         "drift_topk": _q_drift_topk,

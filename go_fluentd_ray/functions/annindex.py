@@ -265,11 +265,15 @@ def all_emb_files(index_dir: str) -> "list[str]":
 
 def knn_ivfpq_query(index_dir: str, emb_ds=None, k: int = 5,
                     nprobe: int | None = None,
-                    shortlist: int | None = None) -> pd.DataFrame:
+                    shortlist: int | None = None,
+                    Q: np.ndarray | None = None) -> pd.DataFrame:
     """ADC top-k over a persisted index: reads ONLY the code shards
     containing probed cells, then exact-re-ranks the shortlist from
     the index's own vec_id-sharded embedding store (emb_ds is only
-    needed as a fallback for legacy pre-v2 indexes without a store)."""
+    needed as a fallback for legacy pre-v2 indexes without a store).
+    Q overrides the default synthetic query matrix (rows must be
+    unit-norm, shape (nq, dim)) — the text-kNN composition passes
+    hash-embedded query strings here."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
@@ -284,7 +288,10 @@ def knn_ivfpq_query(index_dir: str, emb_ds=None, k: int = 5,
         nprobe = auto_nprobe(n_cells)
     if shortlist is None:
         shortlist = max(64, int(8 * np.sqrt(n_rows)))
-    Q = query_matrix(dim)
+    if Q is None:
+        Q = query_matrix(dim)
+    else:
+        Q = np.asarray(Q, dtype=np.float64)
     nq, dsub = Q.shape[0], dim // m
     qC = (Q @ C.T).astype(np.float32)                 # (nq, cells)
     probes = np.argsort(-qC, axis=1)[:, :nprobe]
@@ -373,7 +380,7 @@ def knn_ivfpq_query(index_dir: str, emb_ds=None, k: int = 5,
 
 
 def ensure_index(sf_dir: str, emb_ds, cache_root: str = "/tmp/graft_ann_index",
-                 **build_kwargs) -> str:
+                 key_extra: str = "", **build_kwargs) -> str:
     """Build-once cache for query entry points: one index per
     (sf_dir, params) key. Concurrent schedulers are serialized by the
     same O_EXCL lease the incremental-ingest path uses
@@ -387,7 +394,8 @@ def ensure_index(sf_dir: str, emb_ds, cache_root: str = "/tmp/graft_ann_index",
     from ..stages.incremental import ingest_lease
 
     parts = [f"v{INDEX_VERSION}",
-             os.path.basename(os.path.normpath(sf_dir))] + [
+             os.path.basename(os.path.normpath(sf_dir))] \
+        + ([key_extra] if key_extra else []) + [
         f"{k}={v}" for k, v in sorted(build_kwargs.items())]
     out = os.path.join(cache_root, "-".join(parts).replace("/", "_"))
     if os.path.exists(os.path.join(out, "meta.json")):

@@ -121,3 +121,49 @@ def text_knn(ds, query_texts=TEXT_KNN_QUERIES, k: int = 5,
     out["rank"] = out.groupby("qid").cumcount().astype(np.int64)
     out["sim"] = out["sim"].round(4)
     return out[["qid", "rank", "doc_id", "sim"]]
+
+
+def text_knn_indexed(sf_dir: str, ds, query_texts=TEXT_KNN_QUERIES,
+                     k: int = 5, dim: int = DEFAULT_DIM,
+                     col: str = "text", id_col: str = "doc_id",
+                     **build_kwargs) -> pd.DataFrame:
+    """Indexed tier for raw-text corpora: embed_docs ->
+    build-once IVF-PQ index (annindex.ensure_index, keyed separately
+    from the embeddings-table index) -> pruned ADC query with the
+    query STRINGS hash-embedded as the query matrix. Same output
+    contract as text_knn (qid, rank, doc_id, sim); at scale the
+    per-query-batch cost is the probed code shards + the candidate
+    embedding-store shards instead of text_knn's full corpus scan."""
+    from .annindex import ensure_index, knn_ivfpq_query
+
+    emb = embed_docs(ds, dim=dim, col=col, id_col=id_col).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    idx = ensure_index(sf_dir, emb, key_extra=f"textknn-d{dim}",
+                       **build_kwargs)
+    Q = hash_embed(list(query_texts), dim).astype(np.float64)
+    out = knn_ivfpq_query(idx, emb, k=k, Q=Q)
+    out = out.rename(columns={"vec_id": id_col})
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
+def text_knn_indexed_recall(sf_dir: str, ds,
+                            query_texts=TEXT_KNN_QUERIES, k: int = 5,
+                            dim: int = DEFAULT_DIM,
+                            **build_kwargs) -> pd.DataFrame:
+    """recall@k of the indexed text-kNN tier vs the fused brute-force
+    scan — the driver-visible quality gate (knn_ivfpq_indexed_recall
+    pattern applied to the text composition)."""
+    bf = text_knn(ds, query_texts=query_texts, k=k, dim=dim)
+    iv = text_knn_indexed(sf_dir, ds, query_texts=query_texts, k=k,
+                          dim=dim, **build_kwargs)
+    qids = sorted(bf["qid"].unique())
+    recalls = []
+    for qid in qids:
+        truth = set(bf.loc[bf["qid"] == qid, "doc_id"])
+        got = set(iv.loc[iv["qid"] == qid, "doc_id"])
+        recalls.append(len(truth & got) / max(len(truth), 1))
+    return pd.DataFrame({"qid": np.array(qids + [-1], dtype=np.int64),
+                         "recall_at_k": np.round(
+                             recalls + [float(np.mean(recalls))], 4)})

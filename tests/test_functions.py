@@ -2203,6 +2203,20 @@ class TestHashEmbed:
         assert out.iloc[0]["doc_id"] == 7
         assert out.iloc[0]["sim"] > 0.99
 
+    def test_text_knn_indexed_recall_gate(self, tmp_path):
+        """The composed embed -> IVF-PQ-index -> query tier must
+        recover >= 0.9 of the brute-force text_knn answer set at
+        sf0.01 (the driver-visible text_knn_indexed_recall gate)."""
+        from go_fluentd_ray.functions import embed
+
+        ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                             columns=["doc_id", "text"])
+        out = embed.text_knn_indexed_recall(
+            "/root/testdata/sf0.01", ds,
+            cache_root=str(tmp_path))
+        mean = float(out.loc[out["qid"] == -1, "recall_at_k"].iloc[0])
+        assert mean >= 0.9, out
+
 
 class TestBadwordsFilter:
     def test_token_not_substring(self):
