@@ -85,7 +85,8 @@ def auto_nprobe(n_centroids: int, frac: float = 0.05,
 
 
 def _encode_and_write(ds, out_dir: str, C: np.ndarray, books: np.ndarray,
-                      cells_per_shard: int) -> None:
+                      cells_per_shard: int, emb_n_rows: int = 0,
+                      dim_bytes: int = 0) -> None:
     """Encode a corpus slice against a FROZEN model and write both
     index sides — codes (cell-sorted hive shards) and the point-lookup
     embedding store. Shared by full build and incremental append, so
@@ -130,8 +131,17 @@ def _encode_and_write(ds, out_dir: str, C: np.ndarray, books: np.ndarray,
                 .append_column("vshard", pa.array(vs, type=pa.int32()))
                 .take(pa.array(order)))
 
+    # coalesce before the hive write: file count = blocks x V_SHARDS,
+    # and the QUERY pays per-file open/stats overhead on every touched
+    # shard — at 8M vectors the un-coalesced store was 4096 files and
+    # file overhead, not bytes, floored the re-rank read (measured).
+    # Size blocks to ~128 MB of store payload so the count stays
+    # proportional to data, never to the reader's parallelism.
+    n_rows_est = emb_n_rows if emb_n_rows else 0
+    store_blocks = max(8, (n_rows_est * (dim_bytes + 12)) // (128 << 20))
     (ds.map_batches(emb_shard, batch_format="pyarrow",
                     zero_copy_batch=True)
+       .repartition(int(store_blocks), shuffle=False)
        .write_parquet(os.path.join(out_dir, "emb"),
                       partition_cols=["vshard"]))
 
@@ -181,7 +191,8 @@ def build_ivfpq_index(ds, out_dir: str, n_centroids: int | None = None,
             refine_sample_mod=refine_sample_mod)
     n_cells = C.shape[0]
     cells_per_shard = -(-n_cells // N_SHARDS)
-    _encode_and_write(ds, out_dir, C, books, cells_per_shard)
+    _encode_and_write(ds, out_dir, C, books, cells_per_shard,
+                      emb_n_rows=int(n_rows), dim_bytes=4 * dim)
     np.savez(os.path.join(out_dir, "model.npz"), C=C, books=books)
     meta = {"n_rows": int(n_rows), "dim": int(dim), "m": int(m),
             "ks": int(ks), "n_centroids": int(n_cells),
@@ -214,7 +225,8 @@ def append_ivfpq_index(index_dir: str, ds) -> dict:
         return meta
     model = np.load(os.path.join(index_dir, "model.npz"))
     _encode_and_write(ds, index_dir, model["C"], model["books"],
-                      meta["cells_per_shard"])
+                      meta["cells_per_shard"], emb_n_rows=int(n_new),
+                      dim_bytes=4 * meta["dim"])
     meta["n_rows"] += int(n_new)
     meta["appended_rows"] = meta.get("appended_rows", 0) + int(n_new)
     _save_meta(index_dir, meta)
@@ -287,7 +299,15 @@ def knn_ivfpq_query(index_dir: str, emb_ds=None, k: int = 5,
     if nprobe is None:
         nprobe = auto_nprobe(n_cells)
     if shortlist is None:
-        shortlist = max(64, int(8 * np.sqrt(n_rows)))
+        # sqrt growth with an 8192 CAP: the exact re-rank reads
+        # O(n_queries * shortlist) rows, so an uncapped sqrt keeps the
+        # candidate set corpus-coupled (22.6k/query at 8M -> 181k ids,
+        # every store shard touched). Production re-rank shortlists are
+        # constants (FAISS refine factors); measured at 8M clustered:
+        # recall@5 = 1.0 at 8192 (and still 0.95 at 2048), query wall
+        # 10.8 s uncapped -> 6.5 s capped. The recall gates
+        # (knn_ivfpq_indexed_recall, pytest >= 0.9) hold the line.
+        shortlist = min(max(64, int(8 * np.sqrt(n_rows))), 8192)
     if Q is None:
         Q = query_matrix(dim)
     else:

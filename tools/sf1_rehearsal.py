@@ -35,6 +35,12 @@ import time
 SF1_DIR = os.environ.get("GRAFT_SF1_DIR", "/tmp/graft_sf1_tables/sf1")
 TIMEOUT_SEC = int(os.environ.get("GRAFT_SF1_TIMEOUT", "900"))
 OBJECT_STORE_GB = float(os.environ.get("GRAFT_SF1_STORE_GB", "16"))
+# tiling factor: 10 copies of sf0.1 = sf1. GRAFT_SF_TILE=20 with
+# GRAFT_SF1_DIR=.../sf2 + GRAFT_SF1_OUT=SF2_REHEARSAL.json gives the
+# sf2 spot rehearsal (one more doubling past sf1 to confirm the
+# sub-linearity trend isn't an artifact of a single tiling step)
+TILE = int(os.environ.get("GRAFT_SF_TILE", "10"))
+OUT_NAME = os.environ.get("GRAFT_SF1_OUT", "SF1_REHEARSAL.json")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _TILE_KEYS = {
@@ -74,7 +80,7 @@ def prepare() -> str:
             continue
         src = pq.read_table(f"/root/testdata/sf0.1/{table}.parquet")
         copies = []
-        for k in range(10):
+        for k in range(TILE):
             t = src
             for key in keys:
                 step = pc.max(src[key]).as_py() + 1
@@ -174,7 +180,7 @@ def main() -> None:
     import __ray_entry__ as e
 
     names = [a for a in sys.argv[1:] if not a.startswith("-")]
-    out_path = os.path.join(REPO, "SF1_REHEARSAL.json")
+    out_path = os.path.join(REPO, OUT_NAME)
     results: dict[str, dict] = {}
     if names and os.path.exists(out_path):
         with open(out_path) as f:    # subset rerun: merge over prior
