@@ -487,6 +487,33 @@ def bench_text_knn(sf_dir: str):
 BENCHES.update({"text_knn": bench_text_knn})
 
 
+def bench_text_knn_indexed(sf_dir: str):
+    """The indexed text tier built FRESH (embed -> IVF-PQ build ->
+    pruned query) — the amortizable cost; per-batch query cost after
+    the build is the ivfpq_index story."""
+    import shutil
+    import tempfile
+
+    from .annindex import build_ivfpq_index, knn_ivfpq_query
+    from .embed import embed_docs, hash_embed
+
+    ds = _docs(sf_dir, cols=("doc_id", "text"))
+    emb = embed_docs(ds).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="tknnidx-")
+    try:
+        build_ivfpq_index(emb, idx)
+        from .embed import TEXT_KNN_QUERIES
+        Q = hash_embed(list(TEXT_KNN_QUERIES)).astype("float64")
+        return len(knn_ivfpq_query(idx, k=5, Q=Q))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+BENCHES.update({"text_knn_indexed": bench_text_knn_indexed})
+
+
 def bench_bigram_pmi(sf_dir: str):
     """Collocation mining: bucketed-exact bigram/unigram counts, PMI
     on the candidate-sized driver table."""
