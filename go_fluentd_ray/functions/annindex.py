@@ -213,7 +213,9 @@ def append_ivfpq_index(index_dir: str, ds) -> dict:
     recall decays only as the frozen centroids drift from the union
     distribution, which the needs_rebuild staleness trigger bounds —
     the sink-side analogue of the reference journal's tailing
-    continuous operation (journal.go:495-511)."""
+    continuous operation (journal.go:495-511). Precondition: appended
+    batches carry vec_ids disjoint from the indexed corpus
+    (run_index_ingest's file-claiming state guarantees it)."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     if not meta.get("emb_store"):

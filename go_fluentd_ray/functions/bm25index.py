@@ -181,7 +181,12 @@ def append_bm25_index(index_dir: str, ds, col: str = "text",
     over the union corpus bit-for-bit (asserted in pytest). The daily-
     ingest user pays one corpus-slice pass per batch instead of the
     full build wall; stages/indexingest.run_index_ingest drives this
-    under the ingest lease with the staleness rebuild trigger."""
+    under the ingest lease with the staleness rebuild trigger.
+
+    Precondition: appended batches carry doc_ids DISJOINT from
+    everything already indexed — append-only postings would double-
+    count a re-ingested doc's df/tf. run_index_ingest's file-claiming
+    state guarantees it; direct callers own it."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     if "sum_dl" not in meta:

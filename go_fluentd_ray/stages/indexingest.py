@@ -106,15 +106,30 @@ def run_index_ingest(corpus_path: str, out_root: str, kind: str = "bm25",
                 build(_read_sized(new_paths), tmp, **index_kwargs)
                 _swap_in(out_root, tmp, index_dir)
             else:
-                append(index_dir, _read_sized(new_paths))
-                action = "append"
-                if needs_rebuild(index_dir, rebuild_frac):
+                # decide BEFORE appending: a rebuild tick must not pay
+                # a doomed append pass first. The new batch's row count
+                # is one cheap metadata read (parquet row counts).
+                import json as _json
+
+                import pyarrow.parquet as _pq
+
+                n_new_rows = sum(_pq.ParquetFile(p).metadata.num_rows
+                                 for p in new_paths)
+                with open(os.path.join(index_dir, "meta.json")) as f:
+                    m = _json.load(f)
+                base = max(m.get("base_docs", m.get("base_rows", 1)), 1)
+                appended = m.get("appended_docs",
+                                 m.get("appended_rows", 0))
+                if appended + n_new_rows > rebuild_frac * base:
                     action = "rebuild"
                     union = [os.path.join(corpus_path, f)
                              for f in sorted(claimed | set(new))]
                     tmp = tempfile.mkdtemp(dir=out_root, prefix=".bld-")
                     build(_read_sized(union), tmp, **index_kwargs)
                     _swap_in(out_root, tmp, index_dir)
+                else:
+                    append(index_dir, _read_sized(new_paths))
+                    action = "append"
             bid = max((b["id"] for b in state["batches"]), default=-1) + 1
             state["batches"].append({"id": bid, "files": new,
                                      "action": action,
