@@ -24,8 +24,11 @@ def _cluster_cpus() -> int:
     return 8
 
 
-def _path_bytes(path: str) -> int:
+def _path_bytes(path) -> int:
     total = 0
+    if isinstance(path, (list, tuple)):
+        return sum(os.path.getsize(p) for p in path
+                   if os.path.isfile(p))
     if os.path.isdir(path):
         for f in os.listdir(path):
             p = os.path.join(path, f)
@@ -36,11 +39,12 @@ def _path_bytes(path: str) -> int:
     return total
 
 
-def sized_read_parquet(path: str, columns: list[str] | None = None,
+def sized_read_parquet(path, columns: list[str] | None = None,
                        target_block_bytes: int = 32 << 20):
     """read_parquet with override_num_blocks sized to the input bytes
     (floor = cores for map parallelism, cap = 16x cores so block count
-    stays bounded per node while blocks stay ~32 MB)."""
+    stays bounded per node while blocks stay ~32 MB). `path` may be a
+    directory, a file, or an explicit list of files."""
     import ray.data as rd
 
     total = _path_bytes(path)
