@@ -369,6 +369,14 @@ def knn_ivfpq_query(index_dir: str, emb_ds=None, k: int = 5,
     partials = idx.map_batches(scan, batch_format="pyarrow",
                                batch_size=scan_rows)
     short, cand = _reduce_shortlist(partials, shortlist, cpus)
+    if cand.size == 0:
+        # every probed cell was empty (possible on degenerate tiny
+        # indexes) — empty result in the output contract, not a crash
+        return pd.DataFrame({
+            "qid": np.empty(0, np.int64),
+            "rank": np.empty(0, np.int64),
+            "vec_id": np.empty(0, np.int64),
+            "sim": np.empty(0, np.float64)})
 
     global LAST_RERANK_FILES
     if meta.get("emb_store"):

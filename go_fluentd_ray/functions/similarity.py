@@ -747,6 +747,12 @@ def _reduce_shortlist(partials, shortlist: int, cpus: int):
                 .map_batches(local_top, batch_format="pandas",
                              batch_size=None))
     df = partials.to_pandas()   # <= 4 * nq * shortlist rows
+    if df.empty:
+        # a fully-empty partial set loses its columns through
+        # to_pandas — return the typed empty (qid, vec_id, sim) shape
+        df = pd.DataFrame({"qid": np.empty(0, np.int64),
+                           "vec_id": np.empty(0, np.int64),
+                           "sim": np.empty(0, np.float64)})
     df = df.sort_values(["qid", "sim", "vec_id"],
                         ascending=[True, False, True], kind="mergesort")
     short = df.groupby("qid", sort=True).head(shortlist)

@@ -3643,6 +3643,21 @@ class TestAnnIndex:
         assert len(set(results)) == 1 and os.path.exists(
             os.path.join(results[0], "meta.json"))
 
+    def test_empty_partials_degrade_gracefully(self):
+        """A fully-empty ADC partial set (every probed cell empty —
+        possible on degenerate tiny indexes) must reduce to an empty
+        typed shortlist, not crash on the column-less to_pandas
+        frame."""
+        from go_fluentd_ray.functions.similarity import _reduce_shortlist
+
+        empty = rd.from_arrow(pa.table({
+            "qid": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float32())}))
+        short, cand = _reduce_shortlist(empty, 8, 4)
+        assert cand.size == 0 and len(short) == 0
+        assert list(short.columns) == ["qid", "vec_id", "sim"]
+
     def test_auto_nprobe_fraction(self):
         from go_fluentd_ray.functions.annindex import auto_nprobe
 
