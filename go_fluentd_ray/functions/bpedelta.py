@@ -270,29 +270,32 @@ def bpe_train_delta(ds, n_merges: int = 200, col: str = "text",
         t0 = _time.time()
 
     merges = {"rank": [], "left": [], "right": [], "merged": [], "n": []}
-    for rank in range(n_merges):
-        best = gc.best(vocab, min_count)
-        if best is None:
-            break
-        li, ri, ls, rs, cnt = best
-        new_id = len(vocab)
-        vocab.append(ls + rs)
-        merges["rank"].append(rank)
-        merges["left"].append(ls)
-        merges["right"].append(rs)
-        merges["merged"].append(ls + rs)
-        merges["n"].append(cnt)
-        if local:
-            for st in states:
-                gc.fold(*st.apply(li, ri, new_id))
-        else:
-            for codes, deltas in ray.get(
-                    [a.apply.remote(li, ri, new_id) for a in actors]):
-                gc.fold(codes, deltas)
-
-    if actors:
-        for a in actors:
-            ray.kill(a)
+    try:
+        for rank in range(n_merges):
+            best = gc.best(vocab, min_count)
+            if best is None:
+                break
+            li, ri, ls, rs, cnt = best
+            new_id = len(vocab)
+            vocab.append(ls + rs)
+            merges["rank"].append(rank)
+            merges["left"].append(ls)
+            merges["right"].append(rs)
+            merges["merged"].append(ls + rs)
+            merges["n"].append(cnt)
+            if local:
+                for st in states:
+                    gc.fold(*st.apply(li, ri, new_id))
+            else:
+                for codes, deltas in ray.get(
+                        [a.apply.remote(li, ri, new_id) for a in actors]):
+                    gc.fold(codes, deltas)
+    finally:
+        # release chunk state even if an iteration raises — a leaked
+        # actor pins its arena + index for the session's lifetime
+        if actors:
+            for a in actors:
+                ray.kill(a)
     if timings is not None:
         timings["merge_loop_sec"] = round(_time.time() - t0, 2)
     return pd.DataFrame({
