@@ -229,3 +229,20 @@ class TestRunIndexIngest:
         out = annindex.knn_ivfpq_query(m2["index_dir"], k=5)
         assert set(out.columns) == {"qid", "rank", "vec_id", "sim"}
         assert len(out) > 0
+        # staleness tick for the vector kind: the pre-append decision
+        # must read the ivfpq meta keys (base_rows/appended_rows) and
+        # refit over the union
+        self._write_parts(corpus,
+                          [df.iloc[:500].assign(
+                              vec_id=np.arange(3000, 3500,
+                                               dtype=np.int64))],
+                          names=["part-002.parquet"])
+        m3 = indexingest.run_index_ingest(
+            corpus, root, kind="ivfpq", rebuild_frac=0.01,
+            n_centroids=8, m=4, ks=32, sample_n=256)
+        assert m3["action"] == "rebuild"
+        import json as _json
+        with open(os.path.join(m3["index_dir"], "meta.json")) as f:
+            meta = _json.load(f)
+        assert meta["n_rows"] == meta["base_rows"] == 3500
+        assert meta["appended_rows"] == 0
