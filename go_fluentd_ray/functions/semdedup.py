@@ -165,7 +165,12 @@ def semantic_dedup_recall(emb_ds, threshold: float = 0.95,
     """Pair-set recall of the clustered (approximate) dup finder
     against the exact all-pairs path — the quality gate that catches a
     centroid/recall regression in the oracle harness, the same pattern
-    as similarity.knn_ivf_recall. Both pair sets scale with the number
+    as similarity.knn_ivf_recall. On corpora WITH byte-identical
+    embeddings the collapse emits star edges instead of every
+    member-member pair, so raw pair_recall understates the operational
+    quality there — the survivor SET stays exactly equal to the
+    uncollapsed path (pytest-proven component equality); the gate runs
+    on the dup-free sf0.01 fixture where pair counting is faithful. Both pair sets scale with the number
     of DUPLICATE pairs (not the corpus), so collecting them here is
     bounded by the dup rate; this is a small-scale audit query run at
     sf0.01, not a production stage. Returns one summary row."""
