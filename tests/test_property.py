@@ -291,3 +291,45 @@ def test_bigram_pmi_and_drift_match_sql_on_random_corpora(docs):
     for c in ("n_a", "n_b"):
         wt[c] = wt[c].astype("int64")
     pd.testing.assert_frame_equal(gt, wt)
+
+
+BPE_WORD = st.text(alphabet="abc", min_size=1, max_size=10)
+BPE_WORDS = st.dictionaries(BPE_WORD, st.integers(1, 9),
+                            min_size=1, max_size=30)
+
+
+@settings(max_examples=80, deadline=None)
+@given(BPE_WORDS, st.integers(1, 30))
+def test_bpedelta_kernel_matches_naive(word_counts, n_merges):
+    """The delta-counting BPE kernel (linked-list arena + windowed
+    deltas + lazy pair index) must reproduce the published naive
+    algorithm for ANY word table — the 3-letter alphabet forces heavy
+    pair overlap, self-pair runs ('aaa…'), shared affixes and chained
+    merges, exactly the cases where windowed delta accounting can go
+    wrong. Pure kernel, no Ray."""
+    import numpy as np
+
+    from go_fluentd_ray.functions import bpedelta, bpetrain
+
+    want = bpetrain.naive_bpe(word_counts, n_merges, min_count=1)
+
+    words = np.asarray(sorted(word_counts), dtype=object)
+    counts = np.array([word_counts[w] for w in words], dtype=np.int64)
+    alphabet = sorted(set("".join(words)))
+    vocab = alphabet + [bpetrain.EOW]
+    char_ids = {c: i for i, c in enumerate(alphabet)}
+    syms, wid = bpetrain._explode(words, char_ids, len(vocab) - 1)
+    state = bpedelta.ChunkState(syms, wid, counts)
+    gc = bpedelta.GlobalPairCounts()
+    gc.fold(*state.initial_counts())
+    got = []
+    for _ in range(n_merges):
+        best = gc.best(vocab, 1)
+        if best is None:
+            break
+        li, ri, ls, rs, cnt = best
+        new_id = len(vocab)
+        vocab.append(ls + rs)
+        got.append((ls, rs, cnt))
+        gc.fold(*state.apply(li, ri, new_id))
+    assert got == want, (got, want)
