@@ -92,8 +92,6 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
       + pointer doubling below, whose per-round work IS distributed.
     The threshold is a worker-heap bound (~16 bytes/edge + id arrays),
     not a driver bound — the edge list never lands on the driver."""
-    from ray.data.aggregate import Min
-
     B = num_buckets or default_buckets()
 
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -140,10 +138,26 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         return pa.table({"n": pa.array(u),
                          "lab": pa.array(np.minimum(u, v))})
 
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-              .map_batches(_min_label_partial, batch_format="pyarrow")
-              .groupby("n").aggregate(Min("lab", alias_name="lab"))
-              ).materialize()
+    # exact per-node min label via the bucketed map_groups pattern, NOT
+    # Dataset.aggregate: node ids are corpus-cardinality and the
+    # sort-based aggregate is the same high-cardinality hazard the Q3
+    # join's pre-agg measured at 15.9 s/1.47M keys — a node's partials
+    # all land in one hash(n) bucket, so the bucket mins are exact
+    def bucket_min(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("n").aggregate([("lab", "min")])
+        return (g.select(["n", "lab_min"])
+                .rename_columns(["n", "lab"]))
+
+    def min_by_node(ds_):
+        return (ds_.map_batches(lambda t: add_bucket_col(t, ["n"], B),
+                                batch_format="pyarrow")
+                .groupby("__bkt").map_groups(bucket_min,
+                                             batch_format="pyarrow"))
+
+    labels = min_by_node(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .map_batches(_min_label_partial, batch_format="pyarrow")
+    ).materialize()
     prev_sum = labels.sum("lab")
 
     sides_schema = pa.schema([("__key", pa.int64()), ("u", pa.int64()),
@@ -209,11 +223,11 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                   .map_batches(lambda t: add_bucket_col(t, ["__key"], B),
                                batch_format="pyarrow")
                   .groupby("__bkt").map_groups(push, batch_format="pyarrow"))
-        labels = (pushed.union(labels)
-                  .repartition(cpus, shuffle=False)
-                  .map_batches(_min_label_partial, batch_format="pyarrow")
-                  .groupby("n").aggregate(Min("lab", alias_name="lab"))
-                  ).materialize()
+        labels = min_by_node(
+            pushed.union(labels)
+            .repartition(cpus, shuffle=False)
+            .map_batches(_min_label_partial, batch_format="pyarrow")
+        ).materialize()
         s = labels.sum("lab")
         if s == prev_sum:  # labels only decrease -> fixpoint
             break
