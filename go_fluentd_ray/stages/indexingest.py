@@ -74,13 +74,11 @@ def run_index_ingest(corpus_path: str, out_root: str, kind: str = "bm25",
     if kind == "bm25":
         from ..functions import bm25index as mod
         build, append = mod.build_bm25_index, mod.append_bm25_index
-        needs_rebuild = mod.needs_rebuild
         if rebuild_frac is None:
             rebuild_frac = mod.STALENESS_REBUILD_FRAC
     elif kind == "ivfpq":
         from ..functions import annindex as mod
         build, append = mod.build_ivfpq_index, mod.append_ivfpq_index
-        needs_rebuild = mod.needs_rebuild
         if rebuild_frac is None:
             rebuild_frac = 0.5
     else:
